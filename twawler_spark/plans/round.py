@@ -1,0 +1,239 @@
+"""One scheduling round — the flagship batch job.
+
+Rebuild of the reference's 4-phase crawl cycle
+(scripts/crawl-tweets.sh:37-160): score -> schedule under per-host
+budget -> fetch -> classify/transition -> discover/admit, as ONE Spark
+batch over snapshot tables. Plan shape per round:
+
+  frontier snapshot (scan, pruned)           [parquet min-max on state]
+    -> score                                  [column exprs, codegen]
+    -> robots gate                            [broadcast join + exists()]
+    -> per-host budget rank                   [two-phase salted window]
+    -> fetch                                  [grouped Arrow UDF, ≤ Σbudgets rows]
+    -> documents append (dedup doc_id)        [hash agg]
+    -> outlink discovery -> seen anti-join    [sharded bloom + exact anti]
+    -> state MERGE + snapshot write           [broadcast join, atomic manifest]
+
+State machine (reference utils.py:351-446 set-mutation protocol):
+  404 -> dead: row leaves the frontier, url_hash joins ``seen`` as
+  'dead' (bury, utils.py:430-446). 403/429 -> protected/suspended with
+  TTL revival after REVIVE_TTL_ROUNDS (utils.py:369-412 self-expiring
+  checks). 200 -> checkpoint advance (dumpall.py:83-87).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io_catalog import Catalog
+from ..operators.admission import admit, gate_robots
+from ..operators.budget import fetch_plan
+from ..operators.scoring import score
+from ..operators.seen_filter import build_sharded_bloom
+from ..schemas import FRONTIER
+from ..synth import NOW_EPOCH
+from .fetcher import discover_outlinks, fetch_documents, fetch_results
+
+REVIVE_TTL_ROUNDS = 3
+ROUND_SECONDS = 3600
+
+
+def round_now_epoch(round_no: int) -> int:
+    return NOW_EPOCH + round_no * ROUND_SECONDS
+
+
+@dataclass
+class RoundStats:
+    round: int
+    n_active: int
+    n_scheduled: int
+    n_docs: int
+    n_candidates: int
+    n_admitted: int
+    n_dead: int
+    n_frontier: int
+    n_seen: int
+
+    def as_rows(self):
+        return [
+            (self.round, k, int(v))
+            for k, v in vars(self).items()
+            if k != "round"
+        ]
+
+
+def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) -> None:
+    """Round-0 snapshots: seen = seed sets ∪ all tracked frontier keys;
+    frontier rows already in a seed set are not tracked (can_follow)."""
+    seed_keys = seen_seed.select("url_hash").distinct()
+    fresh = frontier_seed.join(seed_keys, "url_hash", "left_anti")
+    # rows already in a terminal state belong in the sets, not the frontier
+    # (cemetery/ignored are separate collections in the reference)
+    frontier0 = fresh.where(~F.col("state").isin("dead", "ignored"))
+    seen0 = seen_seed.unionByName(
+        fresh.select(
+            "url_hash",
+            F.when(F.col("state").isin("dead", "ignored"), F.col("state"))
+            .otherwise(F.lit("tracked"))
+            .alias("set_name"),
+            F.lit(0).alias("added_round"),
+        )
+    )
+    catalog.write_snapshot(frontier0, "frontier", 0)
+    catalog.write_snapshot(seen0, "seen", 0)
+
+
+def run_round(
+    catalog: Catalog,
+    round_no: int,
+    n_hosts: int,
+    salt_buckets: int = 16,
+    bloom_buckets: int = 32,
+    use_bloom: bool = True,
+) -> RoundStats:
+    spark = catalog.spark
+    now = round_now_epoch(round_no)
+    frontier = catalog.read_snapshot("frontier", round_no - 1)
+    seen = catalog.read_snapshot("seen", round_no - 1)
+    budgets = catalog.read_input("host_budget")
+    robots = catalog.read_input("robots")
+
+    # TTL revival (protected/suspended re-checks, utils.py:369-412)
+    revived = F.when(
+        F.col("state").isin("suspended", "protected")
+        & (F.lit(round_no) - F.col("state_round") >= REVIVE_TTL_ROUNDS),
+        F.lit("active"),
+    ).otherwise(F.col("state"))
+    frontier = frontier.withColumn("state", revived)
+
+    active = frontier.where(F.col("state") == "active")
+    scored = score(active, now)
+    gated = gate_robots(scored, robots)
+    plan = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(
+        "url_hash", "url", "host", "last_id", "expected", "fetch_rank"
+    )
+    plan = plan.localCheckpoint(eager=True)  # reuse: docs, results, order
+    n_scheduled = plan.count()
+
+    # ------------------------------------------------------------- fetch
+    docs = fetch_documents(plan, round_no).dropDuplicates(["doc_id"])
+    catalog.append(docs, "documents", round_no)
+    n_docs = (
+        spark.read.parquet(f"{catalog.root}/documents/data/round={round_no}").count()
+    )
+    results = fetch_results(plan).localCheckpoint(eager=True)
+
+    # crawl-order lineage (golden for ordering-equality tests)
+    catalog.append(
+        plan.select("url_hash", "host", "expected", "fetch_rank"), "crawl_order", round_no
+    )
+
+    # -------------------------------------------------- discovery + admit
+    cands = (
+        discover_outlinks(results, n_hosts)
+        .withColumn("url_hash", F.xxhash64(F.col("url")))
+        .dropDuplicates(["url_hash"])  # within-round dedup
+    )
+    n_candidates = cands.count()
+    bloom = (
+        build_sharded_bloom(seen, n_buckets=bloom_buckets) if use_bloom else None
+    )
+    admitted = admit(cands, seen, bloom=bloom).localCheckpoint(eager=True)
+    n_admitted = admitted.count()
+
+    new_rows = admitted.select(
+        "url",
+        "url_hash",
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        F.lit("active").alias("state"),
+        F.lit(round_no).alias("state_round"),
+        F.lit(0).cast("long").alias("last_id"),
+        F.lit(0).cast("long").alias("first_id"),
+        F.lit(False).alias("reached"),
+        F.timestamp_seconds(F.lit(now)).alias("latest_ts"),
+        F.timestamp_seconds(F.lit(now)).alias("earliest_ts"),
+        F.lit(1.0).alias("rate_tph"),
+        F.lit(round_no).alias("discovered_round"),
+    )
+
+    # --------------------------------------------------------- state MERGE
+    res = F.broadcast(
+        results.select("url_hash", "status", "new_last_id")
+    )
+    merged = (
+        frontier.join(res, "url_hash", "left")
+        .withColumn(
+            "state",
+            F.when(F.col("status") == 404, "dead")
+            .when(F.col("status") == 403, "protected")
+            .when(F.col("status") == 429, "suspended")
+            .otherwise(F.col("state")),
+        )
+        .withColumn(
+            "state_round",
+            F.when(
+                F.col("status").isNotNull() & (F.col("status") != 200), F.lit(round_no)
+            ).otherwise(F.col("state_round")),
+        )
+        .withColumn(
+            "last_id", F.coalesce(F.col("new_last_id"), F.col("last_id"))
+        )
+        .withColumn(
+            "latest_ts",
+            F.when(F.col("status") == 200, F.timestamp_seconds(F.lit(now))).otherwise(
+                F.col("latest_ts")
+            ),
+        )
+    )
+    dead_keys = merged.where(F.col("state") == "dead").select("url_hash")
+    n_dead = dead_keys.count()
+    next_frontier = (
+        merged.where(F.col("state") != "dead")
+        .drop("status", "new_last_id")
+        .unionByName(new_rows)
+        .select([f.name for f in FRONTIER.fields])
+    )
+
+    next_seen = seen.unionByName(
+        admitted.select(
+            "url_hash", F.lit("tracked").alias("set_name"), F.lit(round_no).alias("added_round")
+        )
+    ).unionByName(
+        dead_keys.select(
+            "url_hash", F.lit("dead").alias("set_name"), F.lit(round_no).alias("added_round")
+        )
+    )
+
+    fm = catalog.write_snapshot(next_frontier, "frontier", round_no)
+    sm = catalog.write_snapshot(next_seen, "seen", round_no)
+
+    stats = RoundStats(
+        round=round_no,
+        n_active=active.count(),
+        n_scheduled=n_scheduled,
+        n_docs=n_docs,
+        n_candidates=n_candidates,
+        n_admitted=n_admitted,
+        n_dead=n_dead,
+        n_frontier=fm["n_rows"],
+        n_seen=sm["n_rows"],
+    )
+    metrics = spark.createDataFrame(stats.as_rows(), "round int, metric string, value long")
+    catalog.append(metrics, "round_metrics", round_no)
+    return stats
+
+
+def run_rounds(
+    catalog: Catalog,
+    n_rounds: int,
+    n_hosts: int,
+    resume: bool = True,
+    **kw,
+) -> list[RoundStats]:
+    """Run/resume rounds up to ``n_rounds`` from the latest committed
+    snapshot (the reference's kill-safe restart, README Stopping)."""
+    start = (catalog.latest_round("frontier") or 0) + 1 if resume else 1
+    return [run_round(catalog, r, n_hosts, **kw) for r in range(start, n_rounds + 1)]
