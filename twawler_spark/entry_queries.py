@@ -1,0 +1,749 @@
+"""Driver-contract query suite: Spark DataFrame queries + DuckDB oracles.
+
+One entry per implemented operator family from SURVEY.md §2 (ids cited
+per query), plus the training-data-pipeline operators (dedup families,
+ANN similarity, text analysis, multimodal plumbing) over the driver's
+tables at ``/root/testdata/sf*``.
+
+Design rules (driver compares row-count + schema + order-insensitive
+value-hash):
+  * every computed column is aliased identically in Spark and SQL;
+  * derived doubles are ROUNDed (4 digits; money 2) on BOTH sides so
+    engine-order float noise can't flip the hash;
+  * timestamps leave queries as epoch seconds (floor) or formatted
+    strings — never raw timestamp objects;
+  * near-dup inputs are PLANTED deterministically (a mutated copy per
+    doc) inside the query on both sides, so dedup operators return
+    non-trivial, checkable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# fixed "now" for crawl-scoring queries; events span Jan 2024
+CRAWL_NOW = 1706745600  # 2024-02-01T00:00:00Z
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch(col):
+    """Floor epoch seconds — matches duckdb floor(epoch(ts))::bigint."""
+    return F.unix_timestamp(col)
+
+
+# =====================================================================
+# crawl-engine operators on the driver tables (frontier derived from
+# events: user_id = crawlable unit, host = 'h'||user_id%20)
+# =====================================================================
+
+def q_crawl_score(spark, sf):
+    """freq.py:63-133 scoring (SURVEY A1+§3.1 phase 1): rate & expected."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        _epoch(F.max("ts")).alias("latest_e"),
+        _epoch(F.min("ts")).alias("earliest_e"),
+    )
+    rate = F.col("n_events") * 3600.0 / F.greatest(
+        F.col("latest_e") - F.col("earliest_e"), F.lit(3600)
+    )
+    idle = (F.lit(CRAWL_NOW) - F.col("latest_e")) / 3600.0
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.round(rate, 4).alias("rate_tph"),
+        F.round(idle, 4).alias("hours_idle"),
+        F.round(rate * idle, 4).alias("expected"),
+    )
+
+
+_SQL_CRAWL_SCORE_BASE = f"""
+  SELECT user_id,
+         count(*) AS n_events,
+         cast(floor(epoch(max(ts))) as bigint) AS latest_e,
+         cast(floor(epoch(min(ts))) as bigint) AS earliest_e
+  FROM events GROUP BY user_id
+"""
+
+O_CRAWL_SCORE = f"""
+WITH a AS ({_SQL_CRAWL_SCORE_BASE}),
+b AS (
+  SELECT user_id, n_events,
+         n_events * 3600.0 / greatest(latest_e - earliest_e, 3600) AS rate,
+         ({CRAWL_NOW} - latest_e) / 3600.0 AS idle
+  FROM a)
+SELECT user_id, n_events, round(rate, 4) AS rate_tph,
+       round(idle, 4) AS hours_idle, round(rate * idle, 4) AS expected
+FROM b
+"""
+
+
+def q_crawl_budget_rank(spark, sf):
+    """Per-host budget-ranked fetch plan (dumpall.py:106-111, O1/W3)."""
+    scored = q_crawl_score(spark, sf).withColumn(
+        "host", F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(20)).cast("string"))
+    ).withColumn("budget", (2 + F.pmod(F.col("user_id"), F.lit(20)) % 4).cast("int"))
+    w = W.partitionBy("host").orderBy(F.col("expected").desc(), F.col("user_id").asc())
+    return (
+        scored.withColumn("fetch_rank", F.row_number().over(w))
+        .where(F.col("fetch_rank") <= F.col("budget"))
+        .select("host", "fetch_rank", "user_id", "expected")
+    )
+
+
+O_CRAWL_BUDGET_RANK = f"""
+WITH s AS ({O_CRAWL_SCORE}),
+h AS (
+  SELECT *, 'h' || cast(user_id % 20 as varchar) AS host,
+         2 + (user_id % 20) % 4 AS budget
+  FROM s)
+SELECT host, fetch_rank, user_id, expected FROM (
+  SELECT host, user_id, expected, budget,
+         row_number() OVER (PARTITION BY host ORDER BY expected DESC, user_id ASC) AS fetch_rank
+  FROM h) WHERE fetch_rank <= budget
+"""
+
+
+def q_crawl_admission(spark, sf):
+    """can_follow anti-join (P5, utils.py:672-692): event users not in
+    the 'seen' set (customers with custkey<150 stand in for the sets)."""
+    cands = _t(spark, sf, "events").select("user_id").distinct()
+    seen = (
+        _t(spark, sf, "customer")
+        .where(F.col("c_custkey") < 75)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    adm = cands.join(seen, "user_id", "left_anti")
+    return adm.groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket")).agg(
+        F.count("*").alias("n_admitted"), F.min("user_id").alias("min_user")
+    )
+
+
+O_CRAWL_ADMISSION = """
+WITH cands AS (SELECT DISTINCT user_id FROM events),
+seen AS (SELECT c_custkey AS user_id FROM customer WHERE c_custkey < 75),
+adm AS (SELECT user_id FROM cands WHERE user_id NOT IN (SELECT user_id FROM seen))
+SELECT user_id % 10 AS bucket, count(*) AS n_admitted, min(user_id) AS min_user
+FROM adm GROUP BY 1
+"""
+
+
+def q_url_canonicalize(spark, sf):
+    """S11/F9 URL canonicalization (deshorten.py) via the Arrow UDF.
+
+    The oracle constructs the expected canonical form independently from
+    the same fields; xxhash64 parity is covered by tests/test_hashing.py
+    (no SQL equivalent), so the hash column stays out of this query.
+    """
+    from .functions.urls import canonicalize_udf
+
+    d = _t(spark, sf, "documents")
+    raw = F.concat(
+        F.lit("https://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".Example.com:443//d//"),
+        F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b=2&a=1#frag"),
+    )
+    return d.select(F.col("doc_id"), canonicalize_udf(raw).alias("canonical_url"))
+
+
+O_URL_CANONICALIZE = """
+SELECT doc_id,
+       'https://' || lower(source) || '.example.com/d/' ||
+       cast(doc_id as varchar) || '?a=1&b=2' AS canonical_url
+FROM documents
+"""
+
+
+# =====================================================================
+# aggregations (SURVEY §2.4)
+# =====================================================================
+
+def q_a1_crawl_bounds(spark, sf):
+    """A1: per-user min/max id + ts + count (freq.py:63-74)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        _epoch(F.min("ts")).alias("min_ts_e"),
+        _epoch(F.max("ts")).alias("max_ts_e"),
+        F.count("*").alias("n"),
+    )
+
+
+O_A1 = """
+SELECT user_id, min(event_id) AS min_id, max(event_id) AS max_id,
+       cast(floor(epoch(min(ts))) as bigint) AS min_ts_e,
+       cast(floor(epoch(max(ts))) as bigint) AS max_ts_e,
+       count(*) AS n
+FROM events GROUP BY user_id
+"""
+
+
+def q_a2_counts(spark, sf):
+    """A2: tweets-per-user (count-gr-tweets.py:22-46)."""
+    return _t(spark, sf, "events").groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+
+
+O_A2 = "SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2"
+
+
+def q_a3_distinct(spark, sf):
+    """A3: distinct users/types (utils.py:246-268)."""
+    e = _t(spark, sf, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("user_id", "event_type").alias("n_pairs"),
+    )
+
+
+O_A3 = """
+SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types,
+       count(DISTINCT (user_id, event_type)) AS n_pairs FROM events
+"""
+
+
+def q_a5_explode_count(spark, sf):
+    """A5: explode + count (hashtagexport.py mapReduce analog)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(100)
+    )
+
+
+O_A5 = """
+SELECT word, count(*) AS n FROM (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+WHERE word != '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 100
+"""
+
+
+def q_a6_topk(spark, sf):
+    """A6/O1: global top-k (dumpall.py:108-111 sort+limit)."""
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price"))
+        .limit(10)
+    )
+
+
+O_A6 = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_a7_interval_stats(spark, sf):
+    """A7+W1: per-user inter-event interval stats (stats.py:460-546)."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gaps = e.select(
+        "user_id",
+        (_epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.min("gap").alias("min_gap"),
+        F.max("gap").alias("max_gap"),
+        F.round(F.avg("gap"), 4).alias("avg_gap"),
+        F.round(F.expr("percentile(gap, 0.5)"), 4).alias("median_gap"),
+        F.round(F.stddev("gap"), 4).alias("sd_gap"),
+        F.count("*").alias("n_gaps"),
+    )
+
+
+O_A7 = """
+WITH g AS (
+  SELECT user_id,
+         cast(floor(epoch(ts)) as bigint)
+           - lag(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events)
+SELECT user_id, min(gap) AS min_gap, max(gap) AS max_gap,
+       round(avg(gap), 4) AS avg_gap,
+       round(cast(quantile_cont(gap, 0.5) as double), 4) AS median_gap,
+       round(stddev(gap), 4) AS sd_gap, count(*) AS n_gaps
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_a8_histogram(spark, sf):
+    """A8: hour-of-day / weekday histograms (stats.py:344-345)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("n"))
+
+
+# duckdb dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+O_A8 = """
+SELECT hour(ts) AS hour, cast(dayofweek(ts) + 1 as int) AS dow, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_a9_degree_stats(spark, sf):
+    """A9: degree/weight stats over an edge table (stats.py:410-456)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("out_degree"),
+        F.round(F.sum("l_quantity"), 2).alias("out_weight"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.count("*").alias("n_edges"),
+    )
+
+
+O_A9 = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS out_degree,
+       round(sum(l_quantity), 2) AS out_weight,
+       round(avg(l_extendedprice), 4) AS avg_price, count(*) AS n_edges
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_u_set_ops(spark, sf):
+    """U1-U3/A10: union/intersect/except + Jaccard over buyer sets
+    (usersimilarity.py:22-77, followerdistribution.py:50-58)."""
+    o = _t(spark, sf, "orders")
+    y96 = o.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = o.where(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    n_union = y96.union(y97).distinct().count()
+    n_inter = y96.intersect(y97).count()
+    n_exc = y96.exceptAll(y97).distinct().count()
+    jac = round(n_inter / n_union, 4) if n_union else 0.0
+    return spark.createDataFrame(
+        [(n_union, n_inter, n_exc, jac)],
+        "n_union bigint, n_intersect bigint, n_except bigint, jaccard double",
+    )
+
+
+O_U_SET_OPS = """
+WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)) AS n_union,
+  (SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) AS n_intersect,
+  (SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97)) AS n_except,
+  round((SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97)) * 1.0 /
+        (SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97)), 4) AS jaccard
+"""
+
+
+def q_a12_zero_fill(spark, sf):
+    """A12: densify missing days with 0 (stats.py:531-537)."""
+    o = _t(spark, sf, "orders")
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1996-01-01")),
+                F.to_date(F.lit("1996-03-31")),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+        )
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+
+
+O_A12 = """
+WITH days AS (
+  SELECT cast(g as date) AS day
+  FROM generate_series(date '1996-01-01', date '1996-03-31', interval 1 day) t(g)),
+daily AS (
+  SELECT cast(o_orderdate as date) AS day, count(*) AS n FROM orders
+  WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01' GROUP BY 1)
+SELECT strftime(days.day, '%Y-%m-%d') AS day, coalesce(daily.n, 0) AS n
+FROM days LEFT JOIN daily USING (day)
+"""
+
+
+def q_a13_counters(spark, sf):
+    """A13: global table counters (count-dumped.py:17-60)."""
+    rows = []
+    for name in ("orders", "lineitem", "customer", "events", "documents"):
+        rows.append((name, _t(spark, sf, name).count()))
+    return spark.createDataFrame(rows, "table_name string, n bigint")
+
+
+O_A13 = """
+SELECT 'orders' AS table_name, count(*) AS n FROM orders
+UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+UNION ALL SELECT 'customer', count(*) FROM customer
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'documents', count(*) FROM documents
+"""
+
+
+def q_a14_daily_rollup(spark, sf):
+    """A14: per-day per-type rollup (senti.py:322-392)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("sum_value"), F.count("*").alias("n"))
+
+
+O_A14 = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       round(sum(value), 4) AS sum_value, count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_a15_lang_topk(spark, sf):
+    """A15+A6/W3: top-3 sources per language by doc count (stats.py:402)."""
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("source").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("lang", "source", "n", "rnk")
+    )
+
+
+O_A15 = """
+SELECT lang, source, n, rnk FROM (
+  SELECT lang, source, count(*) AS n,
+         row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rnk
+  FROM documents GROUP BY lang, source)
+WHERE rnk <= 3
+"""
+
+
+# =====================================================================
+# joins (SURVEY §2.3)
+# =====================================================================
+
+def q_j1_pair_selfjoin(spark, sf):
+    """J1: self equi-join + pair group-count (exportquote.py:61-78)."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b")
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+O_J1 = """
+SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b, count(*) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_j2_antijoin_groupcount(spark, sf):
+    """J2: anti-join + group-count (findgreekfollowers.py:21-29)."""
+    c = _t(spark, sf, "customer")
+    o = (
+        _t(spark, sf, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .select("o_custkey")
+        .distinct()
+    )
+    n = _t(spark, sf, "nation")
+    no_orders = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        no_orders.join(F.broadcast(n), no_orders.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+O_J2 = """
+SELECT n_name, count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey NOT IN (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+GROUP BY n_name
+"""
+
+
+def q_j3_revenue_per_segment(spark, sf):
+    """J3/J6: fact ⋈ dims with broadcast (exportfavorite.py:81-89)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+O_J3 = """
+SELECT c_mktsegment, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_j8_synchrotrap(spark, sf):
+    """J8: time-bucketed self-join pair counts (findcommontweets.py:22-59):
+    users co-acting (same event_type, same 600s bucket), ≥3 co-events."""
+    e = _t(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        (F.floor(_epoch(F.col("ts")) / 600)).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.user_id") < F.col("b.user_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count("*").alias("n_co"))
+        .where(F.col("n_co") >= 3)
+    )
+
+
+O_J8 = """
+WITH e AS (
+  SELECT user_id, event_type,
+         cast(floor(floor(epoch(ts)) / 600) as bigint) AS bucket
+  FROM events)
+SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_co
+FROM e a JOIN e b
+  ON a.bucket = b.bucket AND a.event_type = b.event_type
+ AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+
+
+# =====================================================================
+# windows (SURVEY §2.5)
+# =====================================================================
+
+def q_w2_latest_per_key(spark, sf):
+    """W2: latest-version-per-key (lookup_user, utils.py:299-307)."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", _epoch(F.col("ts")).alias("ts_e"), "event_type")
+    )
+
+
+O_W2 = """
+SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS ts_e, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_w3_topk_per_group(spark, sf):
+    """W3: top-3 orders per customer (Counter.most_common analog)."""
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+O_W3 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def q_w5_running_max(spark, sf):
+    """W5: running max per key over time (dumpall.py:63-69 newlast)."""
+    o = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.max("o_totalprice").over(w), 2).alias("running_max"),
+    )
+
+
+O_W5 = """
+SELECT o_custkey, o_orderkey,
+       round(max(o_totalprice) OVER (PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_max
+FROM orders
+"""
+
+
+# =====================================================================
+# filters / predicates / scalar functions (SURVEY §2.2, §2.8)
+# =====================================================================
+
+def q_q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape — the A2/A7 multi-agg suite under filters."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_Q1 = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty, round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q6_filter_agg(spark, sf):
+    """P2: pushdown-friendly range predicates (TPC-H Q6 shape)."""
+    li = _t(spark, sf, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+O_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.03 AND l_quantity < 24
+"""
+
+
+def q_p3_array_membership(spark, sf):
+    """P3: array membership predicate ($elemMatch, stats.py:135-142)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.array_contains(F.split(F.col("text"), " "), "spark"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_P3 = """
+SELECT lang, count(*) AS n FROM documents
+WHERE list_contains(string_split(text, ' '), 'spark') GROUP BY lang
+"""
+
+
+def q_p4_regex(spark, sf):
+    """P4: regex predicates (mentioneduser.py:39, findquoted.py:35-46)."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.where(F.col("text").rlike("table .* window|window .* table"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_P4 = """
+SELECT source, count(*) AS n FROM documents
+WHERE regexp_matches(text, 'table .* window|window .* table') GROUP BY source
+"""
+
+
+def q_f_scalar_suite(spark, sf):
+    """F1/F5/F7/F10/F15: scalar-function suite as pure column exprs."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.lower(F.col("source")).alias("src_lower"),
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lang_dist"),
+        F.length("text").alias("n_chars_computed"),
+        F.size(toks).alias("n_tokens"),
+        F.md5(F.lower(F.col("text"))).alias("fingerprint"),
+    )
+
+
+O_F_SCALAR = """
+SELECT doc_id, lower(source) AS src_lower, levenshtein(lang, 'en') AS lang_dist,
+       length(text) AS n_chars_computed,
+       len(string_split(text, ' ')) AS n_tokens,
+       md5(lower(text)) AS fingerprint
+FROM documents
+"""
+
+
+def q_f10_monthly(spark, sf):
+    """F10: date_trunc rollup (stats.py:302,344)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n")
+    )
+
+
+O_F10 = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       round(sum(o_totalprice), 2) AS total, count(*) AS n
+FROM orders GROUP BY 1
+"""

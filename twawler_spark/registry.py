@@ -1,0 +1,118 @@
+"""Query + oracle registry assembled for the driver contract.
+
+Keys map SURVEY.md §2 operator ids (and training-pipeline operators) to
+(spark callable, duckdb oracle SQL). Queries without SQL-expressible
+semantics (none currently — the streaming query's static-input result
+equals its batch twin) would omit the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import entry_queries as eq
+from . import training_queries as tq
+from .streaming import ingest as st
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {
+    # crawl-engine operators (SURVEY §2.1/2.2/2.6, §3.1)
+    "crawl_score": eq.q_crawl_score,
+    "crawl_budget_rank": eq.q_crawl_budget_rank,
+    "crawl_admission": eq.q_crawl_admission,
+    "url_canonicalize": eq.q_url_canonicalize,
+    # aggregations (§2.4)
+    "a1_crawl_bounds": eq.q_a1_crawl_bounds,
+    "a2_counts": eq.q_a2_counts,
+    "a3_distinct": eq.q_a3_distinct,
+    "a5_explode_count": eq.q_a5_explode_count,
+    "a6_topk": eq.q_a6_topk,
+    "a7_interval_stats": eq.q_a7_interval_stats,
+    "a8_histogram": eq.q_a8_histogram,
+    "a9_degree_stats": eq.q_a9_degree_stats,
+    "a12_zero_fill": eq.q_a12_zero_fill,
+    "a13_counters": eq.q_a13_counters,
+    "a14_daily_rollup": eq.q_a14_daily_rollup,
+    "a15_lang_topk": eq.q_a15_lang_topk,
+    "u_set_ops": eq.q_u_set_ops,
+    # joins (§2.3)
+    "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
+    "j2_antijoin_groupcount": eq.q_j2_antijoin_groupcount,
+    "j3_revenue_per_segment": eq.q_j3_revenue_per_segment,
+    "j8_synchrotrap": eq.q_j8_synchrotrap,
+    # windows (§2.5)
+    "w2_latest_per_key": eq.q_w2_latest_per_key,
+    "w3_topk_per_group": eq.q_w3_topk_per_group,
+    "w5_running_max": eq.q_w5_running_max,
+    # filters / scalar functions (§2.2, §2.8)
+    "q1_pricing_summary": eq.q_q1_pricing_summary,
+    "q6_filter_agg": eq.q_q6_filter_agg,
+    "p3_array_membership": eq.q_p3_array_membership,
+    "p4_regex": eq.q_p4_regex,
+    "f_scalar_suite": eq.q_f_scalar_suite,
+    "f10_monthly": eq.q_f10_monthly,
+    # streaming (§2.9)
+    "s3_stream_windowed": st.stream_windowed_counts,
+    # training-data pipeline
+    "dedup_exact": tq.q_dedup_exact,
+    "dedup_jaccard": tq.q_dedup_jaccard,
+    "dedup_minhash_lsh": tq.q_dedup_minhash_lsh,
+    "dedup_simhash": tq.q_dedup_simhash,
+    "dedup_embedding_cosine": tq.q_dedup_embedding_cosine,
+    "ann_cosine_topk": tq.q_ann_cosine_topk,
+    "ann_lsh_buckets": tq.q_ann_lsh_buckets,
+    "text_langid": tq.q_text_langid,
+    "text_quality": tq.q_text_quality,
+    "text_token_stats": tq.q_text_token_stats,
+    "text_fingerprint": tq.q_text_fingerprint,
+    "multimodal_meta": tq.q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "crawl_score": eq.O_CRAWL_SCORE,
+    "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
+    "crawl_admission": eq.O_CRAWL_ADMISSION,
+    "url_canonicalize": eq.O_URL_CANONICALIZE,
+    "a1_crawl_bounds": eq.O_A1,
+    "a2_counts": eq.O_A2,
+    "a3_distinct": eq.O_A3,
+    "a5_explode_count": eq.O_A5,
+    "a6_topk": eq.O_A6,
+    "a7_interval_stats": eq.O_A7,
+    "a8_histogram": eq.O_A8,
+    "a9_degree_stats": eq.O_A9,
+    "a12_zero_fill": eq.O_A12,
+    "a13_counters": eq.O_A13,
+    "a14_daily_rollup": eq.O_A14,
+    "a15_lang_topk": eq.O_A15,
+    "u_set_ops": eq.O_U_SET_OPS,
+    "j1_pair_selfjoin": eq.O_J1,
+    "j2_antijoin_groupcount": eq.O_J2,
+    "j3_revenue_per_segment": eq.O_J3,
+    "j8_synchrotrap": eq.O_J8,
+    "w2_latest_per_key": eq.O_W2,
+    "w3_topk_per_group": eq.O_W3,
+    "w5_running_max": eq.O_W5,
+    "q1_pricing_summary": eq.O_Q1,
+    "q6_filter_agg": eq.O_Q6,
+    "p3_array_membership": eq.O_P3,
+    "p4_regex": eq.O_P4,
+    "f_scalar_suite": eq.O_F_SCALAR,
+    "f10_monthly": eq.O_F10,
+    "s3_stream_windowed": st.O_STREAM_WINDOWED,
+    "dedup_exact": tq.O_DEDUP_EXACT,
+    "dedup_jaccard": tq.O_DEDUP_JACCARD,
+    "dedup_minhash_lsh": tq.O_DEDUP_MINHASH,
+    "dedup_simhash": tq.O_DEDUP_SIMHASH,
+    "dedup_embedding_cosine": tq.O_DEDUP_EMB,
+    "ann_cosine_topk": tq.O_ANN_TOPK,
+    "ann_lsh_buckets": tq.O_ANN_LSH,
+    "text_langid": tq.O_TEXT_LANGID,
+    "text_quality": tq.O_TEXT_QUALITY,
+    "text_token_stats": tq.O_TEXT_TOKENS,
+    "text_fingerprint": tq.O_TEXT_FP,
+    "multimodal_meta": tq.O_MULTIMODAL,
+}

@@ -1,0 +1,614 @@
+"""Training-data-pipeline operators over documents/embeddings.
+
+Dedup (exact, minhash-LSH, simhash, token-set jaccard, embedding-
+cosine), ANN similarity search, text analysis (lang-ID, quality,
+tokens, fingerprints) and multimodal plumbing — each as a Spark query
+with a DuckDB oracle.
+
+Near-duplicates are PLANTED deterministically inside each dedup query
+(a mutated copy of every document: drop-first-token for text, doubled
+vector for embeddings), identically on both engines, so results are
+non-trivial: the operator must find exactly the planted neighbors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+N_MINHASH = 8  # 4 bands x 2 rows
+N_SIMHASH_BITS = 16
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _with_near_dups(d: DataFrame) -> DataFrame:
+    """documents ∪ near-copy of each (doc_id||'_nd', first token dropped)."""
+    orig = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    mutated = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_nd")).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    return orig.unionByName(mutated)
+
+
+_SQL_NEAR_DUPS = """
+  SELECT cast(doc_id as varchar) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd' AS doc_id,
+         substring(text, strpos(text, ' ') + 1) AS text
+  FROM documents
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy on a canonical fingerprint. Planted
+    EXACT copies (suffix _c) must land in the same group (S12 semantics:
+    unique-index dedup-on-write, dumpall.py:61-81)."""
+    d = _t(spark, sf, "documents")
+    orig = d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    copies = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_c")).alias("doc_id"), "text"
+    )
+    alld = orig.unionByName(copies)
+    return (
+        alld.groupBy(F.md5(F.lower(F.col("text"))).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+O_DEDUP_EXACT = """
+WITH a AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_c', text FROM documents)
+SELECT md5(lower(text)) AS fingerprint, count(*) AS n_docs, min(doc_id) AS keeper
+FROM a GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+# --------------------------------------------------------- token jaccard
+
+def q_dedup_jaccard(spark, sf):
+    """Token-set Jaccard near-dup pairs within (lang, source) blocks.
+    Planted near-copies give jaccard ≈ 1; unrelated docs stay low."""
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("toks"),
+    )
+    mut = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_nd")).alias("doc_id"),
+        "lang",
+        "source",
+        F.array_distinct(
+            F.split(F.expr("substring(text, instr(text, ' ') + 1)"), " ")
+        ).alias("toks"),
+    )
+    alld = base.unionByName(mut)
+    a, b = alld.alias("a"), alld.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    jac = inter / union
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(jac, 4).alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.9)
+
+
+O_DEDUP_JACCARD = f"""
+WITH docs AS (
+  SELECT cast(doc_id as varchar) AS doc_id, lang, source,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd', lang, source,
+         list_distinct(string_split(substring(text, strpos(text, ' ') + 1), ' '))
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+               len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+  FROM docs a JOIN docs b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+"""
+
+
+# ----------------------------------------------------------- minhash LSH
+
+def _minhash_cols():
+    """K min-hash columns h0..h7 via md5('<k>:'||token) (portable)."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))).alias(f"h{k}")
+        for k in range(N_MINHASH)
+    ]
+
+
+def _shingles_spark(text_col):
+    """Distinct 5-gram word shingles (FIXTURES: unigrams collide too
+    much under a 31-word vocab — shingles make docs distinctive)."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+    4 bands × 2 rows over 5-gram shingles; planted near-copies collide
+    in ≥1 band."""
+    alld = _with_near_dups(_t(spark, sf, "documents"))
+    toks = alld.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
+    bands = sigs.select(
+        "doc_id",
+        *[
+            F.concat(F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")).alias(f"band{b}")
+            for b in range(N_MINHASH // 2)
+        ],
+    )
+    pair_dfs = []
+    for b in range(N_MINHASH // 2):
+        x, y = bands.alias("x"), bands.alias("y")
+        pair_dfs.append(
+            x.join(
+                y,
+                (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            ).select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+        )
+    out = pair_dfs[0]
+    for p in pair_dfs[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def _o_minhash_bands() -> str:
+    hs = ",\n         ".join(
+        f"min(md5('{k}:' || tok)) AS h{k}" for k in range(N_MINHASH)
+    )
+    bands = ", ".join(f"h{2*b} || '|' || h{2*b+1} AS band{b}" for b in range(4))
+    joins = "\nUNION\n".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y "
+        f"ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        for b in range(4)
+    )
+    return f"""
+WITH docs AS ({_SQL_NEAR_DUPS}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM docs),
+sigs AS (
+  SELECT doc_id,
+         {hs}
+  FROM toks WHERE tok != '' GROUP BY doc_id),
+bands AS (SELECT doc_id, {bands} FROM sigs)
+{joins}
+"""
+
+
+O_DEDUP_MINHASH = _o_minhash_bands()
+
+
+# --------------------------------------------------------------- simhash
+
+def _simhash_expr_spark(tok_col: str = "tok"):
+    """Per-token 16 parity contributions; bit j from hex digit j of md5."""
+    return [
+        F.when(
+            F.substring(F.md5(F.col(tok_col)), j + 1, 1).isin(*_ODD_HEX), 1
+        ).otherwise(-1).alias(f"p{j}")
+        for j in range(N_SIMHASH_BITS)
+    ]
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup: 16-bit signature; histogram of hamming distance
+    between each doc and its planted near-copy (most distances ≤ 2)."""
+    alld = _with_near_dups(_t(spark, sf, "documents"))
+    toks = alld.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    parts = toks.select("doc_id", *_simhash_expr_spark())
+    sums = parts.groupBy("doc_id").agg(
+        *[F.sum(f"p{j}").alias(f"s{j}") for j in range(N_SIMHASH_BITS)]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                for j in range(N_SIMHASH_BITS)
+            ]
+        ).alias("simhash"),
+    )
+    orig = sim.where(~F.col("doc_id").endswith("_nd")).alias("o")
+    mut = (
+        sim.where(F.col("doc_id").endswith("_nd"))
+        .withColumn("base", F.expr("substring(doc_id, 1, length(doc_id) - 3)"))
+        .alias("m")
+    )
+    joined = orig.join(mut, F.col("o.doc_id") == F.col("m.base"))
+    ham = F.bit_count(
+        F.col("o.simhash").bitwiseXOR(F.col("m.simhash")).cast("long")
+    )
+    return (
+        joined.select(ham.alias("hamming"))
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def _o_simhash() -> str:
+    parts = ",\n         ".join(
+        f"CASE WHEN substring(md5(tok), {j + 1}, 1) IN {repr(_ODD_HEX)} THEN 1 ELSE -1 END AS p{j}"
+        for j in range(N_SIMHASH_BITS)
+    )
+    sums = ", ".join(f"sum(p{j}) AS s{j}" for j in range(N_SIMHASH_BITS))
+    bits = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END" for j in range(N_SIMHASH_BITS)
+    )
+    return f"""
+WITH docs AS ({_SQL_NEAR_DUPS}),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+parts AS (
+  SELECT doc_id,
+         {parts}
+  FROM toks WHERE tok != ''),
+sums AS (SELECT doc_id, {sums} FROM parts GROUP BY doc_id),
+sim AS (SELECT doc_id, cast({bits} as bigint) AS simhash FROM sums),
+pairs AS (
+  SELECT bit_count(xor(o.simhash, m.simhash)) AS hamming
+  FROM sim o JOIN sim m
+    ON NOT o.doc_id LIKE '%\\_nd' ESCAPE '\\'
+   AND m.doc_id = o.doc_id || '_nd')
+SELECT hamming, count(*) AS n_pairs FROM pairs GROUP BY hamming
+"""
+
+
+O_DEDUP_SIMHASH = _o_simhash()
+
+
+# --------------------------------------------------- embedding cosine dedup
+
+def _cos_spark(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding near-dup: cosine ≥ 0.999 within label blocks; planted
+    doubled-vector copies are the exact-dup plants (cos == 1)."""
+    e = _t(spark, sf, "embeddings")
+    base = e.select(
+        F.col("vec_id").cast("string").alias("vid"), "label", "embedding"
+    )
+    planted = e.select(
+        F.concat(F.col("vec_id").cast("string"), F.lit("_d")).alias("vid"),
+        "label",
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    alle = base.unionByName(planted)
+    a, b = alle.alias("a"), alle.alias("b")
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vid") < F.col("b.vid"))
+    )
+    cos = _cos_spark(F.col("a.embedding"), F.col("b.embedding"))
+    return pairs.select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        F.round(cos, 3).alias("cos"),
+    ).where(F.col("cos") >= 0.999)
+
+
+O_DEDUP_EMB = """
+WITH alle AS (
+  SELECT cast(vec_id as varchar) AS vid, label, embedding FROM embeddings
+  UNION ALL
+  SELECT cast(vec_id as varchar) || '_d', label,
+         list_transform(embedding, x -> cast(x * cast(2.0 as float) as float))
+  FROM embeddings),
+pairs AS (
+  SELECT a.vid AS vec_a, b.vid AS vec_b,
+         round(
+           list_reduce(list_transform(range(1, len(a.embedding) + 1),
+             i -> a.embedding[i]::double * b.embedding[i]::double), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(a.embedding) + 1),
+                i -> a.embedding[i]::double * a.embedding[i]::double), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(b.embedding) + 1),
+                i -> b.embedding[i]::double * b.embedding[i]::double), (x, y) -> x + y))),
+         3) AS cos
+  FROM alle a JOIN alle b ON a.label = b.label AND a.vid < b.vid)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999
+"""
+
+
+# ------------------------------------------------------------- ANN top-k
+
+def q_ann_cosine_topk(spark, sf):
+    """Brute-force cosine top-5 neighbors for query vectors (vec_id<10)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    pairs = q.crossJoin(c).where(F.col("q_id") != F.col("c_id"))
+    cos = _cos_spark(F.col("q_emb"), F.col("c_emb"))
+    scored = pairs.select("q_id", "c_id", F.round(cos, 4).alias("cos"))
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cos", "rnk")
+    )
+
+
+O_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         round(
+           list_reduce(list_transform(range(1, len(q_emb) + 1),
+             i -> q_emb[i]::double * c_emb[i]::double), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(q_emb) + 1),
+                i -> q_emb[i]::double * q_emb[i]::double), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(c_emb) + 1),
+                i -> c_emb[i]::double * c_emb[i]::double), (x, y) -> x + y))),
+         4) AS cos
+  FROM q CROSS JOIN c WHERE q_id != c_id)
+SELECT q_id, c_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+def q_ann_lsh_buckets(spark, sf):
+    """Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
+    from deterministic ±1 planes (md5 parity of 'p,d'); bucket sizes."""
+    e = _t(spark, sf, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("d", "v")
+    )
+    parts = dims.select(
+        "vec_id",
+        *[
+            (
+                F.when(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{p},"), F.col("d").cast("string"))), 1, 1
+                    ).isin(*_ODD_HEX),
+                    F.col("v").cast("double"),
+                ).otherwise(-F.col("v").cast("double"))
+            ).alias(f"w{p}")
+            for p in range(8)
+        ],
+    )
+    sums = parts.groupBy("vec_id").agg(
+        *[F.sum(f"w{p}").alias(f"s{p}") for p in range(8)]
+    )
+    bucket = sum(
+        [F.when(F.col(f"s{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(8)]
+    )
+    return (
+        sums.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+def _o_ann_lsh() -> str:
+    parts = ",\n         ".join(
+        f"CASE WHEN substring(md5('{p},' || cast(d - 1 as varchar)), 1, 1) IN {repr(_ODD_HEX)} "
+        f"THEN v::double ELSE -v::double END AS w{p}"
+        for p in range(8)
+    )
+    sums = ", ".join(f"sum(w{p}) AS s{p}" for p in range(8))
+    bucket = " + ".join(f"CASE WHEN s{p} >= 0 THEN {1 << p} ELSE 0 END" for p in range(8))
+    return f"""
+WITH dims AS (
+  SELECT vec_id, d, embedding[d] AS v
+  FROM embeddings, generate_series(1, 64) t(d)),
+parts AS (
+  SELECT vec_id,
+         {parts}
+  FROM dims),
+sums AS (SELECT vec_id, {sums} FROM parts GROUP BY vec_id)
+SELECT cast({bucket} as bigint) AS bucket, count(*) AS n_vectors
+FROM sums GROUP BY 1
+"""
+
+
+O_ANN_LSH = _o_ann_lsh()
+
+
+# ----------------------------------------------------------- text analysis
+
+_STOPWORDS = ("the", "a", "value", "data", "table", "row")
+
+
+def q_text_langid(spark, sf):
+    """Language-ID heuristic (F14 analog): stopword-hit ratio threshold;
+    confusion counts vs the stored lang label."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    ratio = hits / F.greatest(F.size(toks), F.lit(1))
+    pred = F.when(ratio >= 0.08, "en").otherwise("other")
+    return d.select("lang", pred.alias("predicted")).groupBy(
+        "lang", "predicted"
+    ).agg(F.count("*").alias("n"))
+
+
+O_TEXT_LANGID = f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), x -> x IN {repr(_STOPWORDS)})) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) AS ratio
+  FROM documents)
+SELECT lang, CASE WHEN ratio >= 0.08 THEN 'en' ELSE 'other' END AS predicted,
+       count(*) AS n
+FROM t GROUP BY 1, 2
+"""
+
+
+def q_text_quality(spark, sf):
+    """Quality scoring: length/stopword/diversity features + bucket."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / F.greatest(
+        n_toks, F.lit(1)
+    )
+    diversity = n_uniq / F.greatest(n_toks, F.lit(1))
+    avg_len = (F.length("text") - n_toks + 1) / F.greatest(n_toks, F.lit(1))
+    score = F.round(
+        F.least(n_toks / F.lit(50.0), F.lit(1.0)) * 0.4
+        + diversity * 0.4
+        + (1 - stop_ratio) * 0.2,
+        4,
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        F.round(diversity, 4).alias("diversity"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(avg_len, 4).alias("avg_tok_len"),
+        score.alias("quality"),
+        F.floor(score * 10).cast("int").alias("quality_bucket"),
+    )
+
+
+O_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT cast(doc_id as varchar) AS doc_id,
+         len(string_split(text, ' ')) AS n_toks,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         len(list_filter(string_split(text, ' '), x -> x IN {repr(_STOPWORDS)})) AS n_stop,
+         length(text) AS n_chars
+  FROM documents),
+f AS (
+  SELECT doc_id, n_toks,
+         n_uniq * 1.0 / greatest(n_toks, 1) AS diversity,
+         n_stop * 1.0 / greatest(n_toks, 1) AS stop_ratio,
+         (n_chars - n_toks + 1) * 1.0 / greatest(n_toks, 1) AS avg_tok_len
+  FROM t),
+s AS (
+  SELECT *, round(least(n_toks / 50.0, 1.0) * 0.4 + diversity * 0.4
+                  + (1 - stop_ratio) * 0.2, 4) AS quality
+  FROM f)
+SELECT doc_id, n_toks AS n_tokens, round(diversity, 4) AS diversity,
+       round(stop_ratio, 4) AS stop_ratio, round(avg_tok_len, 4) AS avg_tok_len,
+       quality, cast(floor(quality * 10) as int) AS quality_bucket
+FROM s
+"""
+
+
+def q_text_token_stats(spark, sf):
+    """Token counting per source: whitespace + word-regex counts."""
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    wtoks = F.size(F.expr(r"regexp_extract_all(text, '[a-z0-9]+', 0)"))
+    return d.groupBy("source").agg(
+        F.sum(toks).alias("ws_tokens"),
+        F.sum(wtoks).alias("re_tokens"),
+        F.round(F.avg(toks), 4).alias("avg_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+O_TEXT_TOKENS = """
+SELECT source,
+       sum(len(string_split(text, ' '))) AS ws_tokens,
+       sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
+       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+def q_text_fingerprint(spark, sf):
+    """Document fingerprinting: md5 of the 8-token normalized prefix
+    (rolling-window fingerprint); distinct fingerprints per lang."""
+    d = _t(spark, sf, "documents")
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.lower(F.col("text")), " "), 1, 8)
+    )
+    return d.select("lang", F.md5(prefix).alias("fp")).groupBy("lang").agg(
+        F.countDistinct("fp").alias("n_fingerprints"), F.count("*").alias("n_docs")
+    )
+
+
+O_TEXT_FP = """
+SELECT lang,
+       count(DISTINCT md5(array_to_string(string_split(lower(text), ' ')[1:8], ' ')))
+         AS n_fingerprints,
+       count(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------------------- multimodal
+
+def q_multimodal_meta(spark, sf):
+    """Multimodal plumbing (S10 analog): text encoded as an opaque
+    binary media column; typed metadata extracted from the binary.
+    The real decode (image/audio libs) is stubbed — see
+    operators/multimodal.py — but the schema/partition/UDF path is real."""
+    d = _t(spark, sf, "documents")
+    media = F.encode(F.col("text"), "utf-8")
+    kind = F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, "image").when(
+        F.pmod(F.col("doc_id"), F.lit(3)) == 1, "audio"
+    ).otherwise("video")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        kind.alias("media_kind"),
+        F.length(media).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+
+
+O_MULTIMODAL = """
+SELECT cast(doc_id as varchar) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash
+FROM documents
+"""
