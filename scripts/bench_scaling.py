@@ -1,0 +1,91 @@
+"""Two-cluster-size scaling evidence (BASELINE.json north rule).
+
+No real cluster exists in this sandbox, so the N -> 4N executor
+criterion is evidenced by running the identical scheduling-round bench
+at local[8] and local[32] on the same input (driver instruction). Each
+level runs in its own subprocess (one JVM per master). Results +
+efficiency go to BENCH.md.
+
+Usage: python scripts/bench_scaling.py [n_urls]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, n_urls: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_CPUS=str(cpus),
+        SPARK_GRAFT_BENCH_URLS=str(n_urls),
+        SPARK_GRAFT_BENCH_SKIP_QUERIES="1",
+    )
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    res = json.loads(line)
+    res["wall_sec"] = round(time.time() - t0, 1)
+    print(f"local[{cpus}]: {res['value']} urls/sec "
+          f"(round {res['queries']['sched_round_exact']}s)", file=sys.stderr)
+    return res
+
+
+def main() -> int:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    r8 = run_level(8, n_urls)
+    r32 = run_level(32, n_urls)
+    speedup = r32["value"] / r8["value"]
+    eff = speedup / 4.0
+    md = f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
+executors. Sandbox proxy (per driver instruction): the same scheduling-
+round job at `local[8]` and `local[32]` on the identical input
+({n_urls:,} synthetic frontier URLs, {max(100, n_urls // 200):,} hosts,
+log-uniform host skew), median of 3 warm rounds, JVM startup and input
+generation excluded.
+
+| parallelism | round sec (median) | frontier URLs scheduled+deduped/sec |
+|---|---|---|
+| local[8]  (N)  | {r8["queries"]["sched_round_exact"]} | {r8["value"]:,.0f} |
+| local[32] (4N) | {r32["queries"]["sched_round_exact"]} | {r32["value"]:,.0f} |
+
+**speedup 8→32 = {speedup:.2f}x, scaling efficiency = {eff:.2f}**
+(bloom-probe variant at local[32]: {r32["queries"]["sched_round_bloom"]}s/round)
+
+Scaling law to the 10^10 design point: the round is a linear scan +
+hash-partitioned shuffles (score: narrow; robots gate: broadcast join;
+seen anti-join: hash join co-partitioned on url_hash; budget rank:
+two-phase salted window, so no single host serializes a task). Work
+per round is O(|active frontier| / executors) with constant-size
+broadcasts; the only super-linear term is the shuffle write, which AQE
+coalesces. At 10^10 URLs / 1000 executors each executor processes the
+same ~10^7-row partitions exercised here.
+
+Raw results:
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write(md)
+    print(md)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""Deduplication operators — reusable engine APIs.
+
+The query-suite twins (training_queries.py) inline these shapes with
+DuckDB oracles; this module is the composable API a pipeline imports.
+All operators are pure DataFrame compositions (no per-row Python):
+
+  exact_dedup            hash-groupBy keep-first (S12: unique-index
+                         dedup-on-write, dumpall.py:61-81)
+  shingles               distinct k-gram word shingles (column expr)
+  minhash_signatures     K portable min-hashes (md5-based, engine-agnostic)
+  lsh_candidate_pairs    banded LSH bucket-join -> candidate pairs
+  simhash                64-bit simhash via per-bit majority
+  jaccard_pairs          token-set jaccard within blocking keys
+  embedding_dup_pairs    cosine near-dup pairs within blocking keys
+
+Scale notes: minhash/LSH is the 100 TB path — candidate generation is
+|bands| self-joins on band value (shuffle on a short string key; bucket
+sizes are bounded by construction because identical band values imply
+near-identical shingle sets). The all-pairs jaccard/cosine variants
+require a blocking column and are for candidate *verification*, not
+discovery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, k: int = 5):
+    """Distinct k-gram word shingles as an array column."""
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative of each exact-content group."""
+    fp = F.md5(F.lower(F.col(text_col)))
+    ranked = df.withColumn("__fp", fp).withColumn(
+        "__keep",
+        F.row_number().over(Window.partitionBy("__fp").orderBy(F.col(id_col).asc())),
+    )
+    return ranked.where(F.col("__keep") == 1).drop("__fp", "__keep")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle_k: int = 5,
+) -> DataFrame:
+    """(id, h0..h{K-1}) — portable min-hash per shingle set."""
+    toks = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
+    ).where(F.col("__sh") != "")
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("__sh")))).alias(f"h{k}")
+        for k in range(n_hashes)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band."""
+    n_bands = n_hashes // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    out = None
+    for b in range(n_bands):
+        x, y = bands.alias("x"), bands.alias("y")
+        p = x.join(
+            y,
+            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        ).select(
+            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
+        )
+        out = p if out is None else out.unionByName(p)
+    return out.distinct()
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """(id, simhash) — per-bit majority over xxhash64 of tokens.
+
+    JVM-side: bit j of xxhash64(token) via shiftright+mask; the sum per
+    bit decides the signature bit. All codegen, no UDF.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
+    ).where(F.col("__tok") != "")
+    h = F.xxhash64(F.col("__tok"))
+    parts = toks.select(
+        F.col(id_col),
+        *[
+            (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+            for j in range(bits)
+        ],
+    )
+    sums = parts.groupBy(id_col).agg(
+        *[F.sum(f"b{j}").alias(f"s{j}") for j in range(bits)]
+    )
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long") << j).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on rotated bit-prefixes (each
+    pair within hamming d collides on >= 1 of the 4 16-bit prefixes for
+    d <= 3), then exact hamming filter."""
+    blocks = None
+    for r in range(64 // prefix_bits):
+        b = sig_df.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.shiftrightunsigned(F.col("simhash"), r * prefix_bits)
+            .bitwiseAND(F.lit((1 << prefix_bits) - 1))
+            .alias("block"),
+            F.lit(r).alias("rot"),
+        )
+        blocks = b if blocks is None else blocks.unionByName(b)
+    x, y = blocks.alias("x"), blocks.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.rot") == F.col("y.rot"))
+            & (F.col("x.block") == F.col("y.block"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("doc_a"),
+            F.col(f"y.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Token-set jaccard >= threshold within blocking groups."""
+    toks = df.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("__toks"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    cond = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    inter = F.size(F.array_intersect(F.col("a.__toks"), F.col("b.__toks")))
+    union = F.size(F.array_union(F.col("a.__toks"), F.col("b.__toks")))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            (inter / union).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    block_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Cosine >= threshold pairs within blocking groups (verification
+    joint for LSH-bucketed candidates; see similarity.py)."""
+    a, b = df.alias("a"), df.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(f"a.{vec_col}"),
+            F.col(f"b.{vec_col}"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            (dot / (norm("a") * norm("b"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

@@ -39,8 +39,16 @@ def gen_frontier(
     n_hosts: int,
     partitions: int | None = None,
     canonicalize: bool = True,
+    noise: bool = True,
 ) -> DataFrame:
-    """One row per crawlable URL; ~92% active, skewed host popularity."""
+    """One row per crawlable URL; ~92% active, skewed host popularity.
+
+    ``noise=True`` emits messy raw URLs (mixed case, tracking params,
+    default ports) that the canonicalization UDF must clean — the
+    correctness path. ``noise=False`` emits the canonical form directly
+    (pure JVM expressions, no Arrow boundary) — the fast path for
+    generating 10^7+-row bench frontiers.
+    """
     df = spark.range(0, n_urls, 1, partitions or spark.sparkContext.defaultParallelism)
     i = F.col("id")
     # log-uniform host popularity: floor(H**u) - 1 in [0, H-1]
@@ -49,7 +57,7 @@ def gen_frontier(
         (F.floor(F.pow(F.lit(float(n_hosts)), _u01("host", i))) - 1).cast("long"),
     )
     host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example.com"))
-    variant = _mod("var", i, 4)
+    variant = _mod("var", i, 4) if noise else F.lit(0)
     raw_url = (
         F.when(
             variant == 0,
@@ -112,7 +120,11 @@ def gen_frontier(
         rate.alias("rate_tph"),
         F.lit(0).alias("discovered_round"),
     )
-    url = canonicalize_udf(F.col("raw_url")) if canonicalize else F.col("raw_url")
+    url = (
+        canonicalize_udf(F.col("raw_url"))
+        if (canonicalize and noise)
+        else F.col("raw_url")
+    )
     return out.withColumn("url", url).withColumn("url_hash", url_hash64(F.col("url"))).drop(
         "raw_url"
     )
@@ -161,9 +173,10 @@ def write_inputs(
     n_urls: int,
     n_hosts: int,
     partitions: int | None = None,
+    noise: bool = True,
 ) -> None:
     """Materialize the four input tables under ``root`` (parquet dirs)."""
-    frontier = gen_frontier(spark, n_urls, n_hosts, partitions)
+    frontier = gen_frontier(spark, n_urls, n_hosts, partitions, noise=noise)
     frontier.write.mode("overwrite").parquet(f"{root}/frontier_seed")
     frontier = spark.read.parquet(f"{root}/frontier_seed")
     gen_seen(frontier).write.mode("overwrite").parquet(f"{root}/seen_seed")
