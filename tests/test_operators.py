@@ -1,0 +1,209 @@
+"""Unit tests for the reusable operator modules (dedup, similarity,
+multimodal, spans, text) — each exercised through real Spark plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twawler_spark.operators import dedup, multimodal, similarity
+from twawler_spark.functions import spans as sp
+from twawler_spark.functions import text as tx
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text", "lang", "source"
+    )
+
+
+def _with_near_dups(d):
+    mut = d.select(
+        F.concat("doc_id", F.lit("_nd")).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        "lang",
+        "source",
+    )
+    return d.unionByName(mut)
+
+
+# ------------------------------------------------------------------ dedup
+
+def test_exact_dedup_keeps_min_id(spark):
+    d = _docs(spark)
+    dup = d.unionByName(
+        d.select(F.concat("doc_id", F.lit("_z")).alias("doc_id"), "text", "lang", "source")
+    )
+    kept = dedup.exact_dedup(dup)
+    assert kept.count() == d.count()
+    assert kept.where(F.col("doc_id").endswith("_z")).count() == 0
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    d = _with_near_dups(_docs(spark))
+    sigs = dedup.minhash_signatures(d)
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    planted = {
+        (r["doc_id"], r["doc_id"] + "_nd") for r in _docs(spark).select("doc_id").collect()
+    }
+    recall = len(got & planted) / len(planted)
+    assert recall > 0.7, recall
+
+
+def test_simhash_blocking_full_recall_within_radius(spark):
+    d = _with_near_dups(_docs(spark))
+    sigs = dedup.simhash(d)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs.collect()}
+    # ground truth: all planted pairs whose true hamming <= 3
+    byid = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    truth = set()
+    for did, h in byid.items():
+        if did.endswith("_nd"):
+            continue
+        other = byid.get(did + "_nd")
+        if other is not None and bin(h ^ other).count("1") <= 3:
+            truth.add((did, did + "_nd"))
+    assert truth, "need some close planted pairs"
+    # 4 x 16-bit blocks guarantee recall=1 for hamming <= 3 (pigeonhole)
+    assert truth <= set(got), truth - set(got)
+
+
+def test_jaccard_pairs_threshold(spark):
+    d = _with_near_dups(_docs(spark))
+    pairs = dedup.jaccard_pairs(d, block_cols=["lang", "source"], threshold=0.9)
+    rows = pairs.collect()
+    assert all(r["jaccard"] >= 0.9 for r in rows)
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    planted = {
+        (r["doc_id"], r["doc_id"] + "_nd") for r in _docs(spark).select("doc_id").collect()
+    }
+    assert len(got & planted) / len(planted) > 0.8
+
+
+# -------------------------------------------------------------- similarity
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_lsh_topk_retrieves_scaled_twin(spark):
+    e = _emb(spark)
+    twins = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(twins)
+    queries = e.where(F.col("vec_id") < 10)
+    top = similarity.lsh_topk(queries, corpus, k=3)
+    top1 = {r["q_id"]: r["c_id"] for r in top.where(F.col("rnk") == 1).collect()}
+    # sign pattern of 2x equals x -> same bucket; cosine(x,2x)=1 -> rank 1
+    for q, c in top1.items():
+        assert c == q + 100000, (q, c)
+
+
+def test_lsh_topk_subset_of_brute_force_scores(spark):
+    e = _emb(spark)
+    q = e.where(F.col("vec_id") < 5)
+    bf = similarity.brute_force_topk(q, e, k=5).collect()
+    ap = similarity.lsh_topk(q, e, k=5).collect()
+    bf_best = {}
+    for r in bf:
+        bf_best.setdefault(r["q_id"], max(r["cos"], bf_best.get(r["q_id"], -2)))
+    for r in ap:
+        assert r["cos"] <= bf_best[r["q_id"]] + 1e-9
+
+
+# -------------------------------------------------------------- multimodal
+
+def test_multimodal_metadata(spark):
+    media = multimodal.attach_media(_docs(spark))
+    meta = multimodal.extract_metadata(media)
+    rows = meta.collect()
+    assert len(rows) == _docs(spark).count()
+    for r in rows[:50]:
+        assert r["media_kind"] in ("image", "audio", "video")
+        assert r["n_bytes"] > 0 and len(r["content_id"]) == 40
+        if r["media_kind"] == "image":
+            assert r["width"] > 0 and r["duration_ms"] == 0
+        else:
+            assert r["duration_ms"] > 0
+    again = {tuple(r) for r in multimodal.extract_metadata(media).collect()}
+    assert again == {tuple(r) for r in rows}  # deterministic
+
+
+def test_frame_sample(spark):
+    media = multimodal.attach_media(_docs(spark))
+    meta = multimodal.extract_metadata(media)
+    frames = multimodal.frame_sample(meta, every_ms=1000)
+    per_ref = {r["media_ref"]: r["n"] for r in
+               frames.groupBy("media_ref").agg(F.count("*").alias("n")).collect()}
+    for r in meta.where(F.col("media_kind") == "video").collect():
+        assert per_ref[r["media_ref"]] == r["duration_ms"] // 1000 + 1
+
+
+def test_decode_stub_raises(spark):
+    import pytest
+
+    media = multimodal.attach_media(_docs(spark))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media)
+
+
+# ------------------------------------------------------------------ spans
+
+def test_span_ops(spark):
+    df = spark.createDataFrame(
+        [
+            ("d1", [("text", "hello world", None, 0), ("media", None, "m1", 1),
+                     ("text", "bye", None, 2)]),
+            ("d2", [("media", None, "m2", 0)]),
+            ("bad", [("text", "x", None, 1), ("text", "y", None, 1)]),
+        ],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    stats = {r["doc_id"]: r for r in sp.span_stats(df).collect()}
+    assert stats["d1"]["n_text"] == 2 and stats["d1"]["n_media"] == 1
+    assert stats["d1"]["valid"] is True
+    assert stats["d2"]["valid"] is True
+    assert stats["bad"]["valid"] is False  # non-increasing offsets
+    texts = {r["doc_id"]: r["t"] for r in
+             df.select("doc_id", sp.doc_text(F.col("spans")).alias("t")).collect()}
+    assert texts["d1"] == "hello world bye"
+    exploded = sp.explode_spans(df)
+    assert exploded.count() == 6
+
+
+def test_renumber_offsets(spark):
+    df = spark.createDataFrame(
+        [("d", [("text", "a", None, 5), ("media", None, "m", 9)])],
+        "doc_id string, spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    out = df.select(sp.renumber_offsets(F.col("spans")).alias("spans"))
+    offs = [s["offset"] for s in out.first()["spans"]]
+    assert offs == [0, 1]
+    assert out.select(sp.spans_valid(F.col("spans")).alias("v")).first()["v"] is True
+
+
+# ------------------------------------------------------------------- text
+
+def test_text_kernels(spark):
+    df = spark.createDataFrame(
+        [("the a value data table spark",), ("zzz qqq",), ("",)], ["text"]
+    )
+    rows = df.select(
+        tx.lang_id(F.col("text")).alias("lang"),
+        tx.token_count(F.col("text")).alias("n"),
+        F.round(tx.quality_score(F.col("text")), 4).alias("q"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+        tx.tokenize_re(F.col("text")).alias("re_toks"),
+    ).collect()
+    assert rows[0]["lang"] == "en" and rows[1]["lang"] == "other"
+    assert rows[0]["n"] == 6
+    assert 0.0 <= rows[0]["q"] <= 1.0
+    assert len(rows[0]["fp"]) == 32
+    assert rows[0]["re_toks"][:2] == ["the", "a"]
+    assert rows[1]["re_toks"] == ["zzz", "qqq"]

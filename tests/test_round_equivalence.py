@@ -34,12 +34,13 @@ def run(spark, crawl_root, tmp_path_factory):
 def test_crawl_ordering_identical(run):
     cat, _, sim = run
     spark_order = {
-        (r["round"], r["host"], r["fetch_rank"]): r["url_hash"]
+        (r["round"], r["host"], r["phase"], r["fetch_rank"]): r["url_hash"]
         for r in cat.read_appended("crawl_order").collect()
     }
-    sim_order = {(r, h, k): uh for (r, h, k, uh) in sim.crawl_order}
+    sim_order = {(r, h, p, k): uh for (r, h, p, k, uh) in sim.crawl_order}
     assert spark_order == sim_order
     assert len(spark_order) > 100
+    assert any(k[2] == "late" for k in sim_order)  # late phase exercised
 
 
 def test_final_seen_set_identical(run):
@@ -84,3 +85,20 @@ def test_frontier_states_match(run):
         for r in cat.read_snapshot("frontier", N_ROUNDS).select("url_hash", "state").collect()
     }
     assert spark_states == sim.frontier_states
+
+
+def test_checkpoints_match(run):
+    """Forward (last_id) and backfill (first_id/reached) checkpoints —
+    dumpall.py:83-87 + load-past.py:69-77 semantics."""
+    cat, _, sim = run
+    spark_cp = {
+        r["url_hash"]: (r["last_id"], r["first_id"], r["reached"])
+        for r in cat.read_snapshot("frontier", N_ROUNDS)
+        .select("url_hash", "last_id", "first_id", "reached")
+        .collect()
+    }
+    sim_cp = {
+        uh: (row["last_id"], row["first_id"], row["reached"])
+        for uh, row in sim.frontier_rows.items()
+    }
+    assert spark_cp == sim_cp

@@ -51,6 +51,7 @@ MAX_DOCS_PER_FETCH = 4
 MAX_SPANS = 8
 MAX_WORDS = 6
 MAX_OUTLINKS = 3
+BACKFILL_STEP = 3  # first_id decrement per successful fetch (load-past paging)
 
 
 def fetch_status(url_hash: int) -> int:

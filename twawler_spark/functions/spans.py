@@ -18,15 +18,17 @@ from pyspark.sql import functions as F
 def spans_valid(spans: Column) -> Column:
     """Per-row invariant check: offsets strictly increasing from 0,
     kind∈{text,media}, payload column matches kind."""
+    # zip_with pads the shorter (shifted) array with nulls -> treat the
+    # padded tail pair as vacuously ordered
     offsets_ok = F.forall(
         F.zip_with(
             spans,
             F.slice(spans, 2, F.greatest(F.size(spans) - 1, F.lit(0))),
-            lambda a, b: a["offset"] < b["offset"],
+            lambda a, b: F.coalesce(a["offset"] < b["offset"], F.lit(True)),
         ),
         lambda x: x,
     )
-    first_ok = F.element_at(spans, 1)["offset"] >= 0
+    first_ok = F.coalesce(F.element_at(spans, 1)["offset"] >= 0, F.lit(False))
     kinds_ok = F.forall(
         spans,
         lambda s: ((s["kind"] == "text") & s["text"].isNotNull() & s["media_ref"].isNull())

@@ -28,15 +28,26 @@ def admit(
     bloom: ShardedBloom | None = None,
     key_col: str = "url_hash",
 ) -> DataFrame:
-    """Rows of ``candidates`` whose key is NOT in ``seen``."""
+    """Rows of ``candidates`` whose key is NOT in ``seen``.
+
+    Bloom path: probe KEYS only (8 bytes/row across the Arrow boundary,
+    not the full candidate row), exact-confirm the ~fpp "maybe seen"
+    remainder against the seen table, then a single anti-join of the
+    candidates against the CONFIRMED-seen keys — whose size is
+    |seen ∩ candidates|, not |seen|. That's the 10^10-seen-set win: the
+    exact set is only ever probed with the bloom survivors, and the
+    final anti-join's build side shrinks from the full seen-set to the
+    true overlap.
+    """
     seen_keys = seen.select(key_col).distinct()
     if bloom is None:
         return candidates.join(seen_keys, key_col, "left_anti")
-    flagged = bloom.probe(candidates, flag_col="__maybe_seen")
-    fresh = flagged.where(~F.col("__maybe_seen")).drop("__maybe_seen")
-    maybe = flagged.where(F.col("__maybe_seen")).drop("__maybe_seen")
-    checked = maybe.join(seen_keys, key_col, "left_anti")
-    return fresh.unionByName(checked)
+    flagged_keys = bloom.probe(
+        candidates.select(key_col), flag_col="__maybe_seen"
+    )
+    maybe = flagged_keys.where(F.col("__maybe_seen")).select(key_col)
+    confirmed = maybe.join(seen_keys, key_col, "left_semi")
+    return candidates.join(confirmed, key_col, "left_anti")
 
 
 def robots_deny_map(robots: DataFrame) -> DataFrame:

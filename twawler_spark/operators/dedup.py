@@ -114,7 +114,8 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     )
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"s{j}") >= 0, F.lit(1).cast("long") << j).otherwise(
+        bit_j = (1 << j) if j < 63 else -(1 << 63)  # two's-complement top bit
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(bit_j).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         sig = term if sig is None else sig.bitwiseOR(term)

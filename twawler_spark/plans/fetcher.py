@@ -53,7 +53,10 @@ def fetch_documents(plan: DataFrame, round_no: int) -> DataFrame:
 
 
 def fetch_results(plan: DataFrame) -> DataFrame:
-    """Per scheduled URL: status + docs fetched + advanced checkpoint."""
+    """Per scheduled URL: status, docs fetched, forward checkpoint
+    advance (dumpall.py:83-87) and backward-backfill progress
+    (load-past.py:69-77: first_id pages toward 0; reached marks the
+    exhausted floor)."""
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         st = [docspec.fetch_status(int(u)) for u in pdf["url_hash"]]
@@ -62,6 +65,15 @@ def fetch_results(plan: DataFrame) -> DataFrame:
             (int(l) if pd.notna(l) else 0) + n
             for l, n in zip(pdf["last_id"], nd)
         ]
+        firsts, reached = [], []
+        for s, f, r in zip(st, pdf["first_id"], pdf["reached"]):
+            f = int(f) if pd.notna(f) else 0
+            r = bool(r)
+            if s == 200 and not r:  # backfill only pages on success
+                f = max(f - docspec.BACKFILL_STEP, 0)
+                r = f == 0
+            firsts.append(f)
+            reached.append(r)
         return pd.DataFrame(
             {
                 "url_hash": pdf["url_hash"].astype("int64"),
@@ -69,11 +81,13 @@ def fetch_results(plan: DataFrame) -> DataFrame:
                 "status": pd.Series(st, dtype="int32"),
                 "n_docs": pd.Series(nd, dtype="int32"),
                 "new_last_id": pd.Series(last, dtype="int64"),
+                "new_first_id": pd.Series(firsts, dtype="int64"),
+                "new_reached": pd.Series(reached, dtype="bool"),
             }
         )
 
     return (
-        plan.select("url_hash", "host", "last_id")
+        plan.select("url_hash", "host", "last_id", "first_id", "reached")
         .groupBy("host")
         .applyInPandas(run, schema=FETCH_RESULT)
     )

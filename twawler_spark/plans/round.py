@@ -112,8 +112,25 @@ def run_round(
     active = frontier.where(F.col("state") == "active")
     scored = score(active, now)
     gated = gate_robots(scored, robots)
-    plan = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(
-        "url_hash", "url", "host", "last_id", "expected", "fetch_rank"
+    keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
+            "expected", "hours_idle", "fetch_rank"]
+    # phase 1 (--crawl-expected): top-budget by expected rate×staleness
+    p1 = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(*keep)
+    p1 = p1.localCheckpoint(eager=True)  # reused: p2 anti-join, fetch, order
+    # phase 2 (--crawl-late): leftover rows ranked by staleness alone,
+    # half budget (crawl-tweets.sh:45-59 runs both orders each cycle)
+    rest = gated.join(p1.select("url_hash"), "url_hash", "left_anti")
+    late_budgets = budgets.withColumn(
+        "budget_per_round",
+        F.greatest(F.floor(F.col("budget_per_round") / 2), F.lit(1)).cast("int"),
+    )
+    p2 = fetch_plan(
+        rest, late_budgets, salt_buckets=salt_buckets, order_col="hours_idle",
+        default_budget=2,
+    ).select(*keep)
+    plan = (
+        p1.withColumn("phase", F.lit("expected"))
+        .unionByName(p2.withColumn("phase", F.lit("late")))
     )
     plan = plan.localCheckpoint(eager=True)  # reuse: docs, results, order
     n_scheduled = plan.count()
@@ -128,7 +145,9 @@ def run_round(
 
     # crawl-order lineage (golden for ordering-equality tests)
     catalog.append(
-        plan.select("url_hash", "host", "expected", "fetch_rank"), "crawl_order", round_no
+        plan.select("url_hash", "host", "phase", "expected", "fetch_rank"),
+        "crawl_order",
+        round_no,
     )
 
     # -------------------------------------------------- discovery + admit
@@ -161,7 +180,7 @@ def run_round(
 
     # --------------------------------------------------------- state MERGE
     res = F.broadcast(
-        results.select("url_hash", "status", "new_last_id")
+        results.select("url_hash", "status", "new_last_id", "new_first_id", "new_reached")
     )
     merged = (
         frontier.join(res, "url_hash", "left")
@@ -182,6 +201,12 @@ def run_round(
             "last_id", F.coalesce(F.col("new_last_id"), F.col("last_id"))
         )
         .withColumn(
+            "first_id", F.coalesce(F.col("new_first_id"), F.col("first_id"))
+        )
+        .withColumn(
+            "reached", F.coalesce(F.col("new_reached"), F.col("reached"))
+        )
+        .withColumn(
             "latest_ts",
             F.when(F.col("status") == 200, F.timestamp_seconds(F.lit(now))).otherwise(
                 F.col("latest_ts")
@@ -192,7 +217,7 @@ def run_round(
     n_dead = dead_keys.count()
     next_frontier = (
         merged.where(F.col("state") != "dead")
-        .drop("status", "new_last_id")
+        .drop("status", "new_last_id", "new_first_id", "new_reached")
         .unionByName(new_rows)
         .select([f.name for f in FRONTIER.fields])
     )

@@ -31,12 +31,16 @@ NOW_EPOCH = 1767225600  # keep in sync with synth.NOW_EPOCH
 DEFAULT_BUDGET = 4
 
 
+BACKFILL_STEP = 3  # keep in sync with docspec.BACKFILL_STEP
+
+
 @dataclass
 class SimResult:
-    crawl_order: list  # (round, host, fetch_rank, url_hash)
+    crawl_order: list  # (round, host, phase, fetch_rank, url_hash)
     seen: set  # url_hash (signed)
     documents: dict  # doc_id -> list[(kind, text, media_ref, offset)]
     frontier_states: dict  # url_hash -> state
+    frontier_rows: dict = field(default_factory=dict)  # url_hash -> full row
     stats: list = field(default_factory=list)
 
 
@@ -93,7 +97,8 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
             continue
         frontier[uh] = {
             "url": url, "host": host, "state": state, "state_round": state_round,
-            "last_id": last_id or 0, "latest_epoch": latest_e, "rate": rate,
+            "last_id": last_id or 0, "first_id": first_id or 0,
+            "reached": bool(reached), "latest_epoch": latest_e, "rate": rate,
         }
 
     crawl_order = []
@@ -116,21 +121,29 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
             if prefixes and any(_path_of(row["url"]).startswith(p) for p in prefixes):
                 continue
             idle = max(0.0, (now - row["latest_epoch"]) / 3600.0)
-            per_host.setdefault(row["host"], []).append((row["rate"] * idle, uh))
+            per_host.setdefault(row["host"], []).append((row["rate"] * idle, idle, uh))
 
-        # budget-ranked plan (expected DESC, url_hash ASC)
+        # phase 1: budget-ranked by expected (DESC, url_hash ASC);
+        # phase 2 (--crawl-late): leftovers by staleness, half budget
         plan = []
         for host, cands in per_host.items():
-            cands.sort(key=lambda t: (-t[0], t[1]))
-            for rank, (_exp, uh) in enumerate(cands[: budgets.get(host, DEFAULT_BUDGET)], 1):
-                plan.append((host, rank, uh))
+            b1 = budgets.get(host, DEFAULT_BUDGET)
+            b2 = max(b1 // 2, 1) if host in budgets else 2
+            cands.sort(key=lambda t: (-t[0], t[2]))
+            taken = cands[:b1]
+            for rank, (_exp, _idle, uh) in enumerate(taken, 1):
+                plan.append((host, "expected", rank, uh))
+            rest = cands[b1:]
+            rest.sort(key=lambda t: (-t[1], t[2]))
+            for rank, (_exp, _idle, uh) in enumerate(rest[:b2], 1):
+                plan.append((host, "late", rank, uh))
 
         # fetch
         n_doc_round = 0
         new_cands = {}
         dead = []
-        for host, rank, uh in plan:
-            crawl_order.append((r, host, rank, uh))
+        for host, phase, rank, uh in plan:
+            crawl_order.append((r, host, phase, rank, uh))
             st = fetch_status(uh)
             row = frontier[uh]
             if st == 200:
@@ -139,6 +152,9 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
                         n_doc_round += 1
                     documents[doc_id] = spans
                 row["last_id"] += n_docs(uh)
+                if not row["reached"]:
+                    row["first_id"] = max(row["first_id"] - BACKFILL_STEP, 0)
+                    row["reached"] = row["first_id"] == 0
                 row["latest_epoch"] = now
                 for url in outlinks(uh, n_hosts):
                     h = to_signed64(xxh64_str(url))
@@ -163,7 +179,8 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
             host = url.split("://", 1)[1].split("/", 1)[0]
             frontier[h] = {
                 "url": url, "host": host, "state": "active", "state_round": r,
-                "last_id": 0, "latest_epoch": now, "rate": 1.0,
+                "last_id": 0, "first_id": 0, "reached": False,
+                "latest_epoch": now, "rate": 1.0,
             }
         for uh in dead:
             del frontier[uh]
@@ -179,5 +196,6 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
         seen=seen,
         documents=documents,
         frontier_states={uh: row["state"] for uh, row in frontier.items()},
+        frontier_rows=frontier,
         stats=stats,
     )

@@ -96,7 +96,9 @@ FETCH_RESULT = T.StructType(
         T.StructField("host", T.StringType(), False),
         T.StructField("status", T.IntegerType(), False),    # 200|404|403|429
         T.StructField("n_docs", T.IntegerType(), False),
-        T.StructField("new_last_id", T.LongType(), True),
+        T.StructField("new_last_id", T.LongType(), True),   # forward (dumpall)
+        T.StructField("new_first_id", T.LongType(), True),  # backfill (load-past)
+        T.StructField("new_reached", T.BooleanType(), True),
     ]
 )
 
