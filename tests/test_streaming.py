@@ -1,0 +1,48 @@
+"""Streaming: windowed counts == batch twin; stateful sessionizer ==
+batch sessionization (the custom-stateful-operator gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from twawler_spark.streaming.ingest import (
+    stream_windowed_counts,
+    windowed_counts_batch_equivalent,
+)
+from twawler_spark.streaming.sessions import stream_sessionize
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark):
+    got = {tuple(r) for r in stream_windowed_counts(spark, SF).collect()}
+    want = {tuple(r) for r in windowed_counts_batch_equivalent(spark, SF).collect()}
+    assert got == want
+    assert len(got) > 10
+
+
+def test_stateful_sessionizer_matches_batch(spark):
+    sessions = stream_sessionize(spark, SF)
+    got = (
+        sessions.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r["user_id"]: (r["n_sessions"], r["n_events"]) for r in got}
+
+    from twawler_spark.entry_queries import q_w_sessionize
+
+    batch = {
+        r["user_id"]: r["n_sessions"] for r in q_w_sessionize(spark, SF).collect()
+    }
+    totals = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    totals = {r["user_id"]: r["count"] for r in totals}
+    assert set(got) == set(batch)
+    for uid, (n_sessions, n_events) in got.items():
+        assert n_sessions == batch[uid], uid
+        assert n_events == totals[uid], uid

@@ -747,3 +747,269 @@ SELECT strftime(o_orderdate, '%Y-%m') AS month,
        round(sum(o_totalprice), 2) AS total, count(*) AS n
 FROM orders GROUP BY 1
 """
+
+
+# =====================================================================
+# second coverage wave (A10/A11, J9/J10, P6, F6/F8, S13, sessionization)
+# =====================================================================
+
+def q_a10_collect_sets(spark, sf):
+    """A10: set-algebra aggregates via collect_set (stats.py:561-616)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+O_A10 = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+def q_a11_timeseries(spark, sf):
+    """A11: per-key time series materialized in order
+    (fill_userinfo_timeseries, stats.py:221-243)."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        "user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"))
+    series = F.transform(
+        F.sort_array(F.collect_list(F.struct(F.col("day"), F.col("n")))),
+        lambda s: F.concat(s["day"], F.lit(":"), s["n"].cast("string")),
+    )
+    return daily.groupBy("user_id").agg(
+        F.array_join(series, ",").alias("series"), F.count("*").alias("n_days")
+    )
+
+
+O_A11 = """
+WITH daily AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT user_id,
+       string_agg(day || ':' || cast(n as varchar), ',' ORDER BY day) AS series,
+       count(*) AS n_days
+FROM daily GROUP BY user_id
+"""
+
+
+def q_j9_part_cooccurrence(spark, sf):
+    """J9: co-occurrence self-join (exportimage.py:55-92 bipartite
+    projection): parts appearing in the same order, pair counts."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+    )
+
+
+O_J9 = """
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n
+FROM lineitem a JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_j10_type_similarity(spark, sf):
+    """J10: membership-set similarity (userlists.py:29-43): Jaccard of
+    user sets between every pair of event types."""
+    e = _t(spark, sf, "events").select("event_type", "user_id").distinct()
+    a, b = e.alias("a"), e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = e.groupBy("event_type").agg(F.count("*").alias("n"))
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        common.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+O_J10 = """
+WITH e AS (SELECT DISTINCT event_type, user_id FROM events),
+common AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+sizes AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1)
+SELECT type_a, type_b, n_common,
+       round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+"""
+
+
+def q_p6_staleness(spark, sf):
+    """P6: staleness predicate (lastscan/user_expiration_days,
+    addfollowers.py:26-30): users whose latest event predates a cutoff."""
+    e = _t(spark, sf, "events")
+    latest = e.groupBy("user_id").agg(_epoch(F.max("ts")).alias("latest_e"))
+    cutoff = 1705276800  # 2024-01-15T00:00:00Z
+    return latest.select(
+        "user_id",
+        (F.col("latest_e") < cutoff).alias("is_stale"),
+    ).groupBy("is_stale").agg(F.count("*").alias("n_users"))
+
+
+O_P6 = """
+WITH latest AS (
+  SELECT user_id, cast(floor(epoch(max(ts))) as bigint) AS latest_e
+  FROM events GROUP BY user_id)
+SELECT latest_e < 1705276800 AS is_stale, count(*) AS n_users
+FROM latest GROUP BY 1
+"""
+
+
+def q_f6_bigram_topk(spark, sf):
+    """F6: bigrams (stats.py:730-732) + top-k."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .where(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(50)
+    )
+
+
+O_F6 = """
+WITH b AS (
+  SELECT unnest(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+           i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram
+  FROM documents)
+SELECT bigram, count(*) AS n FROM b WHERE contains(bigram, ' ')
+GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50
+"""
+
+
+def q_f8_urlparse(spark, sf):
+    """F8: URL parse -> host/path (stats.py:781-786 urlparse)."""
+    d = _t(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/p/"),
+        F.col("doc_id").cast("string"), F.lit("?x=1"),
+    )
+    return d.select(
+        F.col("doc_id"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+    )
+
+
+O_F8 = """
+SELECT doc_id,
+       source || '.example.com' AS host,
+       '/p/' || cast(doc_id as varchar) AS path,
+       'x=1' AS query
+FROM documents
+"""
+
+
+def q_s13_edgelist(spark, sf):
+    """S13: edge-list export formatting (save_edgelist, utils.py:740-762)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.concat_ws(
+                " ", F.col("user_id").cast("string"), F.col("event_type"),
+                F.col("n").cast("string"),
+            ).alias("line")
+        )
+    )
+
+
+O_S13 = """
+SELECT cast(user_id as varchar) || ' ' || event_type || ' ' || cast(n as varchar) AS line
+FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2)
+"""
+
+
+def q_w_sessionize(spark, sf):
+    """Sessionization (gap > 30 min -> new session): lag + cumsum window
+    — the batch twin of the stateful-streaming operator."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = _epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (
+        e.withColumn("new_sess", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        (_epoch(F.max("ts")) - _epoch(F.min("ts"))).alias("dur_s"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_events"),
+        F.round(F.avg("dur_s"), 4).alias("avg_dur_s"),
+    )
+
+
+O_W_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         cast(floor(epoch(ts)) as bigint)
+           - lag(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g),
+p AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         cast(floor(epoch(max(ts))) as bigint)
+           - cast(floor(epoch(min(ts))) as bigint) AS dur_s
+  FROM s GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+       round(avg(dur_s), 4) AS avg_dur_s
+FROM p GROUP BY user_id
+"""

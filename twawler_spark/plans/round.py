@@ -110,7 +110,11 @@ def run_round(
     frontier = frontier.withColumn("state", revived)
 
     active = frontier.where(F.col("state") == "active")
-    scored = score(active, now)
+    # project to scheduling columns before the windowed shuffles — the
+    # two ranking exchanges then move ~half the bytes
+    sched_cols = ["url_hash", "url", "host", "last_id", "first_id",
+                  "reached", "rate_tph", "latest_ts"]
+    scored = score(active.select(*sched_cols), now)
     gated = gate_robots(scored, robots)
     keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
             "expected", "hours_idle", "fetch_rank"]

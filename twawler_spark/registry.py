@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import entry_queries as eq
 from . import training_queries as tq
 from .streaming import ingest as st
+from .streaming import sessions as ss
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -38,15 +39,20 @@ QUERIES: dict[str, QueryFn] = {
     "a14_daily_rollup": eq.q_a14_daily_rollup,
     "a15_lang_topk": eq.q_a15_lang_topk,
     "u_set_ops": eq.q_u_set_ops,
+    "a10_collect_sets": eq.q_a10_collect_sets,
+    "a11_timeseries": eq.q_a11_timeseries,
     # joins (§2.3)
     "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
     "j2_antijoin_groupcount": eq.q_j2_antijoin_groupcount,
     "j3_revenue_per_segment": eq.q_j3_revenue_per_segment,
     "j8_synchrotrap": eq.q_j8_synchrotrap,
+    "j9_part_cooccurrence": eq.q_j9_part_cooccurrence,
+    "j10_type_similarity": eq.q_j10_type_similarity,
     # windows (§2.5)
     "w2_latest_per_key": eq.q_w2_latest_per_key,
     "w3_topk_per_group": eq.q_w3_topk_per_group,
     "w5_running_max": eq.q_w5_running_max,
+    "w_sessionize": eq.q_w_sessionize,
     # filters / scalar functions (§2.2, §2.8)
     "q1_pricing_summary": eq.q_q1_pricing_summary,
     "q6_filter_agg": eq.q_q6_filter_agg,
@@ -54,8 +60,13 @@ QUERIES: dict[str, QueryFn] = {
     "p4_regex": eq.q_p4_regex,
     "f_scalar_suite": eq.q_f_scalar_suite,
     "f10_monthly": eq.q_f10_monthly,
+    "p6_staleness": eq.q_p6_staleness,
+    "f6_bigram_topk": eq.q_f6_bigram_topk,
+    "f8_urlparse": eq.q_f8_urlparse,
+    "s13_edgelist": eq.q_s13_edgelist,
     # streaming (§2.9)
     "s3_stream_windowed": st.stream_windowed_counts,
+    "s3_stream_sessions": ss.stream_sessionize,
     # training-data pipeline
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -89,6 +100,15 @@ ORACLES: dict[str, str] = {
     "a14_daily_rollup": eq.O_A14,
     "a15_lang_topk": eq.O_A15,
     "u_set_ops": eq.O_U_SET_OPS,
+    "a10_collect_sets": eq.O_A10,
+    "a11_timeseries": eq.O_A11,
+    "j9_part_cooccurrence": eq.O_J9,
+    "j10_type_similarity": eq.O_J10,
+    "w_sessionize": eq.O_W_SESSIONIZE,
+    "p6_staleness": eq.O_P6,
+    "f6_bigram_topk": eq.O_F6,
+    "f8_urlparse": eq.O_F8,
+    "s13_edgelist": eq.O_S13,
     "j1_pair_selfjoin": eq.O_J1,
     "j2_antijoin_groupcount": eq.O_J2,
     "j3_revenue_per_segment": eq.O_J3,
@@ -103,6 +123,25 @@ ORACLES: dict[str, str] = {
     "f_scalar_suite": eq.O_F_SCALAR,
     "f10_monthly": eq.O_F10,
     "s3_stream_windowed": st.O_STREAM_WINDOWED,
+    "s3_stream_sessions": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         cast(floor(epoch(ts)) as bigint)
+           - lag(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g)
+SELECT user_id,
+       cast(floor(epoch(min(ts))) as bigint) AS session_start_e,
+       cast(floor(epoch(max(ts))) as bigint) AS session_end_e,
+       count(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
     "dedup_exact": tq.O_DEDUP_EXACT,
     "dedup_jaccard": tq.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": tq.O_DEDUP_MINHASH,
