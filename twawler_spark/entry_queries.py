@@ -1013,3 +1013,182 @@ SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
        round(avg(dur_s), 4) AS avg_dur_s
 FROM p GROUP BY user_id
 """
+
+
+# =====================================================================
+# third coverage wave (F12/F15, J4/J6, the vectorize.py wide vector)
+# =====================================================================
+
+def q_f15_json(spark, sf):
+    """F15: JSON handling (utils.py:207, vectorize.py:117-120):
+    extract props.k from the events JSON string column."""
+    e = _t(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.count("*").alias("n"),
+    )
+
+
+O_F15 = """
+SELECT event_type,
+       sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+       round(avg(cast(json_extract_string(props, '$.k') as bigint)), 4) AS avg_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
+# tiny deterministic sentiment lexicon (F12's dictionary-join shape:
+# senti.py:176-223 looks tokens up in a scored lexicon)
+_SENTI_POS = ("fast", "small", "value", "big")
+_SENTI_NEG = ("slow", "error", "filter")
+
+
+def q_f12_sentiment(spark, sf):
+    """F12: lexicon sentiment scoring as a broadcast dictionary join
+    (senti.py analyze cascade -> per-day rollup senti.py:322-392)."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    score = (
+        F.when(F.col("tok").isin(*_SENTI_POS), 1)
+        .when(F.col("tok").isin(*_SENTI_NEG), -1)
+        .otherwise(0)
+    )
+    return toks.select("lang", score.alias("s")).groupBy("lang").agg(
+        F.sum("s").alias("sentiment_sum"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("s") < 0, 1).otherwise(0)).alias("n_neg"),
+    )
+
+
+O_F12 = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+scored AS (
+  SELECT lang,
+         CASE WHEN tok IN {repr(_SENTI_POS)} THEN 1
+              WHEN tok IN {repr(_SENTI_NEG)} THEN -1 ELSE 0 END AS s
+  FROM toks)
+SELECT lang, sum(s) AS sentiment_sum,
+       sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS n_pos,
+       sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS n_neg
+FROM scored GROUP BY lang
+"""
+
+
+def q_j4_missing_parents(spark, sf):
+    """J4: reply-parent fill (pullreplied.py:43-69): order keys
+    referenced by lineitems but absent from a filtered orders view ->
+    the fetch plan for missing parents."""
+    li = _t(spark, sf, "lineitem").select("l_orderkey").distinct()
+    known = (
+        _t(spark, sf, "orders")
+        .where(F.col("o_totalprice") >= 50000)
+        .select("o_orderkey")
+    )
+    missing = li.join(known, li.l_orderkey == known.o_orderkey, "left_anti")
+    return missing.agg(
+        F.count("*").alias("n_missing"), F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+O_J4 = """
+SELECT count(*) AS n_missing, min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+FROM (SELECT DISTINCT l_orderkey FROM lineitem) li
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice >= 50000)
+"""
+
+
+def q_j6_decoration(spark, sf):
+    """J6: decorate ids with set-membership flags (listfollowers.py:89-96,
+    botnetgraph.py:81-92): one multi-way left join against flag tables."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    rich = c.where(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("rich_key"), F.lit(True).alias("is_rich")
+    )
+    auto = c.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("auto_key"), F.lit(True).alias("is_auto")
+    )
+    return (
+        o.join(F.broadcast(rich), o.o_custkey == rich.rich_key, "left")
+        .join(F.broadcast(auto), o.o_custkey == auto.auto_key, "left")
+        .select(
+            F.coalesce("is_rich", F.lit(False)).alias("is_rich"),
+            F.coalesce("is_auto", F.lit(False)).alias("is_auto"),
+            "o_orderstatus",
+        )
+        .groupBy("is_rich", "is_auto", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_J6 = """
+SELECT coalesce(r.is_rich, false) AS is_rich,
+       coalesce(a.is_auto, false) AS is_auto,
+       o_orderstatus, count(*) AS n
+FROM orders
+LEFT JOIN (SELECT c_custkey, true AS is_rich FROM customer WHERE c_acctbal > 5000) r
+  ON o_custkey = r.c_custkey
+LEFT JOIN (SELECT c_custkey, true AS is_auto FROM customer
+           WHERE c_mktsegment = 'AUTOMOBILE') a
+  ON o_custkey = a.c_custkey
+GROUP BY 1, 2, 3
+"""
+
+
+def q_user_vector(spark, sf):
+    """The vectorize.py path (§3.3): one wide per-user feature vector —
+    activity counts, tempo stats, type mix, value stats — in a single
+    groupBy (the reference does this per user in Python loops)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        _epoch(F.min("ts")).alias("first_e"),
+        _epoch(F.max("ts")).alias("last_e"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev("value"), 4).alias("sd_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0)).alias("n_signup"),
+        F.round(
+            F.count("*")
+            * 3600.0
+            / F.greatest(_epoch(F.max("ts")) - _epoch(F.min("ts")), F.lit(3600)),
+            4,
+        ).alias("events_per_hour"),
+        F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0)).alias("n_am"),
+        F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_active_days"),
+    )
+
+
+O_USER_VECTOR = """
+SELECT user_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_types,
+       cast(floor(epoch(min(ts))) as bigint) AS first_e,
+       cast(floor(epoch(max(ts))) as bigint) AS last_e,
+       round(avg(value), 4) AS avg_value,
+       round(stddev(value), 4) AS sd_value,
+       round(sum(value), 4) AS sum_value,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       round(count(*) * 3600.0 / greatest(
+         cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint),
+         3600), 4) AS events_per_hour,
+       sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS n_am,
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_active_days
+FROM events GROUP BY user_id
+"""

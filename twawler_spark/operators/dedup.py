@@ -69,27 +69,36 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding in >= 1 LSH band."""
     n_bands = n_hashes // rows_per_band
+    # long form: one self-join on (band_idx, band_val) — a single shuffle
+    # whose key includes the band index, instead of n_bands sig rescans
     bands = sigs.select(
         F.col(id_col),
-        *[
-            F.concat_ws(
-                "|", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band{b}")
-            for b in range(n_bands)
-        ],
-    )
-    out = None
-    for b in range(n_bands):
-        x, y = bands.alias("x"), bands.alias("y")
-        p = x.join(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat_ws(
+                            "|",
+                            *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(F.col(id_col), "band.band_idx", "band.band_val")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
             y,
-            (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        ).select(
-            F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b")
         )
-        out = p if out is None else out.unionByName(p)
-    return out.distinct()
+        .select(F.col(f"x.{id_col}").alias("doc_a"), F.col(f"y.{id_col}").alias("doc_b"))
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:

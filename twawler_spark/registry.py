@@ -64,6 +64,11 @@ QUERIES: dict[str, QueryFn] = {
     "f6_bigram_topk": eq.q_f6_bigram_topk,
     "f8_urlparse": eq.q_f8_urlparse,
     "s13_edgelist": eq.q_s13_edgelist,
+    "f15_json": eq.q_f15_json,
+    "f12_sentiment": eq.q_f12_sentiment,
+    "j4_missing_parents": eq.q_j4_missing_parents,
+    "j6_decoration": eq.q_j6_decoration,
+    "user_vector": eq.q_user_vector,
     # streaming (§2.9)
     "s3_stream_windowed": st.stream_windowed_counts,
     "s3_stream_sessions": ss.stream_sessionize,
@@ -109,6 +114,11 @@ ORACLES: dict[str, str] = {
     "f6_bigram_topk": eq.O_F6,
     "f8_urlparse": eq.O_F8,
     "s13_edgelist": eq.O_S13,
+    "f15_json": eq.O_F15,
+    "f12_sentiment": eq.O_F12,
+    "j4_missing_parents": eq.O_J4,
+    "j6_decoration": eq.O_J6,
+    "user_vector": eq.O_USER_VECTOR,
     "j1_pair_selfjoin": eq.O_J1,
     "j2_antijoin_groupcount": eq.O_J2,
     "j3_revenue_per_segment": eq.O_J3,

@@ -159,29 +159,35 @@ def q_dedup_minhash_lsh(spark, sf):
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
     sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
+    # long-form bands: one self-join on (band_idx, band_val) replaces
+    # |bands| separate self-joins (1 shuffle instead of 4 sig rescans)
     bands = sigs.select(
         "doc_id",
-        *[
-            F.concat(F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")).alias(f"band{b}")
-            for b in range(N_MINHASH // 2)
-        ],
-    )
-    pair_dfs = []
-    for b in range(N_MINHASH // 2):
-        x, y = bands.alias("x"), bands.alias("y")
-        pair_dfs.append(
-            x.join(
-                y,
-                (F.col(f"x.band{b}") == F.col(f"y.band{b}"))
-                & (F.col("x.doc_id") < F.col("y.doc_id")),
-            ).select(
-                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")
+                        ).alias("band_val"),
+                    )
+                    for b in range(N_MINHASH // 2)
+                ]
             )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_val")
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
-    out = pair_dfs[0]
-    for p in pair_dfs[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def _o_minhash_bands() -> str:
