@@ -67,6 +67,17 @@ def test_span_sequences_identical(run):
         assert offsets == sorted(set(offsets))  # strictly increasing
 
 
+def test_follow_edges_match(run):
+    """Edge-expansion table (S5/S6 analog) equals the simulator's."""
+    cat, _, sim = run
+    spark_edges = {
+        (r["src_hash"], r["dst_hash"])
+        for r in cat.read_appended("follow_edges").collect()
+    }
+    assert spark_edges == sim.edges
+    assert len(spark_edges) > 100
+
+
 def test_round_stats_match(run):
     _, stats, sim = run
     for st, ss in zip(stats, sim.stats):

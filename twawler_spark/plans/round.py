@@ -155,11 +155,19 @@ def run_round(
     )
 
     # -------------------------------------------------- discovery + admit
-    cands = (
-        discover_outlinks(results, n_hosts)
-        .withColumn("url_hash", F.xxhash64(F.col("url")))
-        .dropDuplicates(["url_hash"])  # within-round dedup
+    links = discover_outlinks(results, n_hosts).withColumn(
+        "url_hash", F.xxhash64(F.col("url"))
     )
+    # follow-edge table (addfollowers.py:39 shape: follower -> followee)
+    catalog.append(
+        links.select(
+            F.col("src_hash"),
+            F.col("url_hash").alias("dst_hash"),
+        ).dropDuplicates(["src_hash", "dst_hash"]),
+        "follow_edges",
+        round_no,
+    )
+    cands = links.dropDuplicates(["url_hash"])  # within-round dedup
     n_candidates = cands.count()
     bloom = (
         build_sharded_bloom(seen, n_buckets=bloom_buckets) if use_bloom else None

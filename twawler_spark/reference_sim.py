@@ -41,6 +41,7 @@ class SimResult:
     documents: dict  # doc_id -> list[(kind, text, media_ref, offset)]
     frontier_states: dict  # url_hash -> state
     frontier_rows: dict = field(default_factory=dict)  # url_hash -> full row
+    edges: set = field(default_factory=set)  # (src_hash, dst_hash)
     stats: list = field(default_factory=list)
 
 
@@ -103,6 +104,7 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
 
     crawl_order = []
     documents = {}
+    edges = set()  # (src_hash, dst_hash)
     stats = []
 
     for r in range(1, n_rounds + 1):
@@ -158,6 +160,7 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
                 row["latest_epoch"] = now
                 for url in outlinks(uh, n_hosts):
                     h = to_signed64(xxh64_str(url))
+                    edges.add((uh, h))
                     new_cands.setdefault(h, url)
             elif st == 404:
                 row["state"] = "dead"
@@ -197,5 +200,6 @@ def run(root: str, n_rounds: int, n_hosts: int) -> SimResult:
         documents=documents,
         frontier_states={uh: row["state"] for uh, row in frontier.items()},
         frontier_rows=frontier,
+        edges=edges,
         stats=stats,
     )
