@@ -28,10 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
-from twawler_spark.operators.admission import admit, gate_robots
-from twawler_spark.operators.budget import fetch_plan
-from twawler_spark.operators.scoring import score
+from twawler_spark.operators.admission import admit
 from twawler_spark.operators.seen_filter import build_sharded_bloom
+from twawler_spark.plans.round import build_two_phase_plan
 from twawler_spark.session import get_spark
 from twawler_spark.synth import NOW_EPOCH, write_inputs
 
@@ -77,11 +76,11 @@ def sched_round_once(spark, root: str, use_bloom: bool) -> tuple[int, float]:
 
     t0 = time.time()
     active = frontier.where(F.col("state") == "active")
-    scored = score(active, NOW_EPOCH + 3600)
-    gated = gate_robots(scored, robots)
     bloom = build_sharded_bloom(seen, n_buckets=64) if use_bloom else None
-    admitted = admit(gated, seen, bloom=bloom)
-    plan = fetch_plan(admitted, budgets, salt_buckets=16)
+    admitted = admit(active, seen, bloom=bloom)
+    plan = build_two_phase_plan(
+        admitted, robots, budgets, NOW_EPOCH + 3600, salt_buckets=16
+    )
     n_planned = plan.count()
     dt = time.time() - t0
     n_active = active.count()

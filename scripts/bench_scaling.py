@@ -33,7 +33,7 @@ def run_level(cpus: int, n_urls: int) -> dict:
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=7200,
     )
     line = out.stdout.strip().splitlines()[-1]
     res = json.loads(line)

@@ -40,6 +40,18 @@ def test_resume_equals_uninterrupted(spark, crawl_root, tmp_path_factory):
     assert docs_a == docs_b
 
 
+def test_expire_snapshots(spark, crawl_root, tmp_path_factory):
+    cat = _setup(spark, crawl_root, str(tmp_path_factory.mktemp("e")))
+    run_rounds(cat, 3, n_hosts=N_HOSTS)
+    assert cat.committed_rounds("frontier") == [0, 1, 2, 3]
+    expired = cat.expire_snapshots("frontier", keep_last=2)
+    assert expired == [0, 1]
+    assert cat.committed_rounds("frontier") == [2, 3]
+    # resume still works from the latest kept snapshot
+    assert cat.latest_round("frontier") == 3
+    assert cat.read_snapshot("frontier").count() > 0
+
+
 def test_manifest_lineage(spark, crawl_root, tmp_path_factory):
     cat = _setup(spark, crawl_root, str(tmp_path_factory.mktemp("m")))
     run_rounds(cat, 1, n_hosts=N_HOSTS)

@@ -73,14 +73,52 @@ def _canon_one(url: str) -> str | None:
 
 
 def canonicalize_str(url: str) -> str | None:
-    """Scalar canonicalization (simulator / tests)."""
+    """Scalar canonicalization (simulator / tests — the reference
+    implementation the vectorized path must match bit-for-bit)."""
     return _canon_one(url)
+
+
+def _sort_params(q: str) -> str:
+    parts = [p for p in q.split("&") if p]
+    parts.sort(key=lambda p: p.split("=", 1)[0])
+    return "&".join(parts)
+
+
+def canonicalize_series(urls: pd.Series) -> pd.Series:
+    """Vectorized canonicalization: pandas .str kernels end to end; the
+    only per-row Python is query-param sorting on the subset of rows
+    that still have >= 2 params after tracking-param removal."""
+    s = urls.str.strip().str.replace(r"#.*$", "", regex=True)
+    m = s.str.extract(
+        r"^(?P<sch>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[^/?#]+)(?P<path>[^?#]*)(?:\?(?P<q>.*))?$"
+    )
+    ok = m["sch"].notna()
+    scheme = m["sch"].str.lower()
+    host = m["host"].str.lower().str.replace(r"^www\.", "", regex=True)
+    host = host.mask(scheme.eq("http"), host.str.replace(r":80$", "", regex=True))
+    host = host.mask(scheme.eq("https"), host.str.replace(r":443$", "", regex=True))
+    path = (
+        m["path"].fillna("")
+        .str.replace(r"/{2,}", "/", regex=True)
+        .str.replace(r"(?<=.)/$", "", regex=True)
+    )
+    path = path.mask(path.eq(""), "/")
+    q = (
+        m["q"].fillna("")
+        .str.replace(r"(?:^|&)" + _TRACKING + r"=[^&]*", "", regex=True)
+        .str.lstrip("&")
+    )
+    multi = q.str.contains("&", na=False)
+    if multi.any():
+        q = q.mask(multi, q[multi].map(_sort_params))
+    out = scheme + "://" + host + path + ("?" + q).where(q.ne(""), "")
+    return out.where(ok, s)
 
 
 @F.pandas_udf(T.StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     """Arrow-batched canonicalization (the scheduling-round path)."""
-    return urls.map(_canon_one)
+    return canonicalize_series(urls)
 
 
 def canonical_host(url_col: Column) -> Column:

@@ -96,6 +96,21 @@ class Catalog:
         with open(self._manifest_path(table, round_no)) as f:
             return json.load(f)
 
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Drop all but the newest ``keep_last`` committed snapshots
+        (Iceberg expire_snapshots analog). Manifest is deleted FIRST so
+        a crash mid-expiry never leaves a committed-but-missing snapshot."""
+        import shutil
+
+        rounds = self.committed_rounds(table)
+        expired = rounds[:-keep_last] if keep_last > 0 else rounds
+        for r in expired:
+            mp = self._manifest_path(table, r)
+            if os.path.exists(mp):
+                os.remove(mp)
+            shutil.rmtree(self._snap_dir(table, r), ignore_errors=True)
+        return expired
+
     # ------------------------------------------------------- append tables
     def append(self, df: DataFrame, table: str, round_no: int) -> None:
         df.write.mode("overwrite").parquet(

@@ -86,6 +86,40 @@ def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) 
     catalog.write_snapshot(seen0, "seen", 0)
 
 
+def build_two_phase_plan(
+    active: DataFrame,
+    robots: DataFrame,
+    budgets: DataFrame,
+    now: int,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """The per-round scheduling plan (crawl-tweets.sh phases 1+2):
+    score → robots gate → per-host budget rank by ``expected``, then the
+    leftover ranked by staleness at half budget (--crawl-late)."""
+    # project to scheduling columns before the windowed shuffles — the
+    # ranking exchanges then move ~half the bytes
+    sched_cols = ["url_hash", "url", "host", "last_id", "first_id",
+                  "reached", "rate_tph", "latest_ts"]
+    scored = score(active.select(*sched_cols), now)
+    gated = gate_robots(scored, robots)
+    keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
+            "expected", "hours_idle", "fetch_rank"]
+    p1 = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(*keep)
+    p1 = p1.localCheckpoint(eager=True)  # reused: p2 anti-join + union
+    rest = gated.join(p1.select("url_hash"), "url_hash", "left_anti")
+    late_budgets = budgets.withColumn(
+        "budget_per_round",
+        F.greatest(F.floor(F.col("budget_per_round") / 2), F.lit(1)).cast("int"),
+    )
+    p2 = fetch_plan(
+        rest, late_budgets, salt_buckets=salt_buckets, order_col="hours_idle",
+        default_budget=2,
+    ).select(*keep)
+    return p1.withColumn("phase", F.lit("expected")).unionByName(
+        p2.withColumn("phase", F.lit("late"))
+    )
+
+
 def run_round(
     catalog: Catalog,
     round_no: int,
@@ -110,32 +144,7 @@ def run_round(
     frontier = frontier.withColumn("state", revived)
 
     active = frontier.where(F.col("state") == "active")
-    # project to scheduling columns before the windowed shuffles — the
-    # two ranking exchanges then move ~half the bytes
-    sched_cols = ["url_hash", "url", "host", "last_id", "first_id",
-                  "reached", "rate_tph", "latest_ts"]
-    scored = score(active.select(*sched_cols), now)
-    gated = gate_robots(scored, robots)
-    keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
-            "expected", "hours_idle", "fetch_rank"]
-    # phase 1 (--crawl-expected): top-budget by expected rate×staleness
-    p1 = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(*keep)
-    p1 = p1.localCheckpoint(eager=True)  # reused: p2 anti-join, fetch, order
-    # phase 2 (--crawl-late): leftover rows ranked by staleness alone,
-    # half budget (crawl-tweets.sh:45-59 runs both orders each cycle)
-    rest = gated.join(p1.select("url_hash"), "url_hash", "left_anti")
-    late_budgets = budgets.withColumn(
-        "budget_per_round",
-        F.greatest(F.floor(F.col("budget_per_round") / 2), F.lit(1)).cast("int"),
-    )
-    p2 = fetch_plan(
-        rest, late_budgets, salt_buckets=salt_buckets, order_col="hours_idle",
-        default_budget=2,
-    ).select(*keep)
-    plan = (
-        p1.withColumn("phase", F.lit("expected"))
-        .unionByName(p2.withColumn("phase", F.lit("late")))
-    )
+    plan = build_two_phase_plan(active, robots, budgets, now, salt_buckets)
     plan = plan.localCheckpoint(eager=True)  # reuse: docs, results, order
     n_scheduled = plan.count()
 
