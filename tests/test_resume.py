@@ -30,10 +30,14 @@ def test_resume_equals_uninterrupted(spark, crawl_root, tmp_path_factory):
     assert b2.latest_round("frontier") == 2
     run_rounds(b2, 4, n_hosts=N_HOSTS)
 
-    for table in ("frontier", "seen"):
-        left = {tuple(r) for r in a.read_snapshot(table, 4).collect()}
-        right = {tuple(r) for r in b2.read_snapshot(table, 4).collect()}
-        assert left == right, table
+    from twawler_spark.plans.round import read_seen
+
+    left = {tuple(r) for r in a.read_snapshot("frontier", 4).collect()}
+    right = {tuple(r) for r in b2.read_snapshot("frontier", 4).collect()}
+    assert left == right
+    seen_a = {tuple(r) for r in read_seen(a, 4).collect()}
+    seen_b = {tuple(r) for r in read_seen(b2, 4).collect()}
+    assert seen_a == seen_b
 
     docs_a = {r["doc_id"] for r in a.read_appended("documents").collect()}
     docs_b = {r["doc_id"] for r in b2.read_appended("documents").collect()}

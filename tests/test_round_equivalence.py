@@ -44,10 +44,12 @@ def test_crawl_ordering_identical(run):
 
 
 def test_final_seen_set_identical(run):
+    from twawler_spark.plans.round import read_seen
+
     cat, _, sim = run
     spark_seen = {
         r["url_hash"]
-        for r in cat.read_snapshot("seen", N_ROUNDS).select("url_hash").distinct().collect()
+        for r in read_seen(cat, N_ROUNDS).select("url_hash").distinct().collect()
     }
     assert spark_seen == sim.seen
 

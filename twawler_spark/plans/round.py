@@ -65,8 +65,22 @@ class RoundStats:
         ]
 
 
+def read_seen(catalog: Catalog, upto_round: int) -> DataFrame:
+    """The seen-set as of ``upto_round`` — union of per-round DELTAS.
+
+    The seen table is append-only (each round adds only its newly
+    tracked/dead keys), so the per-round write is O(|delta|), not
+    O(|seen|) — at the 10^10 design point rewriting the full set every
+    round would dominate. Crash safety: deltas beyond the last COMMITTED
+    frontier round are excluded by the ``round <= upto_round`` filter,
+    so a partial append from a killed round is invisible until its
+    frontier manifest commits.
+    """
+    return catalog.read_appended("seen").where(F.col("round") <= upto_round)
+
+
 def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) -> None:
-    """Round-0 snapshots: seen = seed sets ∪ all tracked frontier keys;
+    """Round-0 state: seen = seed sets ∪ all tracked frontier keys;
     frontier rows already in a seed set are not tracked (can_follow)."""
     seed_keys = seen_seed.select("url_hash").distinct()
     fresh = frontier_seed.join(seed_keys, "url_hash", "left_anti")
@@ -82,8 +96,8 @@ def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) 
             F.lit(0).alias("added_round"),
         )
     )
+    catalog.append(seen0, "seen", 0)
     catalog.write_snapshot(frontier0, "frontier", 0)
-    catalog.write_snapshot(seen0, "seen", 0)
 
 
 def build_two_phase_plan(
@@ -131,7 +145,7 @@ def run_round(
     spark = catalog.spark
     now = round_now_epoch(round_no)
     frontier = catalog.read_snapshot("frontier", round_no - 1)
-    seen = catalog.read_snapshot("seen", round_no - 1)
+    seen = read_seen(catalog, round_no - 1)
     budgets = catalog.read_input("host_budget")
     robots = catalog.read_input("robots")
 
@@ -243,18 +257,17 @@ def run_round(
         .select([f.name for f in FRONTIER.fields])
     )
 
-    next_seen = seen.unionByName(
-        admitted.select(
-            "url_hash", F.lit("tracked").alias("set_name"), F.lit(round_no).alias("added_round")
-        )
+    # append-only seen delta (O(|delta|)/round; see read_seen)
+    seen_delta = admitted.select(
+        "url_hash", F.lit("tracked").alias("set_name"), F.lit(round_no).alias("added_round")
     ).unionByName(
         dead_keys.select(
             "url_hash", F.lit("dead").alias("set_name"), F.lit(round_no).alias("added_round")
         )
     )
-
+    catalog.append(seen_delta, "seen", round_no)
+    # frontier manifest write is the COMMIT point for the whole round
     fm = catalog.write_snapshot(next_frontier, "frontier", round_no)
-    sm = catalog.write_snapshot(next_seen, "seen", round_no)
 
     stats = RoundStats(
         round=round_no,
@@ -265,7 +278,7 @@ def run_round(
         n_admitted=n_admitted,
         n_dead=n_dead,
         n_frontier=fm["n_rows"],
-        n_seen=sm["n_rows"],
+        n_seen=read_seen(catalog, round_no).count(),
     )
     metrics = spark.createDataFrame(stats.as_rows(), "round int, metric string, value long")
     catalog.append(metrics, "round_metrics", round_no)
