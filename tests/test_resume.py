@@ -30,10 +30,10 @@ def test_resume_equals_uninterrupted(spark, crawl_root, tmp_path_factory):
     assert b2.latest_round("frontier") == 2
     run_rounds(b2, 4, n_hosts=N_HOSTS)
 
-    from twawler_spark.plans.round import read_seen
+    from twawler_spark.plans.round import read_frontier, read_seen
 
-    left = {tuple(r) for r in a.read_snapshot("frontier", 4).collect()}
-    right = {tuple(r) for r in b2.read_snapshot("frontier", 4).collect()}
+    left = {tuple(r) for r in read_frontier(a, 4).collect()}
+    right = {tuple(r) for r in read_frontier(b2, 4).collect()}
     assert left == right
     seen_a = {tuple(r) for r in read_seen(a, 4).collect()}
     seen_b = {tuple(r) for r in read_seen(b2, 4).collect()}
@@ -44,22 +44,28 @@ def test_resume_equals_uninterrupted(spark, crawl_root, tmp_path_factory):
     assert docs_a == docs_b
 
 
-def test_expire_snapshots(spark, crawl_root, tmp_path_factory):
+def test_compaction_and_history_expiry(spark, crawl_root, tmp_path_factory):
+    """COMPACT_EVERY=4: round 4 writes a compaction snapshot and expires
+    earlier manifests/deltas; reads and resume still work after."""
+    from twawler_spark.plans.round import read_frontier
+
     cat = _setup(spark, crawl_root, str(tmp_path_factory.mktemp("e")))
-    run_rounds(cat, 3, n_hosts=N_HOSTS)
-    assert cat.committed_rounds("frontier") == [0, 1, 2, 3]
-    expired = cat.expire_snapshots("frontier", keep_last=2)
-    assert expired == [0, 1]
-    assert cat.committed_rounds("frontier") == [2, 3]
-    # resume still works from the latest kept snapshot
-    assert cat.latest_round("frontier") == 3
-    assert cat.read_snapshot("frontier").count() > 0
+    run_rounds(cat, 5, n_hosts=N_HOSTS)
+    assert cat.compaction_rounds("frontier") == [4]  # 0..3 expired at r4
+    assert cat.committed_rounds("frontier") == [4, 5]
+    assert cat.latest_round("frontier") == 5
+    assert read_frontier(cat, 5).count() > 0
+    # manifest arithmetic matches the materialized view
+    assert cat.read_manifest("frontier", 5)["n_rows"] == read_frontier(cat, 5).count()
 
 
 def test_manifest_lineage(spark, crawl_root, tmp_path_factory):
     cat = _setup(spark, crawl_root, str(tmp_path_factory.mktemp("m")))
     run_rounds(cat, 1, n_hosts=N_HOSTS)
-    man = cat.read_manifest("frontier", 1)
+    man = cat.read_manifest("frontier", 0)  # round 0 = compaction snapshot
+    assert man["kind"] == "compaction"
     assert man["n_rows"] == sum(p["rows"] for p in man["partitions"])
     assert man["n_rows"] > 0
     assert "url_hash" in man["columns"]
+    man1 = cat.read_manifest("frontier", 1)  # delta-only commit
+    assert man1["kind"] == "commit" and man1["n_rows"] > 0

@@ -92,10 +92,12 @@ def test_round_stats_match(run):
 
 
 def test_frontier_states_match(run):
+    from twawler_spark.plans.round import read_frontier
+
     cat, _, sim = run
     spark_states = {
         r["url_hash"]: r["state"]
-        for r in cat.read_snapshot("frontier", N_ROUNDS).select("url_hash", "state").collect()
+        for r in read_frontier(cat, N_ROUNDS).select("url_hash", "state").collect()
     }
     assert spark_states == sim.frontier_states
 
@@ -103,10 +105,12 @@ def test_frontier_states_match(run):
 def test_checkpoints_match(run):
     """Forward (last_id) and backfill (first_id/reached) checkpoints —
     dumpall.py:83-87 + load-past.py:69-77 semantics."""
+    from twawler_spark.plans.round import read_frontier
+
     cat, _, sim = run
     spark_cp = {
         r["url_hash"]: (r["last_id"], r["first_id"], r["reached"])
-        for r in cat.read_snapshot("frontier", N_ROUNDS)
+        for r in read_frontier(cat, N_ROUNDS)
         .select("url_hash", "last_id", "first_id", "reached")
         .collect()
     }

@@ -58,6 +58,7 @@ class Catalog:
         manifest = {
             "table": table,
             "round": round_no,
+            "kind": "compaction",
             "n_rows": int(sum(r["count"] for r in lineage)),
             "partitions": [
                 {"partition": int(r["partition"]), "rows": int(r["count"])}
@@ -65,13 +66,37 @@ class Catalog:
             ],
             "columns": written.columns,
         }
+        self._write_manifest(table, round_no, manifest)
+        return manifest
+
+    def commit_round(self, table: str, round_no: int, n_rows: int) -> dict:
+        """Commit a delta-only round: manifest without snapshot data
+        (the delta files were appended separately; this rename is the
+        atomic commit point)."""
+        manifest = {
+            "table": table,
+            "round": round_no,
+            "kind": "commit",
+            "n_rows": int(n_rows),
+        }
+        self._write_manifest(table, round_no, manifest)
+        return manifest
+
+    def _write_manifest(self, table: str, round_no: int, manifest: dict) -> None:
         mp = self._manifest_path(table, round_no)
         os.makedirs(os.path.dirname(mp), exist_ok=True)
         tmp = mp + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, mp)  # commit point
-        return manifest
+
+    def compaction_rounds(self, table: str) -> list[int]:
+        """Rounds whose manifest carries full snapshot data."""
+        out = []
+        for r in self.committed_rounds(table):
+            if self.read_manifest(table, r).get("kind", "compaction") == "compaction":
+                out.append(r)
+        return out
 
     def committed_rounds(self, table: str) -> list[int]:
         d = f"{self.root}/{table}/_manifests"

@@ -23,9 +23,10 @@ State machine (reference utils.py:351-446 set-mutation protocol):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..io_catalog import Catalog
@@ -63,6 +64,57 @@ class RoundStats:
             for k, v in vars(self).items()
             if k != "round"
         ]
+
+
+COMPACT_EVERY = 4  # frontier compaction cadence (rounds)
+
+
+def read_frontier(catalog: Catalog, upto_round: int) -> DataFrame:
+    """Current frontier as of ``upto_round``: latest compaction snapshot
+    + versioned deltas (SCD2 current view — Iceberg MERGE semantics on
+    the parquet fallback).
+
+    Per-round frontier writes are O(|changed rows|) (fetched, revived,
+    admitted, dead-tombstoned), not O(|frontier|); every COMPACT_EVERY
+    rounds the view is materialized so the delta chain stays bounded.
+    The read plan is scale-friendly: the window runs only over the
+    SMALL delta union; the base is touched by one anti-join against the
+    changed-key set (broadcastable — it's bounded by rounds×plan size).
+    """
+    comps = [r for r in catalog.compaction_rounds("frontier") if r <= upto_round]
+    base_round = comps[-1]
+    base = catalog.read_snapshot("frontier", base_round)
+    if base_round == upto_round:
+        return base
+    deltas = catalog.read_appended("frontier_v").where(
+        (F.col("round") > base_round) & (F.col("round") <= upto_round)
+    )
+    w = Window.partitionBy("url_hash").orderBy(F.col("round").desc())
+    latest = (
+        deltas.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    survivors = base.join(latest.select("url_hash"), "url_hash", "left_anti")
+    keep = latest.where(F.col("op") == "upsert").select(
+        [f.name for f in FRONTIER.fields]
+    )
+    return survivors.select([f.name for f in FRONTIER.fields]).unionByName(keep)
+
+
+def expire_frontier_history(catalog: Catalog) -> list[int]:
+    """Drop manifests/snapshots/deltas older than the latest compaction
+    (safe: reads only ever need the latest compaction + later deltas)."""
+    import shutil
+
+    comps = catalog.compaction_rounds("frontier")
+    latest_comp = comps[-1]
+    expired = [r for r in catalog.committed_rounds("frontier") if r < latest_comp]
+    for r in expired:
+        os.remove(catalog._manifest_path("frontier", r))
+        shutil.rmtree(catalog._snap_dir("frontier", r), ignore_errors=True)
+        shutil.rmtree(f"{catalog.root}/frontier_v/data/round={r}", ignore_errors=True)
+    return expired
 
 
 def read_seen(catalog: Catalog, upto_round: int) -> DataFrame:
@@ -144,20 +196,22 @@ def run_round(
 ) -> RoundStats:
     spark = catalog.spark
     now = round_now_epoch(round_no)
-    frontier = catalog.read_snapshot("frontier", round_no - 1)
+    frontier = read_frontier(catalog, round_no - 1)
     seen = read_seen(catalog, round_no - 1)
     budgets = catalog.read_input("host_budget")
     robots = catalog.read_input("robots")
 
-    # TTL revival (protected/suspended re-checks, utils.py:369-412)
-    revived = F.when(
-        F.col("state").isin("suspended", "protected")
-        & (F.lit(round_no) - F.col("state_round") >= REVIVE_TTL_ROUNDS),
-        F.lit("active"),
-    ).otherwise(F.col("state"))
-    frontier = frontier.withColumn("state", revived)
+    # TTL revival (protected/suspended re-checks, utils.py:369-412) —
+    # flagged so revived-but-unscheduled rows still persist as deltas
+    revive_cond = F.col("state").isin("suspended", "protected") & (
+        F.lit(round_no) - F.col("state_round") >= REVIVE_TTL_ROUNDS
+    )
+    frontier = frontier.withColumn("__revived", revive_cond).withColumn(
+        "state", F.when(revive_cond, "active").otherwise(F.col("state"))
+    )
 
     active = frontier.where(F.col("state") == "active")
+    n_active = active.count()  # eager: lineage dies at compaction expiry
     plan = build_two_phase_plan(active, robots, budgets, now, salt_buckets)
     plan = plan.localCheckpoint(eager=True)  # reuse: docs, results, order
     n_scheduled = plan.count()
@@ -248,14 +302,18 @@ def run_round(
             ),
         )
     )
-    dead_keys = merged.where(F.col("state") == "dead").select("url_hash")
+    changed = merged.where(F.col("status").isNotNull() | F.col("__revived"))
+    dead_keys = changed.where(F.col("state") == "dead").select("url_hash")
     n_dead = dead_keys.count()
-    next_frontier = (
-        merged.where(F.col("state") != "dead")
-        .drop("status", "new_last_id", "new_first_id", "new_reached")
-        .unionByName(new_rows)
-        .select([f.name for f in FRONTIER.fields])
+    frontier_cols = [f.name for f in FRONTIER.fields]
+    delta = (
+        changed.select(*frontier_cols)
+        .withColumn(
+            "op", F.when(F.col("state") == "dead", "delete").otherwise("upsert")
+        )
+        .unionByName(new_rows.withColumn("op", F.lit("upsert")))
     )
+    catalog.append(delta, "frontier_v", round_no)
 
     # append-only seen delta (O(|delta|)/round; see read_seen)
     seen_delta = admitted.select(
@@ -266,18 +324,28 @@ def run_round(
         )
     )
     catalog.append(seen_delta, "seen", round_no)
-    # frontier manifest write is the COMMIT point for the whole round
-    fm = catalog.write_snapshot(next_frontier, "frontier", round_no)
+
+    # manifest write = the round's COMMIT point; compaction every K
+    # rounds bounds the delta chain. n_dead/n_admitted already counted
+    # (localCheckpointed inputs), so nothing below re-reads expired deltas.
+    if round_no % COMPACT_EVERY == 0:
+        fm = catalog.write_snapshot(read_frontier(catalog, round_no), "frontier", round_no)
+        n_frontier = fm["n_rows"]
+        expire_frontier_history(catalog)
+    else:
+        prev_n = catalog.read_manifest("frontier", round_no - 1)["n_rows"]
+        n_frontier = prev_n - n_dead + n_admitted
+        catalog.commit_round("frontier", round_no, n_frontier)
 
     stats = RoundStats(
         round=round_no,
-        n_active=active.count(),
+        n_active=n_active,
         n_scheduled=n_scheduled,
         n_docs=n_docs,
         n_candidates=n_candidates,
         n_admitted=n_admitted,
         n_dead=n_dead,
-        n_frontier=fm["n_rows"],
+        n_frontier=n_frontier,
         n_seen=read_seen(catalog, round_no).count(),
     )
     metrics = spark.createDataFrame(stats.as_rows(), "round int, metric string, value long")
