@@ -1192,3 +1192,56 @@ SELECT user_id,
        count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_active_days
 FROM events GROUP BY user_id
 """
+
+
+def q_viz_degree_distribution(spark, sf):
+    """Degree-distribution export (twkit/visualization/tweetsperuser.py
+    power-law plot data): how many suppliers have out-degree k."""
+    li = _t(spark, sf, "lineitem")
+    deg = li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("degree")
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+O_VIZ_DEGREE = """
+SELECT degree, count(*) AS n_nodes FROM (
+  SELECT l_suppkey, count(DISTINCT l_partkey) AS degree
+  FROM lineitem GROUP BY l_suppkey)
+GROUP BY degree
+"""
+
+
+def q_a8_log_buckets(spark, sf):
+    """A8 log-scale interval buckets (stats.py:75 [30,60,3600,86400] +
+    log_event :78-86): inter-event gaps classified per bucket."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = _epoch(F.col("ts")) - F.lag(_epoch(F.col("ts"))).over(w)
+    bucket = (
+        F.when(gap < 30, "lt_30s")
+        .when(gap < 60, "lt_1m")
+        .when(gap < 3600, "lt_1h")
+        .when(gap < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return (
+        e.select(gap.alias("gap"), bucket.alias("bucket"))
+        .where(F.col("gap").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), F.round(F.avg("gap"), 4).alias("avg_gap"))
+    )
+
+
+O_A8_LOG = """
+WITH g AS (
+  SELECT cast(floor(epoch(ts)) as bigint)
+           - lag(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events)
+SELECT CASE WHEN gap < 30 THEN 'lt_30s' WHEN gap < 60 THEN 'lt_1m'
+            WHEN gap < 3600 THEN 'lt_1h' WHEN gap < 86400 THEN 'lt_1d'
+            ELSE 'ge_1d' END AS bucket,
+       count(*) AS n, round(avg(gap), 4) AS avg_gap
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""

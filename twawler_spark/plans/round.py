@@ -158,32 +158,80 @@ def build_two_phase_plan(
     budgets: DataFrame,
     now: int,
     salt_buckets: int = 16,
+    default_budget: int = 4,
+    default_late_budget: int = 2,
 ) -> DataFrame:
     """The per-round scheduling plan (crawl-tweets.sh phases 1+2):
-    score → robots gate → per-host budget rank by ``expected``, then the
-    leftover ranked by staleness at half budget (--crawl-late)."""
-    # project to scheduling columns before the windowed shuffles — the
-    # ranking exchanges then move ~half the bytes
+    score → robots gate → per-host budget rank by ``expected`` (phase 1),
+    then the leftover ranked by staleness at half budget (--crawl-late).
+
+    Shuffle discipline (the 100 TB shape): exactly TWO exchanges touch
+    the candidate set —
+      stage A: partition by (host, salt); BOTH phase orders are
+        row_number'd in one pass (two sorts, one exchange); per-salt
+        keep expected-rank <= B and staleness-rank <= B + B_late (the
+        +B covers late winners displaced by phase-1 picks), so the
+        survivor set per host is <= salt_buckets*(2B + B_late);
+      stage B: partition by host over the survivors only; phase-1 =
+        expected-rank <= B; the late pool is a FILTER (not an
+        anti-join — no url_hash re-shuffle of the full set) and its
+        staleness window reuses stage B's partitioning.
+    Tie-breaks are (order DESC, url_hash ASC) throughout, keeping the
+    plan a deterministic function of the snapshot.
+    """
     sched_cols = ["url_hash", "url", "host", "last_id", "first_id",
                   "reached", "rate_tph", "latest_ts"]
     scored = score(active.select(*sched_cols), now)
     gated = gate_robots(scored, robots)
+    wb = (
+        gated.join(
+            F.broadcast(budgets.select("host", "budget_per_round")), "host", "left"
+        )
+        .withColumn(
+            "__b", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
+        )
+        .withColumn(
+            "__b2",
+            F.when(
+                F.col("budget_per_round").isNotNull(),
+                F.greatest(F.floor(F.col("budget_per_round") / 2), F.lit(1)).cast("int"),
+            ).otherwise(F.lit(default_late_budget)),
+        )
+        .drop("budget_per_round")
+    )
+    salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+    order_e = [F.col("expected").desc(), F.col("url_hash").asc()]
+    order_h = [F.col("hours_idle").desc(), F.col("url_hash").asc()]
+    wb = wb.withColumn("__salt", salt)
+    w_es = Window.partitionBy("host", "__salt").orderBy(*order_e)
+    w_hs = Window.partitionBy("host", "__salt").orderBy(*order_h)
+    pre = (
+        wb.withColumn("__rne", F.row_number().over(w_es))
+        .withColumn("__rnh", F.row_number().over(w_hs))
+        .where(
+            (F.col("__rne") <= F.col("__b"))
+            | (F.col("__rnh") <= F.col("__b") + F.col("__b2"))
+        )
+        .drop("__rne", "__rnh", "__salt")
+    )
+    w_e = Window.partitionBy("host").orderBy(*order_e)
+    ranked = pre.withColumn("__rank_e", F.row_number().over(w_e))
     keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
-            "expected", "hours_idle", "fetch_rank"]
-    p1 = fetch_plan(gated, budgets, salt_buckets=salt_buckets).select(*keep)
-    p1 = p1.localCheckpoint(eager=True)  # reused: p2 anti-join + union
-    rest = gated.join(p1.select("url_hash"), "url_hash", "left_anti")
-    late_budgets = budgets.withColumn(
-        "budget_per_round",
-        F.greatest(F.floor(F.col("budget_per_round") / 2), F.lit(1)).cast("int"),
+            "expected", "hours_idle"]
+    p1 = (
+        ranked.where(F.col("__rank_e") <= F.col("__b"))
+        .select(*keep, F.col("__rank_e").alias("fetch_rank"))
+        .withColumn("phase", F.lit("expected"))
     )
-    p2 = fetch_plan(
-        rest, late_budgets, salt_buckets=salt_buckets, order_col="hours_idle",
-        default_budget=2,
-    ).select(*keep)
-    return p1.withColumn("phase", F.lit("expected")).unionByName(
-        p2.withColumn("phase", F.lit("late"))
+    w_h = Window.partitionBy("host").orderBy(*order_h)
+    p2 = (
+        ranked.where(F.col("__rank_e") > F.col("__b"))
+        .withColumn("__rank_h", F.row_number().over(w_h))
+        .where(F.col("__rank_h") <= F.col("__b2"))
+        .select(*keep, F.col("__rank_h").alias("fetch_rank"))
+        .withColumn("phase", F.lit("late"))
     )
+    return p1.unionByName(p2)
 
 
 def run_round(

@@ -69,6 +69,8 @@ QUERIES: dict[str, QueryFn] = {
     "j4_missing_parents": eq.q_j4_missing_parents,
     "j6_decoration": eq.q_j6_decoration,
     "user_vector": eq.q_user_vector,
+    "viz_degree_distribution": eq.q_viz_degree_distribution,
+    "a8_log_buckets": eq.q_a8_log_buckets,
     # streaming (§2.9)
     "s3_stream_windowed": st.stream_windowed_counts,
     "s3_stream_sessions": ss.stream_sessionize,
@@ -119,6 +121,8 @@ ORACLES: dict[str, str] = {
     "j4_missing_parents": eq.O_J4,
     "j6_decoration": eq.O_J6,
     "user_vector": eq.O_USER_VECTOR,
+    "viz_degree_distribution": eq.O_VIZ_DEGREE,
+    "a8_log_buckets": eq.O_A8_LOG,
     "j1_pair_selfjoin": eq.O_J1,
     "j2_antijoin_groupcount": eq.O_J2,
     "j3_revenue_per_segment": eq.O_J3,
