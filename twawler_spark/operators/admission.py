@@ -59,10 +59,23 @@ def robots_deny_map(robots: DataFrame) -> DataFrame:
     )
 
 
-def gate_robots(candidates: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
-    """Drop candidates whose canonical path matches any deny prefix."""
+def gate_robots(
+    candidates: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    path_col: str | None = None,
+) -> DataFrame:
+    """Drop candidates whose canonical path matches any deny prefix.
+
+    ``path_col`` lets the caller pass a pre-extracted path column so the
+    wide URL string can be projected away before downstream shuffles.
+    """
     deny = robots_deny_map(robots)
-    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    path = (
+        F.col(path_col)
+        if path_col
+        else F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit("/"))
+    )
     joined = candidates.join(F.broadcast(deny), "host", "left")
     blocked = F.when(
         F.col("deny_prefixes").isNull(), F.lit(False)

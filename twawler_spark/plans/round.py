@@ -178,11 +178,19 @@ def build_two_phase_plan(
         staleness window reuses stage B's partitioning.
     Tie-breaks are (order DESC, url_hash ASC) throughout, keeping the
     plan a deterministic function of the snapshot.
+
+    The URL string itself stays OUT of the ranking pipeline (it is the
+    widest column and no plan consumer needs it — the fetch stage keys
+    on url_hash/host; a production fetcher resolves the string by
+    joining the tiny plan back to the frontier on url_hash). Robots
+    gating therefore evaluates the path BEFORE the projection.
     """
-    sched_cols = ["url_hash", "url", "host", "last_id", "first_id",
-                  "reached", "rate_tph", "latest_ts"]
+    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    sched_cols = [F.col(c) for c in
+                  ["url_hash", "host", "last_id", "first_id",
+                   "reached", "rate_tph", "latest_ts"]] + [path.alias("__path")]
     scored = score(active.select(*sched_cols), now)
-    gated = gate_robots(scored, robots)
+    gated = gate_robots(scored, robots, path_col="__path").drop("__path")
     wb = (
         gated.join(
             F.broadcast(budgets.select("host", "budget_per_round")), "host", "left"
@@ -216,7 +224,7 @@ def build_two_phase_plan(
     )
     w_e = Window.partitionBy("host").orderBy(*order_e)
     ranked = pre.withColumn("__rank_e", F.row_number().over(w_e))
-    keep = ["url_hash", "url", "host", "last_id", "first_id", "reached",
+    keep = ["url_hash", "host", "last_id", "first_id", "reached",
             "expected", "hours_idle"]
     p1 = (
         ranked.where(F.col("__rank_e") <= F.col("__b"))
