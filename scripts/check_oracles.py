@@ -69,12 +69,18 @@ def main():
         try:
             res = con.execute(os_[name])
             dcols = [d[0] for d in res.description]
+            dtypes = [str(d[1]) for d in res.description]
             drows = res.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")
             continue
         problems = []
+        # the driver's typed value-hash diverges on DuckDB HUGEINT (int sums):
+        # it round-trips through arrow/pandas where INT128 degrades. Guard here.
+        huge = [c for c, t in zip(dcols, dtypes) if "HUGEINT" in t.upper()]
+        if huge:
+            problems.append(f"HUGEINT oracle columns {huge} — cast to BIGINT")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):

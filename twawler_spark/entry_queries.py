@@ -1033,7 +1033,7 @@ def q_f15_json(spark, sf):
 
 O_F15 = """
 SELECT event_type,
-       sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+       cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
        round(avg(cast(json_extract_string(props, '$.k') as bigint)), 4) AS avg_k,
        count(*) AS n
 FROM events GROUP BY event_type
@@ -1073,9 +1073,9 @@ scored AS (
          CASE WHEN tok IN {repr(_SENTI_POS)} THEN 1
               WHEN tok IN {repr(_SENTI_NEG)} THEN -1 ELSE 0 END AS s
   FROM toks)
-SELECT lang, sum(s) AS sentiment_sum,
-       sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS n_pos,
-       sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS n_neg
+SELECT lang, cast(sum(s) as bigint) AS sentiment_sum,
+       cast(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) as bigint) AS n_pos,
+       cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) as bigint) AS n_neg
 FROM scored GROUP BY lang
 """
 
@@ -1180,15 +1180,15 @@ SELECT user_id,
        round(avg(value), 4) AS avg_value,
        round(stddev(value), 4) AS sd_value,
        round(sum(value), 4) AS sum_value,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
+       cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
+       cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
+       cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) as bigint) AS n_error,
+       cast(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) as bigint) AS n_signup,
        round(count(*) * 3600.0 / greatest(
          cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint),
          3600), 4) AS events_per_hour,
-       sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) AS n_am,
+       cast(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) as bigint) AS n_am,
        count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_active_days
 FROM events GROUP BY user_id
 """

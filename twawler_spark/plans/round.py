@@ -296,7 +296,9 @@ def run_round(
         links.select(
             F.col("src_hash"),
             F.col("url_hash").alias("dst_hash"),
-        ).dropDuplicates(["src_hash", "dst_hash"]),
+        )
+        .dropDuplicates(["src_hash", "dst_hash"])
+        .withColumn("discovered_round", F.lit(round_no)),
         "follow_edges",
         round_no,
     )

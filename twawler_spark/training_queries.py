@@ -561,8 +561,8 @@ def q_text_token_stats(spark, sf):
 
 O_TEXT_TOKENS = """
 SELECT source,
-       sum(len(string_split(text, ' '))) AS ws_tokens,
-       sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens,
+       cast(sum(len(string_split(text, ' '))) as bigint) AS ws_tokens,
+       cast(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) as bigint) AS re_tokens,
        round(avg(len(string_split(text, ' '))), 4) AS avg_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source
