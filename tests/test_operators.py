@@ -207,3 +207,28 @@ def test_text_kernels(spark):
     assert len(rows[0]["fp"]) == 32
     assert rows[0]["re_toks"][:2] == ["the", "a"]
     assert rows[1]["re_toks"] == ["zzz", "qqq"]
+
+
+# --------------------------------------------------- S8 overlap-stop scan
+
+def test_s8_stop_condition(spark):
+    """dumpfavs.py:30 semantics: keep paging while cumulative known
+    <= stop; the page where the threshold is crossed is still fetched
+    (the check happens before the request), later pages are not."""
+    from twawler_spark.coverage_queries import overlap_stop_scan
+
+    # one user, 5 pages of 10; pages 0-1 fully known (20 known total);
+    # stop=15 -> page 2 still scanned (known_before=20 > 15? no: before
+    # page2 cum=20 > 15 -> NOT scanned). pages 0,1 scanned (before=0,10).
+    rows = [(1, 1000 - i, 1 if i < 20 else 0) for i in range(50)]
+    # second user: nothing known -> all 5 pages scanned
+    rows += [(2, 1000 - i, 0) for i in range(50)]
+    favs = spark.createDataFrame(rows, "user_id int, tweet_id int, known int")
+    out = {
+        r["user_id"]: r
+        for r in overlap_stop_scan(favs, page_size=10, stop=15).collect()
+    }
+    assert out[1]["n_pages_scanned"] == 2
+    assert out[1]["n_known_seen"] == 20 and out[1]["n_new"] == 0
+    assert out[2]["n_pages_scanned"] == 5
+    assert out[2]["n_new"] == 50 and out[2]["n_known_seen"] == 0

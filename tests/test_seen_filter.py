@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from twawler_spark.hashing import np_stream64
 from twawler_spark.operators.admission import admit
 from twawler_spark.operators.seen_filter import (
+    BroadcastBloom,
     _bits_test,
     _positions,
     build_sharded_bloom,
@@ -45,6 +46,45 @@ def test_bloom_admission_equals_exact(spark):
     exact = {r["url_hash"] for r in admit(cands, seen, None).collect()}
     assert with_bloom == exact
     assert len(exact) == 5_000  # ids 5000..9999 hash-distinct
+
+
+def test_broadcast_bloom_no_false_negatives_and_update(spark, tmp_path):
+    seen = _keys_df(spark, 0, 10_000)
+    b = BroadcastBloom.build(seen, n_keys=10_000)
+    assert b.probe(seen).where(~F.col("maybe_seen")).count() == 0
+    # incremental delta update must equal a fresh build over the union,
+    # bit for bit (same m/k because same capacity)
+    b.update(_keys_df(spark, 10_000, 12_000), n_delta=2_000)
+    full = BroadcastBloom.build(
+        _keys_df(spark, 0, 12_000), n_keys=12_000, capacity=b.capacity
+    )
+    assert b.m_bits == full.m_bits and b.k_hashes == full.k_hashes
+    assert (b.bits == full.bits).all()
+    assert b.n_keys == 12_000 and not b.needs_rebuild
+    # atomic persist round-trip
+    p = str(tmp_path / "bloom" / "r0")
+    b.save(p)
+    b2 = BroadcastBloom.load(p)
+    assert (b2.bits == b.bits).all() and b2.k_hashes == b.k_hashes
+    assert b2.probe(seen).where(~F.col("maybe_seen")).count() == 0
+
+
+def test_broadcast_bloom_admission_equals_exact(spark):
+    seen = _keys_df(spark, 0, 5_000)
+    cands = _keys_df(spark, 2_500, 10_000)
+    bloom = BroadcastBloom.build(seen, n_keys=5_000)
+    with_bloom = {r["url_hash"] for r in admit(cands, seen, bloom).collect()}
+    exact = {r["url_hash"] for r in admit(cands, seen, None).collect()}
+    assert with_bloom == exact
+    assert len(exact) == 5_000
+
+
+def test_broadcast_bloom_fpp_bounded(spark):
+    seen = _keys_df(spark, 0, 20_000)
+    other = _keys_df(spark, 100_000, 120_000)
+    bloom = BroadcastBloom.build(seen, n_keys=20_000, fpp=0.01)
+    fp = bloom.probe(other).where(F.col("maybe_seen")).count()
+    assert fp / 20_000 < 0.03
 
 
 def test_merge_global_treeaggregate(spark):

@@ -1,0 +1,652 @@
+"""Coverage wave 4 — the operators VERDICT r1 flagged missing/partial.
+
+S7 list scans (twkit/crawler/addlists.py:25-200), S8 favorites scan
+with overlap-stop (twkit/crawler/dumpfavs.py:20-52), S4 search source
+(twkit/crawler/search.py:20-92), F13 gender classifier
+(twkit/analytics/gender.py:24-55), F12 lexicon-scale sentiment cascade
+(twkit/analytics/senti.py:176-223), J8 true synchrotrap
+(twkit/analytics/findcommontweets.py:22-59), J7 unknown edge endpoints,
+F16 nested-struct flatten, F2/F3 normalize+deaccent.
+
+All inputs are synthesized deterministically from the driver tables
+(identically in Spark and DuckDB) — lists, favorites and follow edges
+don't exist as physical tables at the driver's sf dirs, so membership /
+edge structures derive from lineitem/orders/documents keys, exactly as
+the crawl queries derive a frontier from events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# S7 — list scans: lists + listmembers ingestion feeding the frontier
+# =====================================================================
+
+def _listmembers(spark, sf):
+    """listmembers edges (addlistmembers bulk insert shape,
+    addlists.py:49-57): (list_id, user_id), deduped like the unique
+    index on the reference collection."""
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        F.pmod(F.col("l_partkey"), F.lit(120)).alias("list_id"),
+        F.col("l_suppkey").alias("user_id"),
+    ).dropDuplicates(["list_id", "user_id"])
+
+
+_SQL_LISTMEMBERS = """
+  SELECT DISTINCT l_partkey % 120 AS list_id, l_suppkey AS user_id
+  FROM lineitem
+"""
+
+
+def q_s7_list_scan(spark, sf):
+    """S7: scan members of subscribed lists, admit unknown users to the
+    frontier (addlists.py:25-57: GetListMembers -> lookup_user unknown
+    check -> bulk insert). Subscribed lists = list_id < 40; tracked
+    users = user_id % 7 == 0 (the lookup_user set stand-in)."""
+    m = _listmembers(spark, sf).where(F.col("list_id") < 40)
+    cand = m.where(F.pmod(F.col("user_id"), F.lit(7)) != 0)
+    return cand.groupBy(F.pmod(F.col("list_id"), F.lit(10)).alias("bucket")).agg(
+        F.countDistinct("list_id").alias("n_lists"),
+        F.count("*").alias("n_candidates"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("user_id").alias("min_user"),
+    )
+
+
+O_S7_LIST_SCAN = f"""
+WITH m AS ({_SQL_LISTMEMBERS}),
+cand AS (SELECT * FROM m WHERE list_id < 40 AND user_id % 7 != 0)
+SELECT list_id % 10 AS bucket, count(DISTINCT list_id) AS n_lists,
+       count(*) AS n_candidates, count(DISTINCT user_id) AS n_users,
+       min(user_id) AS min_user
+FROM cand GROUP BY 1
+"""
+
+
+def q_s7_list_similarity(spark, sf):
+    """S7 analytics: list pairs ranked by shared members (the
+    listfollowers.py:89-96 / botnetgraph membership-overlap shape) —
+    one self-join on user_id, never an all-pairs list cross join."""
+    m = _listmembers(spark, sf)
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.list_id") < F.col("b.list_id")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.list_id").alias("list_a"), F.col("b.list_id").alias("list_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= 12)
+    )
+
+
+O_S7_LIST_SIM = f"""
+WITH m AS ({_SQL_LISTMEMBERS})
+SELECT a.list_id AS list_a, b.list_id AS list_b, count(*) AS n_shared
+FROM m a JOIN m b ON a.user_id = b.user_id AND a.list_id < b.list_id
+GROUP BY 1, 2 HAVING count(*) >= 12
+"""
+
+
+# =====================================================================
+# S8 — favorites scan with overlap-stop paging
+# =====================================================================
+
+PAGE_SIZE = 200
+KNOWN_STOP = 190
+
+
+def overlap_stop_scan(
+    favs: DataFrame, page_size: int = PAGE_SIZE, stop: int = KNOWN_STOP
+) -> DataFrame:
+    """Overlap-stop paging over a (user_id, tweet_id, known) edge frame:
+    rank per user by tweet_id DESC -> page index; a page is fetched only
+    while the cumulative known count over STRICTLY EARLIER pages <= stop
+    (monotone, so the filter is exactly dumpfavs.py:30's stop point).
+    Returns per-user (n_pages_scanned, n_new, n_known_seen)."""
+    w_rank = W.partitionBy("user_id").orderBy(F.col("tweet_id").desc())
+    ranked = favs.withColumn(
+        "page", F.floor((F.row_number().over(w_rank) - 1) / page_size)
+    )
+    pages = ranked.groupBy("user_id", "page").agg(
+        F.sum("known").alias("page_known"),
+        (F.count("*") - F.sum("known")).alias("page_new"),
+    )
+    w_cum = (
+        W.partitionBy("user_id")
+        .orderBy("page")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scanned = pages.withColumn(
+        "known_before", F.coalesce(F.sum("page_known").over(w_cum), F.lit(0))
+    ).where(F.col("known_before") <= stop)
+    return scanned.groupBy("user_id").agg(
+        F.count("*").alias("n_pages_scanned"),
+        F.sum("page_new").alias("n_new"),
+        F.sum("page_known").alias("n_known_seen"),
+    )
+
+
+def q_s8_favorites_stop(spark, sf):
+    """S8: page favorites newest-first, 200/page; a page is fetched only
+    while the cumulative count of already-known edges is <= 190
+    (dumpfavs.py:30 ``while retry and known <= 190``: matched_count
+    accumulates across pages). Emits per-user scan totals."""
+    li = _t(spark, sf, "lineitem")
+    favs = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(200)).alias("user_id"),
+        (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("tweet_id"),
+    ).dropDuplicates(["user_id", "tweet_id"]).withColumn(
+        "known", (F.pmod(F.col("tweet_id"), F.lit(3)) == 0).cast("int")
+    )
+    return overlap_stop_scan(favs)
+
+
+O_S8_FAVORITES = f"""
+WITH favs AS (
+  SELECT DISTINCT l_orderkey % 200 AS user_id,
+         l_partkey * 100000 + l_suppkey AS tweet_id
+  FROM lineitem),
+ranked AS (
+  SELECT user_id, tweet_id,
+         CASE WHEN tweet_id % 3 = 0 THEN 1 ELSE 0 END AS known,
+         cast(floor((row_number() OVER (PARTITION BY user_id ORDER BY tweet_id DESC)
+                     - 1) / {PAGE_SIZE}) as bigint) AS page
+  FROM favs),
+pages AS (
+  SELECT user_id, page, cast(sum(known) as bigint) AS page_known,
+         cast(count(*) - sum(known) as bigint) AS page_new
+  FROM ranked GROUP BY 1, 2),
+scanned AS (
+  SELECT *, coalesce(sum(page_known) OVER (PARTITION BY user_id ORDER BY page
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS known_before
+  FROM pages)
+SELECT user_id, count(*) AS n_pages_scanned,
+       cast(sum(page_new) as bigint) AS n_new,
+       cast(sum(page_known) as bigint) AS n_known_seen
+FROM scanned WHERE known_before <= {KNOWN_STOP} GROUP BY user_id
+"""
+
+
+# =====================================================================
+# S4 — search source: term scan that CREATES frontier candidates
+# =====================================================================
+
+SEARCH_TERM = "vector"
+
+
+def q_s4_search_scan(spark, sf):
+    """S4: parameterized term search feeding the frontier-insert path
+    (search.py:20-92: GetSearch -> pack_tweet insert; --add follows the
+    author AND the retweeted author). Matched docs yield author uids
+    (doc_id % 500) plus retweet-origin uids ((doc_id*7+3) % 500 for docs
+    that carry the 'stream' marker); candidates not already tracked
+    (uid % 3 == 0) are admitted, counted per source."""
+    d = _t(spark, sf, "documents")
+    hits = d.where(
+        F.array_contains(F.split(F.col("text"), " "), SEARCH_TERM)
+        & (F.col("lang") == "en")
+    )
+    authors = hits.select(
+        "source", F.pmod(F.col("doc_id"), F.lit(500)).alias("uid")
+    )
+    origins = hits.where(
+        F.array_contains(F.split(F.col("text"), " "), "stream")
+    ).select(
+        "source", F.pmod(F.col("doc_id") * 7 + 3, F.lit(500)).alias("uid")
+    )
+    cands = authors.unionByName(origins).dropDuplicates(["source", "uid"])
+    admitted = cands.where(F.pmod(F.col("uid"), F.lit(3)) != 0)
+    n_hits = hits.groupBy("source").agg(F.count("*").alias("n_matched"))
+    adm = admitted.groupBy("source").agg(
+        F.count("*").alias("n_new_tracked"), F.min("uid").alias("min_uid")
+    )
+    return n_hits.join(adm, "source", "left").select(
+        "source",
+        "n_matched",
+        F.coalesce("n_new_tracked", F.lit(0)).alias("n_new_tracked"),
+        F.coalesce("min_uid", F.lit(-1)).alias("min_uid"),
+    )
+
+
+O_S4_SEARCH = f"""
+WITH hits AS (
+  SELECT * FROM documents
+  WHERE list_contains(string_split(text, ' '), '{SEARCH_TERM}') AND lang = 'en'),
+cands AS (
+  SELECT DISTINCT source, uid FROM (
+    SELECT source, doc_id % 500 AS uid FROM hits
+    UNION ALL
+    SELECT source, (doc_id * 7 + 3) % 500 AS uid FROM hits
+    WHERE list_contains(string_split(text, ' '), 'stream'))),
+adm AS (
+  SELECT source, count(*) AS n_new_tracked, min(uid) AS min_uid
+  FROM cands WHERE uid % 3 != 0 GROUP BY source),
+n AS (SELECT source, count(*) AS n_matched FROM hits GROUP BY source)
+SELECT n.source, n.n_matched,
+       coalesce(adm.n_new_tracked, 0) AS n_new_tracked,
+       coalesce(adm.min_uid, -1) AS min_uid
+FROM n LEFT JOIN adm ON n.source = adm.source
+"""
+
+
+# =====================================================================
+# F13 — gender classifier: regex trigger + POS-lexicon cascade
+# =====================================================================
+
+# the reference's trigger is the Greek copula (gender.py:27); the
+# synthetic corpus is English-ish, so articles stand in as the trigger
+_GENDER_PATTERN = r"(?:^| )(?:the|a) ([a-z]+)"
+_POS_MASC = ("spark", "hash", "join", "sort")       # 'αρσ' analog
+_POS_FEM = ("table", "row", "query", "line")        # 'θηλ' analog
+_NEGATION = "slow"                                   # negationwords analog
+_LOCATIONS = ("data", "value")                       # locations skip-list
+
+
+def q_f13_gender(spark, sf):
+    """F13 (gender.py:24-55): first regex-trigger match per doc; skip
+    docs with a negation word; skip location words; classify the
+    captured word via the POS lexicon; roll up male/female percentages
+    per source (the per-user rollup analog)."""
+    d = _t(spark, sf, "documents")
+    no_neg = d.where(~F.array_contains(F.split(F.col("text"), " "), _NEGATION))
+    nextword = F.regexp_extract(F.col("text"), _GENDER_PATTERN, 1)
+    hits = (
+        no_neg.select("source", nextword.alias("w"))
+        .where((F.col("w") != "") & ~F.col("w").isin(*_LOCATIONS))
+    )
+    male = F.sum(F.when(F.col("w").isin(*_POS_MASC), 1).otherwise(0))
+    female = F.sum(F.when(F.col("w").isin(*_POS_FEM), 1).otherwise(0))
+    return hits.groupBy("source").agg(
+        male.alias("n_male"), female.alias("n_female")
+    ).select(
+        "source",
+        "n_male",
+        "n_female",
+        F.when(
+            F.col("n_male") + F.col("n_female") > 0,
+            F.round(100.0 * F.col("n_male") / (F.col("n_male") + F.col("n_female")), 4),
+        ).otherwise(F.lit(0.0)).alias("pct_male"),
+    )
+
+
+O_F13_GENDER = f"""
+WITH hits AS (
+  SELECT source, regexp_extract(text, '{_GENDER_PATTERN}', 1) AS w
+  FROM documents
+  WHERE NOT list_contains(string_split(text, ' '), '{_NEGATION}')),
+cl AS (
+  SELECT source,
+         CASE WHEN w IN {repr(_POS_MASC)} THEN 1 ELSE 0 END AS m,
+         CASE WHEN w IN {repr(_POS_FEM)} THEN 1 ELSE 0 END AS f
+  FROM hits WHERE w != '' AND w NOT IN {repr(_LOCATIONS)}),
+agg AS (
+  SELECT source, cast(sum(m) as bigint) AS n_male,
+         cast(sum(f) as bigint) AS n_female
+  FROM cl GROUP BY source)
+SELECT source, n_male, n_female,
+       CASE WHEN n_male + n_female > 0
+            THEN round(100.0 * n_male / (n_male + n_female), 4)
+            ELSE 0.0 END AS pct_male
+FROM agg
+"""
+
+
+# =====================================================================
+# F12 — lexicon-scale sentiment cascade (exact -> lower -> deaccent)
+# =====================================================================
+
+_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash join "
+    "key line merge order part query row scan slow small sort spark stream "
+    "table the value vector window"
+).split()
+N_FILLER_LEX = 5000
+
+
+def _lexicon_spark(spark):
+    """5k+ entry scored lexicon (the greekdata/lexicon.csv scale):
+    vocab words scored by length parity, plus N_FILLER_LEX filler
+    entries so the broadcast-dictionary join runs at realistic size."""
+    vocab = spark.createDataFrame(
+        [(w, (len(w) % 5) - 2) for w in _VOCAB], "word string, score int"
+    )
+    filler = spark.range(N_FILLER_LEX).select(
+        F.concat(F.lit("lex"), F.col("id").cast("string")).alias("word"),
+        (F.pmod(F.col("id"), F.lit(5)) - 2).cast("int").alias("score"),
+    )
+    return vocab.unionByName(filler)
+
+
+_SQL_LEXICON = f"""
+  SELECT word, cast(length(word) % 5 - 2 as int) AS score
+  FROM (SELECT unnest({_VOCAB!r}) AS word)
+  UNION ALL
+  SELECT 'lex' || cast(x as varchar), cast(x % 5 - 2 as int)
+  FROM range({N_FILLER_LEX}) t(x)
+"""
+
+
+def q_f12_sentiment_cascade(spark, sf):
+    """F12 at lexicon scale (senti.py:176-223): each token resolves
+    through exact -> lowercase -> deaccent lookups against a broadcast
+    5k-entry dictionary; per-lang rollup of mean positive / negative
+    scores (senti.py:322-392). Tokens are mutated per doc (upper /
+    accented) so every cascade stage does real work; the reference
+    deaccents Greek — here the same cascade runs over a Latin accent."""
+    d = _t(spark, sf, "documents")
+    lex = _lexicon_spark(spark)
+    tok = F.explode(F.split(F.col("text"), " ")).alias("tok0")
+    toks = d.select("lang", "doc_id", tok).select(
+        "lang",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.upper(F.col("tok0")))
+        .when(
+            F.pmod(F.col("doc_id"), F.lit(3)) == 1,
+            F.translate(F.col("tok0"), "a", "á"),
+        )
+        .otherwise(F.col("tok0"))
+        .alias("tok"),
+    )
+    e = lex.select(F.col("word").alias("w_e"), F.col("score").alias("s_e"))
+    l = lex.select(F.col("word").alias("w_l"), F.col("score").alias("s_l"))
+    x = lex.select(F.col("word").alias("w_d"), F.col("score").alias("s_d"))
+    cascade = (
+        toks.join(F.broadcast(e), toks.tok == e.w_e, "left")
+        .join(F.broadcast(l), F.lower(toks.tok) == l.w_l, "left")
+        .join(
+            F.broadcast(x),
+            F.translate(F.lower(toks.tok), "á", "a") == x.w_d,
+            "left",
+        )
+        .select(
+            "lang",
+            F.coalesce("s_e", "s_l", "s_d").alias("s"),
+            F.when(F.col("s_e").isNotNull(), 1).otherwise(0).alias("hit_e"),
+            F.when(F.col("s_e").isNull() & F.col("s_l").isNotNull(), 1)
+            .otherwise(0)
+            .alias("hit_l"),
+            F.when(
+                F.col("s_e").isNull() & F.col("s_l").isNull() & F.col("s_d").isNotNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit_d"),
+        )
+    )
+    n_pos = F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+    sum_pos = F.sum(F.when(F.col("s") > 0, F.col("s")).otherwise(0))
+    sum_neg = F.sum(F.when(F.col("s") < 0, F.col("s")).otherwise(0))
+    return cascade.groupBy("lang").agg(
+        F.sum("hit_e").alias("n_exact"),
+        F.sum("hit_l").alias("n_lower"),
+        F.sum("hit_d").alias("n_deaccent"),
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.round(sum_pos / F.greatest(n_pos, F.lit(1)), 4).alias("senti_pos"),
+        F.round(sum_neg / F.greatest(n_neg, F.lit(1)), 4).alias("senti_neg"),
+    )
+
+
+O_F12_CASCADE = f"""
+WITH lex AS ({_SQL_LEXICON}),
+toks AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN upper(tok0)
+              WHEN doc_id % 3 = 1 THEN translate(tok0, 'a', 'á')
+              ELSE tok0 END AS tok
+  FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok0
+        FROM documents)),
+cascade AS (
+  SELECT t.lang,
+         coalesce(e.score, l.score, d.score) AS s,
+         CASE WHEN e.score IS NOT NULL THEN 1 ELSE 0 END AS hit_e,
+         CASE WHEN e.score IS NULL AND l.score IS NOT NULL THEN 1 ELSE 0 END AS hit_l,
+         CASE WHEN e.score IS NULL AND l.score IS NULL AND d.score IS NOT NULL
+              THEN 1 ELSE 0 END AS hit_d
+  FROM toks t
+  LEFT JOIN lex e ON t.tok = e.word
+  LEFT JOIN lex l ON lower(t.tok) = l.word
+  LEFT JOIN lex d ON translate(lower(t.tok), 'á', 'a') = d.word)
+SELECT lang,
+       cast(sum(hit_e) as bigint) AS n_exact,
+       cast(sum(hit_l) as bigint) AS n_lower,
+       cast(sum(hit_d) as bigint) AS n_deaccent,
+       cast(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) as bigint) AS n_pos,
+       cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) as bigint) AS n_neg,
+       round(sum(CASE WHEN s > 0 THEN s ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END), 1), 4) AS senti_pos,
+       round(sum(CASE WHEN s < 0 THEN s ELSE 0 END) * 1.0
+             / greatest(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 1), 4) AS senti_neg
+FROM cascade GROUP BY lang
+"""
+
+
+# =====================================================================
+# J8 — true synchrotrap: sliding 600s/300s windows + BoW Jaccard >= 0.8
+# =====================================================================
+
+J8_WINDOW = 600
+J8_SLIDE = 300
+J8_THRESHOLD = 0.8
+# event_id is time-ordered in the driver data, so attaching text by
+# floor(event_id/4) % 250 plants runs of 4 consecutive (= co-windowed)
+# events sharing a text — the lockstep bots the detector must find
+J8_DOC_MOD = 250
+
+
+def q_j8_synchrotrap_full(spark, sf):
+    """J8 full semantics (findcommontweets.py:22-59): 600s windows
+    sliding by 300s; within a window, pairs of events from DIFFERENT
+    users whose bag-of-words Jaccard >= 0.8 are lockstep edges; a pair
+    is counted once — at the window where the earlier event falls in
+    the first half (created_at < mid_date). Texts attach to events via
+    doc_id = floor(event_id/4) % {J8_DOC_MOD}; BoW uses distinct word BIGRAMS
+    (the 31-word vocab makes unigram sets saturate — bigrams keep the
+    similarity discriminative, same set-Jaccard semantics)."""
+    e = _t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("te"),
+        F.pmod(F.floor(F.col("event_id") / 4), F.lit(J8_DOC_MOD)).alias("doc_id"),
+    )
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    ev = e.join(F.broadcast(d.select("doc_id", bigrams.alias("bow"))), "doc_id")
+    win = F.floor(F.col("te") / J8_SLIDE)
+    ev = ev.withColumn("w", F.explode(F.array(win - 1, win)))
+    a, b = ev.alias("a"), ev.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.bow"), F.col("b.bow")))
+    union = F.size(F.array_union(F.col("a.bow"), F.col("b.bow")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (
+                (F.col("a.te") < F.col("b.te"))
+                | ((F.col("a.te") == F.col("b.te")) & (F.col("a.event_id") < F.col("b.event_id")))
+            )
+            & (F.col("a.user_id") != F.col("b.user_id")),
+        )
+        # count once: earlier event in the window's first half
+        .where(F.col("a.te") < (F.col("a.w") * J8_SLIDE + J8_SLIDE))
+        .where((inter / union) >= J8_THRESHOLD)
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            F.col("a.event_id").alias("event_a"),
+            F.col("b.event_id").alias("event_b"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("user_a", "user_b").agg(F.count("*").alias("n_lockstep"))
+
+
+O_J8_FULL = f"""
+WITH e AS (
+  SELECT event_id, user_id, cast(floor(epoch(ts)) as bigint) AS te,
+         cast(floor(event_id / 4) as bigint) % {J8_DOC_MOD} AS doc_id
+  FROM events),
+d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1]
+         )) AS bow
+  FROM documents),
+ev AS (
+  SELECT e.*, d.bow, cast(floor(te / {J8_SLIDE}) as bigint) + o.off AS w
+  FROM e JOIN d USING (doc_id)
+  CROSS JOIN (SELECT unnest([-1, 0]) AS off) o),
+pairs AS (
+  SELECT DISTINCT a.user_id AS user_a, b.user_id AS user_b,
+         a.event_id AS event_a, b.event_id AS event_b
+  FROM ev a JOIN ev b
+    ON a.w = b.w
+   AND (a.te < b.te OR (a.te = b.te AND a.event_id < b.event_id))
+   AND a.user_id != b.user_id
+  WHERE a.te < a.w * {J8_SLIDE} + {J8_SLIDE}
+    AND len(list_intersect(a.bow, b.bow)) * 1.0
+        / len(list_distinct(list_concat(a.bow, b.bow))) >= {J8_THRESHOLD})
+SELECT user_a, user_b, count(*) AS n_lockstep FROM pairs GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# J7 — edge endpoints minus known users
+# =====================================================================
+
+def q_j7_unknown_endpoints(spark, sf):
+    """J7: distinct edge DESTINATIONS not in the known-user dimension
+    (the pullfollow backlog shape — follower edges pointing at users the
+    crawler hasn't resolved yet). Edges = (l_suppkey -> l_partkey);
+    known = parts with p_size < 30."""
+    li = _t(spark, sf, "lineitem")
+    dsts = li.select(F.col("l_partkey").alias("dst")).distinct()
+    known = (
+        _t(spark, sf, "part").where(F.col("p_size") < 30)
+        .select(F.col("p_partkey").alias("dst"))
+    )
+    unknown = dsts.join(known, "dst", "left_anti")
+    return unknown.groupBy(F.pmod(F.col("dst"), F.lit(8)).alias("bucket")).agg(
+        F.count("*").alias("n_unknown"), F.min("dst").alias("min_dst"),
+        F.max("dst").alias("max_dst"),
+    )
+
+
+O_J7 = """
+WITH dsts AS (SELECT DISTINCT l_partkey AS dst FROM lineitem),
+known AS (SELECT p_partkey AS dst FROM part WHERE p_size < 30),
+unknown AS (SELECT dst FROM dsts WHERE dst NOT IN (SELECT dst FROM known))
+SELECT dst % 8 AS bucket, count(*) AS n_unknown,
+       min(dst) AS min_dst, max(dst) AS max_dst
+FROM unknown GROUP BY 1
+"""
+
+
+# =====================================================================
+# F16 — nested struct build + flatten
+# =====================================================================
+
+def q_f16_flatten(spark, sf):
+    """F16: build nested array<struct> per order, then flatten back
+    (the reference's tweet-JSON nested access, vectorize.py:117-120 /
+    utils.py:207) — collect_list(struct) -> explode -> field access."""
+    li = _t(spark, sf, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct(F.col("l_linenumber").alias("ln"), F.col("l_quantity").alias("qty"))
+        ).alias("items")
+    )
+    flat = nested.select(
+        "l_orderkey", F.explode("items").alias("item")
+    ).select("l_orderkey", F.col("item.ln").alias("ln"), F.col("item.qty").alias("qty"))
+    return flat.groupBy(F.pmod(F.col("l_orderkey"), F.lit(10)).alias("bucket")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("qty"), 2).alias("sum_qty"),
+        F.max("ln").alias("max_ln"),
+    )
+
+
+O_F16 = """
+WITH nested AS (
+  SELECT l_orderkey,
+         list(struct_pack(ln := l_linenumber, qty := l_quantity)) AS items
+  FROM lineitem GROUP BY l_orderkey),
+flat AS (
+  SELECT l_orderkey, unnest(items, recursive := true) FROM nested)
+SELECT l_orderkey % 10 AS bucket, count(*) AS n_items,
+       round(sum(qty), 2) AS sum_qty, max(ln) AS max_ln
+FROM flat GROUP BY 1
+"""
+
+
+# =====================================================================
+# F2/F3 — normalize + deaccent
+# =====================================================================
+
+def q_f2_f3_normalize(spark, sf):
+    """F2 normalize (lowercase, strip urls/mentions/hashtags, collapse
+    whitespace — stats.py:628-649 itertext) and F3 deaccent
+    (stats.py:639-649), applied to noisy text constructed around each
+    doc. Emits the cleaned prefix + token count per doc."""
+    from .functions.text import deaccent_gr, normalize
+
+    d = _t(spark, sf, "documents")
+    noisy = F.concat(
+        F.lit("RT @user"),
+        F.col("doc_id").cast("string"),
+        F.lit(" άέή see https://ex.com/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?x=1 #tag  "),
+        F.upper(F.substring(F.col("text"), 1, 40)),
+    )
+    cleaned = normalize(noisy)
+    return d.select(
+        "doc_id",
+        F.substring(cleaned, 1, 60).alias("cleaned_prefix"),
+        F.size(F.split(cleaned, " ")).alias("n_tokens"),
+        deaccent_gr(F.lit("άέήίόύώ")).alias("deaccented"),
+    )
+
+
+O_F2_F3 = """
+SELECT doc_id,
+       substring(t, 1, 60) AS cleaned_prefix,
+       len(string_split(t, ' ')) AS n_tokens,
+       translate('άέήίόύώ',
+                 'άέήίόύώ',
+                 'αεηιουω') AS deaccented
+FROM (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               lower('RT @user' || cast(doc_id as varchar)
+                     || ' άέή see https://ex.com/'
+                     || cast(doc_id as varchar) || '?x=1 #tag  '
+                     || upper(substring(text, 1, 40))),
+               'https?://\\S+', ' ', 'g'),
+             '[@#]\\w+', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS t
+  FROM documents)
+"""

@@ -19,34 +19,52 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .seen_filter import ShardedBloom
+from .seen_filter import BroadcastBloom, ShardedBloom
 
 
 def admit(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: ShardedBloom | None = None,
+    bloom: BroadcastBloom | ShardedBloom | None = None,
     key_col: str = "url_hash",
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen``.
 
-    Bloom path: probe KEYS only (8 bytes/row across the Arrow boundary,
-    not the full candidate row), exact-confirm the ~fpp "maybe seen"
-    remainder against the seen table, then a single anti-join of the
-    candidates against the CONFIRMED-seen keys — whose size is
-    |seen ∩ candidates|, not |seen|. That's the 10^10-seen-set win: the
-    exact set is only ever probed with the bloom survivors, and the
-    final anti-join's build side shrinks from the full seen-set to the
-    true overlap.
+    Exact path (bloom=None): plain LEFT ANTI — shuffles BOTH sides by
+    key, O(|seen|) shuffle per round. Correct, but the seen-set is the
+    10^10 table; reshuffling it every round is the scale killer.
+
+    BroadcastBloom path (production default): ZERO shuffles —
+      1. probe candidate keys map-side (broadcast bits + Arrow UDF);
+         bloom-ABSENT keys are definitely new (no false negatives);
+      2. exact-confirm the "maybe seen" remainder with a broadcast SEMI
+         join where ``seen`` is the STREAM side: the seen table is
+         column-pruned-scanned once but never shuffled;
+      3. anti-join candidates against the broadcast CONFIRMED set —
+         sized |seen ∩ candidates| + fpp, bounded by the round's
+         candidate count, never by |seen|.
+
+    ShardedBloom path: same protocol but the probe cogroups candidates
+    with co-partitioned shard filters — for filters too big to
+    broadcast (>=10^10 keys ≈ 15 GB of bits).
     """
-    seen_keys = seen.select(key_col).distinct()
+    seen_keys = seen.select(key_col)
     if bloom is None:
-        return candidates.join(seen_keys, key_col, "left_anti")
-    flagged_keys = bloom.probe(
-        candidates.select(key_col), flag_col="__maybe_seen"
-    )
-    maybe = flagged_keys.where(F.col("__maybe_seen")).select(key_col)
-    confirmed = maybe.join(seen_keys, key_col, "left_semi")
+        return candidates.join(seen_keys.distinct(), key_col, "left_anti")
+    if isinstance(bloom, BroadcastBloom):
+        flagged = bloom.probe(
+            candidates.select(key_col), key_col=key_col, flag_col="__maybe_seen"
+        )
+        maybe = flagged.where(F.col("__maybe_seen")).select(key_col)
+        # seen is the stream side: scanned (pruned to the key column), not
+        # shuffled; duplicates in `confirmed` are deduped by the hash relation
+        confirmed = seen_keys.join(F.broadcast(maybe), key_col, "left_semi")
+        return candidates.join(F.broadcast(confirmed), key_col, "left_anti")
+    # sharded tier: maybe-set can itself be huge, so confirm stays a
+    # co-partitioned shuffle join rather than a broadcast
+    flagged = bloom.probe(candidates.select(key_col), flag_col="__maybe_seen")
+    maybe = flagged.where(F.col("__maybe_seen")).select(key_col)
+    confirmed = maybe.join(seen_keys.distinct(), key_col, "left_semi")
     return candidates.join(confirmed, key_col, "left_anti")
 
 

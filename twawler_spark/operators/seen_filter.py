@@ -126,11 +126,14 @@ def build_sharded_bloom(
     n_buckets: int = 64,
     fpp: float = 0.01,
     fixed_m_bits: int | None = None,
+    fixed_k: int | None = None,
 ) -> ShardedBloom:
     """Build per-bucket filters with applyInPandas (one Arrow batch/bucket).
 
     ``fixed_m_bits`` forces uniform sizing (required by merge_global);
-    default sizes each shard for its own key count at ``fpp``.
+    ``fixed_k`` additionally pins the probe count so shards built from
+    different key sets (e.g. per-round deltas) stay OR-mergeable. Default
+    sizes each shard for its own key count at ``fpp``.
     """
     bucketed = keys.select(
         F.col(key_col), F.pmod(F.col(key_col), F.lit(n_buckets)).cast("int").alias("bucket")
@@ -141,9 +144,11 @@ def build_sharded_bloom(
         n = len(arr)
         if fixed_m_bits is not None:
             m = fixed_m_bits
-            k = max(1, min(16, round(m / max(n, 1) * math.log(2))))
+            k = fixed_k or max(1, min(16, round(m / max(n, 1) * math.log(2))))
         else:
             m, k = _size_for(n, fpp)
+            if fixed_k:
+                k = fixed_k
         bits = np.zeros(m // 8, dtype=np.uint8)
         _bits_set(bits, _positions(arr, m, k))
         return pd.DataFrame(
@@ -160,3 +165,160 @@ def build_sharded_bloom(
         build, schema="bucket int, n_keys long, m_bits long, k_hashes int, bits binary"
     )
     return ShardedBloom(shards=shards, n_buckets=n_buckets, key_col=key_col)
+
+
+# =====================================================================
+# Broadcast tier: one persisted filter, incrementally updated per round
+# =====================================================================
+
+
+@dataclass
+class BroadcastBloom:
+    """Driver-held Bloom filter for the seen-set, the production default
+    below ~1 GB of filter bits (10^9-key tier; beyond that use
+    ShardedBloom's cogroup probe, which never centralizes the bits).
+
+    Lifecycle fixes the round-1 regression (bloom slower than exact):
+      * built ONCE from the full seen-set (distributed sharded build +
+        treeAggregate OR — the north rule's per-partition merge path);
+      * each round ORs in only that round's seen-DELTA — O(|delta|),
+        never O(|seen|) — then persists bits atomically in the catalog;
+      * probed map-side via a broadcast + vectorized Arrow UDF: zero
+        shuffles touch either the candidates or the seen-set.
+
+    Capacity: ``m_bits`` is sized for ``capacity`` keys at ``fpp``; when
+    ``n_keys`` outgrows capacity the caller rebuilds at 4x (amortized
+    O(log) rebuilds over a crawl's lifetime).
+    """
+
+    m_bits: int
+    k_hashes: int
+    bits: np.ndarray  # uint8, m_bits // 8 bytes
+    n_keys: int
+    capacity: int
+
+    N_BUILD_BUCKETS = 64
+
+    # ------------------------------------------------------------ build
+    @classmethod
+    def build(
+        cls,
+        keys: DataFrame,
+        n_keys: int,
+        key_col: str = "url_hash",
+        capacity: int | None = None,
+        fpp: float = 0.01,
+    ) -> "BroadcastBloom":
+        """Distributed build: per-bucket filters on executors, OR-merged
+        via treeAggregate. ``n_keys`` is supplied by the caller (known
+        from write metrics/Observation — no extra count job)."""
+        capacity = max(capacity or 2 * n_keys, 1 << 16)
+        m, k = _size_for(capacity, fpp)
+        # fewer shards for big filters: treeAggregate traffic is
+        # n_buckets * m/8 bytes, so shard count shrinks as m grows
+        m_bytes = m // 8
+        n_buckets = 64 if m_bytes <= (16 << 20) else (16 if m_bytes <= (128 << 20) else 8)
+        sb = build_sharded_bloom(
+            keys, key_col, n_buckets, fpp, fixed_m_bits=m, fixed_k=k
+        )
+        merged = sb.merge_global()
+        bits = (
+            merged[2] if merged is not None else np.zeros(m // 8, dtype=np.uint8)
+        )
+        return cls(m_bits=m, k_hashes=k, bits=bits, n_keys=n_keys, capacity=capacity)
+
+    # deltas below this come to the driver as one small collect (8 B/key)
+    # instead of a distributed build whose treeAggregate would move
+    # n_buckets × m bytes — per-round deltas are plan-bounded, so this is
+    # the production path; the distributed branch covers bulk backfills.
+    DRIVER_UPDATE_MAX = 8_000_000
+
+    def update(self, delta_keys: DataFrame, n_delta: int, key_col: str = "url_hash") -> None:
+        """OR in one round's delta — O(|delta|), never O(|seen|)."""
+        if n_delta == 0:
+            return
+        if n_delta <= self.DRIVER_UPDATE_MAX:
+            arr = np.array(
+                [r[0] for r in delta_keys.select(key_col).collect()], dtype=np.int64
+            )
+            self.update_from_keys(arr)
+            return
+        sb = build_sharded_bloom(
+            delta_keys,
+            key_col,
+            self.N_BUILD_BUCKETS,
+            fixed_m_bits=self.m_bits,
+            fixed_k=self.k_hashes,
+        )
+        merged = sb.merge_global()
+        if merged is not None:
+            self.bits = self.bits | merged[2]
+        self.n_keys += n_delta
+
+    def update_from_keys(self, keys: np.ndarray) -> None:
+        """Driver-side bit-set for an in-hand delta (numpy, vectorized)."""
+        if keys.size == 0:
+            return
+        bits = self.bits.copy() if not self.bits.flags.writeable else self.bits
+        _bits_set(bits, _positions(keys, self.m_bits, self.k_hashes))
+        self.bits = bits
+        self.n_keys += int(keys.size)
+
+    @property
+    def needs_rebuild(self) -> bool:
+        return self.n_keys > self.capacity
+
+    # ------------------------------------------------------------ probe
+    def probe(
+        self, candidates: DataFrame, key_col: str = "url_hash", flag_col: str = "maybe_seen"
+    ) -> DataFrame:
+        """candidates + boolean ``flag_col`` — map-side only: the bits
+        ride a Spark broadcast; probing is one vectorized Arrow UDF."""
+        from pyspark.sql.functions import pandas_udf
+
+        sc = candidates.sparkSession.sparkContext
+        bc = sc.broadcast(self.bits.tobytes())
+        m, k = self.m_bits, self.k_hashes
+
+        @pandas_udf("boolean")
+        def might_contain(s: pd.Series) -> pd.Series:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            if s.empty:
+                return pd.Series([], dtype=bool)
+            pos = _positions(s.to_numpy(dtype=np.int64), m, k)
+            return pd.Series(_bits_test(bits, pos))
+
+        return candidates.withColumn(flag_col, might_contain(F.col(key_col)))
+
+    # ---------------------------------------------------------- persist
+    def save(self, path_prefix: str) -> None:
+        """Atomic persist: bits first, then the json meta as commit marker."""
+        import json
+        import os
+
+        os.makedirs(os.path.dirname(path_prefix), exist_ok=True)
+        btmp = path_prefix + ".bits.tmp"
+        with open(btmp, "wb") as f:
+            f.write(self.bits.tobytes())
+        os.replace(btmp, path_prefix + ".bits")
+        meta = {
+            "m_bits": self.m_bits,
+            "k_hashes": self.k_hashes,
+            "n_keys": self.n_keys,
+            "capacity": self.capacity,
+        }
+        mtmp = path_prefix + ".json.tmp"
+        with open(mtmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(mtmp, path_prefix + ".json")
+
+    @classmethod
+    def load(cls, path_prefix: str) -> "BroadcastBloom":
+        import json
+
+        with open(path_prefix + ".json") as f:
+            meta = json.load(f)
+        bits = np.fromfile(path_prefix + ".bits", dtype=np.uint8)
+        if bits.size != meta["m_bits"] // 8:
+            raise ValueError(f"bloom bits truncated at {path_prefix}")
+        return cls(bits=bits, **meta)

@@ -26,20 +26,29 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from ..io_catalog import Catalog
 from ..operators.admission import admit, gate_robots
 from ..operators.budget import fetch_plan
 from ..operators.scoring import score
-from ..operators.seen_filter import build_sharded_bloom
+from ..operators.seen_filter import BroadcastBloom
 from ..schemas import FRONTIER
 from ..synth import NOW_EPOCH
 from .fetcher import discover_outlinks, fetch_documents, fetch_results
 
 REVIVE_TTL_ROUNDS = 3
 ROUND_SECONDS = 3600
+BLOOM_REBUILD_FACTOR = 4
+
+
+def _count_obs() -> tuple[Observation, F.Column]:
+    return Observation(), F.count(F.lit(1)).alias("n")
+
+
+def bloom_prefix(catalog: Catalog, round_no: int) -> str:
+    return f"{catalog.root}/bloom/{round_no}"
 
 
 def round_now_epoch(round_no: int) -> int:
@@ -131,9 +140,18 @@ def read_seen(catalog: Catalog, upto_round: int) -> DataFrame:
     return catalog.read_appended("seen").where(F.col("round") <= upto_round)
 
 
-def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) -> None:
+def bootstrap(
+    catalog: Catalog,
+    frontier_seed: DataFrame,
+    seen_seed: DataFrame,
+    build_bloom: bool = True,
+) -> None:
     """Round-0 state: seen = seed sets ∪ all tracked frontier keys;
-    frontier rows already in a seed set are not tracked (can_follow)."""
+    frontier rows already in a seed set are not tracked (can_follow).
+
+    The persisted seen-filter is built HERE, once, from the full set
+    (distributed sharded build + treeAggregate merge); every later round
+    only ORs in its delta — never an O(|seen|) rebuild."""
     seed_keys = seen_seed.select("url_hash").distinct()
     fresh = frontier_seed.join(seed_keys, "url_hash", "left_anti")
     # rows already in a terminal state belong in the sets, not the frontier
@@ -148,7 +166,15 @@ def bootstrap(catalog: Catalog, frontier_seed: DataFrame, seen_seed: DataFrame) 
             F.lit(0).alias("added_round"),
         )
     )
-    catalog.append(seen0, "seen", 0)
+    obs, n = _count_obs()
+    catalog.append(seen0.observe(obs, n), "seen", 0)
+    n_seen = int(obs.get["n"])
+    catalog.commit_round("seen", 0, n_seen)
+    if build_bloom:
+        bloom = BroadcastBloom.build(
+            read_seen(catalog, 0).select("url_hash"), n_keys=n_seen
+        )
+        bloom.save(bloom_prefix(catalog, 0))
     catalog.write_snapshot(frontier0, "frontier", 0)
 
 
@@ -185,10 +211,13 @@ def build_two_phase_plan(
     joining the tiny plan back to the frontier on url_hash). Robots
     gating therefore evaluates the path BEFORE the projection.
     """
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
-    sched_cols = [F.col(c) for c in
-                  ["url_hash", "host", "last_id", "first_id",
-                   "reached", "rate_tph", "latest_ts"]] + [path.alias("__path")]
+    narrow = ["url_hash", "host", "last_id", "first_id",
+              "reached", "rate_tph", "latest_ts"]
+    if "__path" in active.columns:  # caller already projected the url away
+        sched_cols = [F.col(c) for c in narrow] + [F.col("__path")]
+    else:
+        path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+        sched_cols = [F.col(c) for c in narrow] + [path.alias("__path")]
     scored = score(active.select(*sched_cols), now)
     gated = gate_robots(scored, robots, path_col="__path").drop("__path")
     wb = (
@@ -247,9 +276,17 @@ def run_round(
     round_no: int,
     n_hosts: int,
     salt_buckets: int = 16,
-    bloom_buckets: int = 32,
     use_bloom: bool = True,
 ) -> RoundStats:
+    """One scheduling round.
+
+    Driver-action discipline (the scaling-efficiency fix): every counter
+    rides an ``Observation`` on a job the round runs ANYWAY (a write or
+    an eager checkpoint) — no standalone ``count()`` jobs, no re-reads
+    of freshly written parquet. The seen-filter is LOADED from the
+    catalog (persisted at bootstrap) and updated with this round's
+    delta only — never rebuilt from the full seen-set.
+    """
     spark = catalog.spark
     now = round_now_epoch(round_no)
     frontier = read_frontier(catalog, round_no - 1)
@@ -266,18 +303,20 @@ def run_round(
         "state", F.when(revive_cond, "active").otherwise(F.col("state"))
     )
 
-    active = frontier.where(F.col("state") == "active")
-    n_active = active.count()  # eager: lineage dies at compaction expiry
+    obs_active, n_a = _count_obs()
+    active = frontier.where(F.col("state") == "active").observe(obs_active, n_a)
+    obs_plan, n_p = _count_obs()
     plan = build_two_phase_plan(active, robots, budgets, now, salt_buckets)
-    plan = plan.localCheckpoint(eager=True)  # reuse: docs, results, order
-    n_scheduled = plan.count()
+    # one job materializes the plan AND surfaces both counters
+    plan = plan.observe(obs_plan, n_p).localCheckpoint(eager=True)
+    n_active = int(obs_active.get["n"])
+    n_scheduled = int(obs_plan.get["n"])
 
     # ------------------------------------------------------------- fetch
-    docs = fetch_documents(plan, round_no).dropDuplicates(["doc_id"])
+    obs_docs, n_d = _count_obs()
+    docs = fetch_documents(plan, round_no).dropDuplicates(["doc_id"]).observe(obs_docs, n_d)
     catalog.append(docs, "documents", round_no)
-    n_docs = (
-        spark.read.parquet(f"{catalog.root}/documents/data/round={round_no}").count()
-    )
+    n_docs = int(obs_docs.get["n"])
     results = fetch_results(plan).localCheckpoint(eager=True)
 
     # crawl-order lineage (golden for ordering-equality tests)
@@ -302,13 +341,21 @@ def run_round(
         "follow_edges",
         round_no,
     )
-    cands = links.dropDuplicates(["url_hash"])  # within-round dedup
-    n_candidates = cands.count()
-    bloom = (
-        build_sharded_bloom(seen, n_buckets=bloom_buckets) if use_bloom else None
+    obs_cands, n_c = _count_obs()
+    # checkpoint: the dedup shuffle + outlink UDF run once, not once per
+    # consumer (the admit plan references candidates in two branches)
+    cands = (
+        links.dropDuplicates(["url_hash"])  # within-round dedup
+        .observe(obs_cands, n_c)
+        .localCheckpoint(eager=True)
     )
-    admitted = admit(cands, seen, bloom=bloom).localCheckpoint(eager=True)
-    n_admitted = admitted.count()
+    n_candidates = int(obs_cands.get["n"])
+    bloom = BroadcastBloom.load(bloom_prefix(catalog, round_no - 1)) if use_bloom else None
+    obs_adm, n_ad = _count_obs()
+    admitted = (
+        admit(cands, seen, bloom=bloom).observe(obs_adm, n_ad).localCheckpoint(eager=True)
+    )
+    n_admitted = int(obs_adm.get["n"])
 
     new_rows = admitted.select(
         "url",
@@ -361,17 +408,28 @@ def run_round(
         )
     )
     changed = merged.where(F.col("status").isNotNull() | F.col("__revived"))
-    dead_keys = changed.where(F.col("state") == "dead").select("url_hash")
-    n_dead = dead_keys.count()
     frontier_cols = [f.name for f in FRONTIER.fields]
+    obs_delta = Observation()
     delta = (
         changed.select(*frontier_cols)
         .withColumn(
             "op", F.when(F.col("state") == "dead", "delete").otherwise("upsert")
         )
         .unionByName(new_rows.withColumn("op", F.lit("upsert")))
+        .observe(
+            obs_delta,
+            F.sum(F.when(F.col("op") == "delete", 1).otherwise(0)).alias("n_dead"),
+        )
     )
     catalog.append(delta, "frontier_v", round_no)
+    n_dead = int(obs_delta.get["n_dead"] or 0)
+    # dead keys re-read from the just-written (small) delta partition —
+    # cheaper than recomputing the frontier-results merge a second time
+    dead_keys = (
+        spark.read.parquet(f"{catalog.root}/frontier_v/data/round={round_no}")
+        .where(F.col("op") == "delete")
+        .select("url_hash")
+    )
 
     # append-only seen delta (O(|delta|)/round; see read_seen)
     seen_delta = admitted.select(
@@ -382,6 +440,26 @@ def run_round(
         )
     )
     catalog.append(seen_delta, "seen", round_no)
+    n_seen = catalog.read_manifest("seen", round_no - 1)["n_rows"] + n_admitted + n_dead
+    catalog.commit_round("seen", round_no, n_seen)
+
+    # persist the updated seen-filter: OR in this round's delta only.
+    # Idempotent under crash-replay (set-OR), saved BEFORE the frontier
+    # manifest so every committed round has its filter.
+    if use_bloom:
+        bloom.update(
+            spark.read.parquet(f"{catalog.root}/seen/data/round={round_no}").select(
+                "url_hash"
+            ),
+            n_delta=n_admitted + n_dead,
+        )
+        if bloom.needs_rebuild:
+            bloom = BroadcastBloom.build(
+                read_seen(catalog, round_no).select("url_hash"),
+                n_keys=bloom.n_keys,
+                capacity=BLOOM_REBUILD_FACTOR * bloom.n_keys,
+            )
+        bloom.save(bloom_prefix(catalog, round_no))
 
     # manifest write = the round's COMMIT point; compaction every K
     # rounds bounds the delta chain. n_dead/n_admitted already counted
@@ -404,7 +482,7 @@ def run_round(
         n_admitted=n_admitted,
         n_dead=n_dead,
         n_frontier=n_frontier,
-        n_seen=read_seen(catalog, round_no).count(),
+        n_seen=n_seen,
     )
     metrics = spark.createDataFrame(stats.as_rows(), "round int, metric string, value long")
     catalog.append(metrics, "round_metrics", round_no)

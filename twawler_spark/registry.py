@@ -12,6 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import coverage_queries as cq
 from . import entry_queries as eq
 from . import training_queries as tq
 from .streaming import ingest as st
@@ -74,6 +75,17 @@ QUERIES: dict[str, QueryFn] = {
     # streaming (§2.9)
     "s3_stream_windowed": st.stream_windowed_counts,
     "s3_stream_sessions": ss.stream_sessionize,
+    # coverage wave 4 (S7/S8/S4, F13, F12 cascade, J8 full, J7, F16, F2/F3)
+    "s7_list_scan": cq.q_s7_list_scan,
+    "s7_list_similarity": cq.q_s7_list_similarity,
+    "s8_favorites_stop": cq.q_s8_favorites_stop,
+    "s4_search_scan": cq.q_s4_search_scan,
+    "f13_gender": cq.q_f13_gender,
+    "f12_sentiment_cascade": cq.q_f12_sentiment_cascade,
+    "j8_synchrotrap_full": cq.q_j8_synchrotrap_full,
+    "j7_unknown_endpoints": cq.q_j7_unknown_endpoints,
+    "f16_flatten": cq.q_f16_flatten,
+    "f2_f3_normalize": cq.q_f2_f3_normalize,
     # training-data pipeline
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -156,6 +168,16 @@ SELECT user_id,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 """,
+    "s7_list_scan": cq.O_S7_LIST_SCAN,
+    "s7_list_similarity": cq.O_S7_LIST_SIM,
+    "s8_favorites_stop": cq.O_S8_FAVORITES,
+    "s4_search_scan": cq.O_S4_SEARCH,
+    "f13_gender": cq.O_F13_GENDER,
+    "f12_sentiment_cascade": cq.O_F12_CASCADE,
+    "j8_synchrotrap_full": cq.O_J8_FULL,
+    "j7_unknown_endpoints": cq.O_J7,
+    "f16_flatten": cq.O_F16,
+    "f2_f3_normalize": cq.O_F2_F3,
     "dedup_exact": tq.O_DEDUP_EXACT,
     "dedup_jaccard": tq.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": tq.O_DEDUP_MINHASH,

@@ -76,9 +76,15 @@ FROM a GROUP BY 1 HAVING count(*) >= 2
 # --------------------------------------------------------- token jaccard
 
 def q_dedup_jaccard(spark, sf):
-    """Token-set Jaccard near-dup pairs within (lang, source) blocks.
-    Planted near-copies give jaccard ≈ 1; unrelated docs stay low."""
+    """Token-set Jaccard VERIFICATION of MinHash-LSH candidates — the
+    two-tier near-dup shape at 100 TB: LSH *discovers* candidate pairs
+    (one bucketed shuffle, never all-pairs), exact Jaccard *verifies*
+    only those candidates, restricted to the same (lang, source) block.
+    Recall is the LSH tier's: a >=0.9 pair missed by every band is not
+    re-discovered here (documented trade — the all-pairs variant is
+    quadratic in block size and does not survive scale-up)."""
     d = _t(spark, sf, "documents")
+    cands = _lsh_pairs(_with_near_dups(d))
     base = d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "lang",
@@ -93,26 +99,45 @@ def q_dedup_jaccard(spark, sf):
             F.split(F.expr("substring(text, instr(text, ' ') + 1)"), " ")
         ).alias("toks"),
     )
-    alld = base.unionByName(mut)
-    a, b = alld.alias("a"), alld.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    meta = base.unionByName(mut)
+    a = meta.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("toks").alias("toks_a"),
     )
-    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    b = meta.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    joined = cands.join(a, "doc_a").join(b, "doc_b").where(
+        (F.col("lang_a") == F.col("lang_b")) & (F.col("source_a") == F.col("source_b"))
+    )
+    inter = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    union = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
     jac = inter / union
-    return pairs.select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.round(jac, 4).alias("jaccard"),
+    return joined.select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     ).where(F.col("jaccard") >= 0.9)
 
 
-O_DEDUP_JACCARD = f"""
-WITH docs AS (
+def _o_dedup_jaccard() -> str:
+    return f"""
+WITH docs AS ({_SQL_NEAR_DUPS}),
+toks AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM docs),
+sigs AS (
+  SELECT doc_id,
+         {",".join(f"min(md5('{k}:' || tok)) AS h{k}" for k in range(N_MINHASH))}
+  FROM toks WHERE tok != '' GROUP BY doc_id),
+bands AS (SELECT doc_id, {", ".join(f"h{2 * b} || '|' || h{2 * b + 1} AS band{b}" for b in range(4))} FROM sigs),
+cands AS ({" UNION ".join(f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id" for b in range(4))}),
+meta AS (
   SELECT cast(doc_id as varchar) AS doc_id, lang, source,
          list_distinct(string_split(text, ' ')) AS toks
   FROM documents
@@ -120,14 +145,19 @@ WITH docs AS (
   SELECT cast(doc_id as varchar) || '_nd', lang, source,
          list_distinct(string_split(substring(text, strpos(text, ' ') + 1), ' '))
   FROM documents),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+verified AS (
+  SELECT c.doc_a, c.doc_b,
          round(len(list_intersect(a.toks, b.toks)) * 1.0 /
                len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-  FROM docs a JOIN docs b
-    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.9
+  FROM cands c
+  JOIN meta a ON c.doc_a = a.doc_id
+  JOIN meta b ON c.doc_b = b.doc_id
+  WHERE a.lang = b.lang AND a.source = b.source)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.9
 """
+
+
+O_DEDUP_JACCARD = _o_dedup_jaccard()
 
 
 # ----------------------------------------------------------- minhash LSH
@@ -150,11 +180,10 @@ def _shingles_spark(text_col):
     )
 
 
-def q_dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
-    4 bands × 2 rows over 5-gram shingles; planted near-copies collide
-    in ≥1 band."""
-    alld = _with_near_dups(_t(spark, sf, "documents"))
+def _lsh_pairs(alld: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
+    self-join — the discovery tier shared by dedup_minhash_lsh (as the
+    registered result) and dedup_jaccard (as verification input)."""
     toks = alld.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
@@ -188,6 +217,13 @@ def q_dedup_minhash_lsh(spark, sf):
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def q_dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH candidate pairs: shingle→minhash→band→bucket-join.
+    4 bands × 2 rows over 5-gram shingles; planted near-copies collide
+    in ≥1 band."""
+    return _lsh_pairs(_with_near_dups(_t(spark, sf, "documents")))
 
 
 def _o_minhash_bands() -> str:
