@@ -64,7 +64,12 @@ generation excluded.
 | local[32] (4N) | {r32["queries"]["sched_round_exact"]} | {r32["value"]:,.0f} |
 
 **speedup 8→32 = {speedup:.2f}x, scaling efficiency = {eff:.2f}**
-(bloom-probe variant at local[32]: {r32["queries"]["sched_round_bloom"]}s/round)
+
+Admission at the 10^10-seen shape (|seen| >> |candidates|, SMJ pinned —
+no broadcast tier exists at 80 GB of keys), local[32]:
+exact {r32["queries"]["admit_seenbig_exact"]}s vs persisted-bloom
+{r32["queries"]["admit_seenbig_bloom"]}s (incl. the per-round O(delta)
+filter update of {r32["queries"]["bloom_delta_update"]}s).
 
 Scaling law to the 10^10 design point: the round is a linear scan +
 hash-partitioned shuffles (score: narrow; robots gate: broadcast join;

@@ -102,3 +102,23 @@ def test_merge_global_treeaggregate(spark):
     )
     fp = _bits_test(bits, _positions(fresh, m, k)).mean()
     assert fp < 0.2
+
+
+def test_broadcast_bloom_overflow_rebuild(spark):
+    """needs_rebuild flips when n_keys outgrows capacity; a 4x rebuild
+    restores the fpp contract (run_round's amortized-growth path)."""
+    seen = _keys_df(spark, 0, 1_000)
+    b = BroadcastBloom.build(seen, n_keys=1_000, capacity=66_000)
+    b.update(_keys_df(spark, 1_000, 68_000), n_delta=67_000)
+    assert b.needs_rebuild
+    rebuilt = BroadcastBloom.build(
+        _keys_df(spark, 0, 68_000), n_keys=68_000, capacity=4 * b.n_keys
+    )
+    assert not rebuilt.needs_rebuild
+    assert rebuilt.m_bits > b.m_bits
+    assert rebuilt.probe(_keys_df(spark, 0, 68_000)).where(
+        ~F.col("maybe_seen")
+    ).count() == 0
+    other = _keys_df(spark, 500_000, 520_000)
+    fp = rebuilt.probe(other).where(F.col("maybe_seen")).count()
+    assert fp / 20_000 < 0.03

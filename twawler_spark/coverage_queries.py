@@ -650,3 +650,76 @@ FROM (
            '\\s+', ' ', 'g')) AS t
   FROM documents)
 """
+
+
+# =====================================================================
+# word-stats family — the vectorize.py per-user word profile
+# =====================================================================
+
+def q_user_word_stats(spark, sf):
+    """Per-user word-stats profile (stats.py:766-926: per-user token /
+    letter-class counts feeding vectorize.py): author = doc_id % 150;
+    letter-class ratios, token counts, vocabulary size, and the user's
+    modal token (deterministic tie-break: count DESC, token ASC)."""
+    d = _t(spark, sf, "documents")
+    docs = d.select(
+        F.pmod(F.col("doc_id"), F.lit(150)).alias("user_id"), "text"
+    )
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^a-z]", ""))
+    digit = F.length(F.regexp_replace(F.col("text"), r"[^0-9]", ""))
+    base = docs.groupBy("user_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(alpha).alias("n_alpha"),
+        F.sum(digit).alias("n_digit"),
+    )
+    toks = docs.select(
+        "user_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("user_id", "tok").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("tok").asc())
+    top = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select("user_id", F.col("tok").alias("top_token"))
+    )
+    vocab = counts.groupBy("user_id").agg(F.count("*").alias("n_vocab"))
+    return (
+        base.join(vocab, "user_id")
+        .join(top, "user_id")
+        .select(
+            "user_id", "n_docs", "n_tokens", "n_vocab", "top_token",
+            F.round(F.col("n_alpha") / F.col("n_chars"), 4).alias("pct_alpha"),
+            F.round(F.col("n_digit") / F.col("n_chars"), 4).alias("pct_digit"),
+            F.round(F.col("n_tokens") / F.col("n_docs"), 4).alias("toks_per_doc"),
+        )
+    )
+
+
+O_USER_WORD_STATS = """
+WITH docs AS (SELECT doc_id % 150 AS user_id, text FROM documents),
+base AS (
+  SELECT user_id, count(*) AS n_docs,
+         cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens,
+         cast(sum(length(text)) as bigint) AS n_chars,
+         cast(sum(length(regexp_replace(text, '[^a-z]', '', 'g'))) as bigint) AS n_alpha,
+         cast(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) as bigint) AS n_digit
+  FROM docs GROUP BY user_id),
+toks AS (
+  SELECT user_id, unnest(string_split(text, ' ')) AS tok FROM docs),
+counts AS (
+  SELECT user_id, tok, count(*) AS n FROM toks WHERE tok != '' GROUP BY 1, 2),
+top AS (
+  SELECT user_id, tok AS top_token FROM (
+    SELECT user_id, tok,
+           row_number() OVER (PARTITION BY user_id ORDER BY n DESC, tok ASC) AS rnk
+    FROM counts) WHERE rnk = 1),
+vocab AS (SELECT user_id, count(*) AS n_vocab FROM counts GROUP BY user_id)
+SELECT b.user_id, b.n_docs, b.n_tokens, v.n_vocab, t.top_token,
+       round(b.n_alpha * 1.0 / b.n_chars, 4) AS pct_alpha,
+       round(b.n_digit * 1.0 / b.n_chars, 4) AS pct_digit,
+       round(b.n_tokens * 1.0 / b.n_docs, 4) AS toks_per_doc
+FROM base b JOIN vocab v ON b.user_id = v.user_id
+JOIN top t ON b.user_id = t.user_id
+"""

@@ -86,6 +86,7 @@ QUERIES: dict[str, QueryFn] = {
     "j7_unknown_endpoints": cq.q_j7_unknown_endpoints,
     "f16_flatten": cq.q_f16_flatten,
     "f2_f3_normalize": cq.q_f2_f3_normalize,
+    "user_word_stats": cq.q_user_word_stats,
     # training-data pipeline
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -178,6 +179,7 @@ FROM s GROUP BY user_id, session_id
     "j7_unknown_endpoints": cq.O_J7,
     "f16_flatten": cq.O_F16,
     "f2_f3_normalize": cq.O_F2_F3,
+    "user_word_stats": cq.O_USER_WORD_STATS,
     "dedup_exact": tq.O_DEDUP_EXACT,
     "dedup_jaccard": tq.O_DEDUP_JACCARD,
     "dedup_minhash_lsh": tq.O_DEDUP_MINHASH,
