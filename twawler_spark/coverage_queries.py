@@ -723,3 +723,87 @@ SELECT b.user_id, b.n_docs, b.n_tokens, v.n_vocab, t.top_token,
 FROM base b JOIN vocab v ON b.user_id = v.user_id
 JOIN top t ON b.user_id = t.user_id
 """
+
+
+# =====================================================================
+# S6 — friend-edge scan (outgoing direction) with lastscan staleness gate
+# =====================================================================
+
+def q_s6_friend_scan(spark, sf):
+    """S6 (addfriends.py:20-48): scan OUTGOING follows for users whose
+    lastscan is stale (>100 days: addfriends.py:23 skips fresh scans).
+    Edges = (follower l_suppkey -> followee l_partkey); lastscan(user) =
+    max order date over the user's key class; due = stale-or-never."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    edges = li.select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("follows")
+    ).dropDuplicates(["user_id", "follows"])
+    lastscan = o.groupBy(
+        F.pmod(F.col("o_custkey"), F.lit(100)).alias("user_mod")
+    ).agg(F.max("o_orderdate").alias("last_scan"))
+    users = edges.select("user_id").distinct().withColumn(
+        "user_mod", F.pmod(F.col("user_id"), F.lit(100))
+    )
+    due = (
+        users.join(F.broadcast(lastscan), "user_mod", "left")
+        .where(
+            F.col("last_scan").isNull() | (F.col("last_scan") < F.lit("2001-07-01"))
+        )
+        .select("user_id")
+    )
+    return (
+        edges.join(due, "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("follows").alias("n_friends"),
+            F.min("follows").alias("min_friend"),
+            F.max("follows").alias("max_friend"),
+        )
+    )
+
+
+O_S6_FRIENDS = """
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS user_id, l_partkey AS follows FROM lineitem),
+lastscan AS (
+  SELECT o_custkey % 100 AS user_mod, max(o_orderdate) AS last_scan
+  FROM orders GROUP BY 1),
+due AS (
+  SELECT u.user_id FROM (SELECT DISTINCT user_id FROM edges) u
+  LEFT JOIN lastscan s ON u.user_id % 100 = s.user_mod
+  WHERE s.last_scan IS NULL OR s.last_scan < DATE '2001-07-01')
+SELECT user_id, count(DISTINCT follows) AS n_friends,
+       min(follows) AS min_friend, max(follows) AS max_friend
+FROM edges WHERE user_id IN (SELECT user_id FROM due) GROUP BY user_id
+"""
+
+
+# =====================================================================
+# S9 — trends snapshot sink
+# =====================================================================
+
+def q_s9_trends_snapshot(spark, sf):
+    """S9 (gettrends.py:15-27: periodic GetTrendsWoeid -> trends insert
+    with timestamp): per-day top-5 trending event types, emitted as the
+    snapshot rows (day, rank, trend, n) the sink would append."""
+    e = _t(spark, sf, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("day").orderBy(F.col("n").desc(), F.col("event_type").asc())
+    return (
+        daily.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("day", "rank", F.col("event_type").alias("trend"), "n")
+    )
+
+
+O_S9_TRENDS = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT day, rank, event_type AS trend, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rank
+  FROM daily) WHERE rank <= 5
+"""
