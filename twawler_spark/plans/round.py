@@ -11,8 +11,13 @@ batch over snapshot tables. Plan shape per round:
     -> per-host budget rank                   [two-phase salted window]
     -> fetch                                  [grouped Arrow UDF, ≤ Σbudgets rows]
     -> documents append (dedup doc_id)        [hash agg]
-    -> outlink discovery -> seen anti-join    [sharded bloom + exact anti]
+    -> outlink discovery -> seen filter       [persisted broadcast bloom probe
+                                               + scan-only confirm; sharded
+                                               cogroup tier beyond ~10^9 keys]
     -> state MERGE + snapshot write           [broadcast join, atomic manifest]
+
+Per-round counters ride Observations on the round's own writes and
+eager checkpoints — zero standalone count() jobs (the r1 scaling fix).
 
 State machine (reference utils.py:351-446 set-mutation protocol):
   404 -> dead: row leaves the frontier, url_hash joins ``seen`` as
@@ -251,24 +256,36 @@ def build_two_phase_plan(
         )
         .drop("__rne", "__rnh", "__salt")
     )
+    # stage B in ONE pass — no union of filtered branches (a union would
+    # duplicate the whole ranking subtree in the physical plan; only the
+    # stage-A exchange gets reused, so the sorts and the stage-B exchange
+    # would run twice). Phase-2's rank among NON-phase-1 rows comes from a
+    # mixed-order row_number (phase-1 rows first) minus the host's
+    # phase-1 count — identical ordering semantics, half the sort work.
     w_e = Window.partitionBy("host").orderBy(*order_e)
     ranked = pre.withColumn("__rank_e", F.row_number().over(w_e))
+    is_p1 = F.col("__rank_e") <= F.col("__b")
+    w_mixed = Window.partitionBy("host").orderBy(
+        is_p1.cast("int").desc(), *order_h
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        is_p1.cast("int").desc(), *order_h
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     keep = ["url_hash", "host", "last_id", "first_id", "reached",
             "expected", "hours_idle"]
-    p1 = (
-        ranked.where(F.col("__rank_e") <= F.col("__b"))
-        .select(*keep, F.col("__rank_e").alias("fetch_rank"))
-        .withColumn("phase", F.lit("expected"))
+    staged = (
+        ranked.withColumn("__rn_mixed", F.row_number().over(w_mixed))
+        .withColumn("__n_p1", F.sum(is_p1.cast("int")).over(w_host))
+        .withColumn("__rank_h", F.col("__rn_mixed") - F.col("__n_p1"))
     )
-    w_h = Window.partitionBy("host").orderBy(*order_h)
-    p2 = (
-        ranked.where(F.col("__rank_e") > F.col("__b"))
-        .withColumn("__rank_h", F.row_number().over(w_h))
-        .where(F.col("__rank_h") <= F.col("__b2"))
-        .select(*keep, F.col("__rank_h").alias("fetch_rank"))
-        .withColumn("phase", F.lit("late"))
+    return (
+        staged.where(is_p1 | (F.col("__rank_h") <= F.col("__b2")))
+        .select(
+            *keep,
+            F.when(is_p1, F.col("__rank_e")).otherwise(F.col("__rank_h")).alias("fetch_rank"),
+            F.when(is_p1, F.lit("expected")).otherwise(F.lit("late")).alias("phase"),
+        )
     )
-    return p1.unionByName(p2)
 
 
 def run_round(
