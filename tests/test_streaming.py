@@ -46,3 +46,28 @@ def test_stateful_sessionizer_matches_batch(spark):
     for uid, (n_sessions, n_events) in got.items():
         assert n_sessions == batch[uid], uid
         assert n_events == totals[uid], uid
+
+
+def test_stateful_checkpoint_stream(spark):
+    sf_dir = SF
+    """applyInPandasWithState checkpoint advance equals the batch agg."""
+    from pyspark.sql import functions as F
+
+    from twawler_spark.streaming.checkpoints import stream_checkpoint_state
+
+    got = {
+        r["user_id"]: (r["n_events"], r["last_id"], r["n_types"])
+        for r in stream_checkpoint_state(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["last"], r["nt"])
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("event_id").alias("last"),
+            F.countDistinct("event_type").alias("nt"),
+        )
+        .collect()
+    }
+    assert got == want

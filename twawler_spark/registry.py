@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import coverage_queries as cq
 from . import entry_queries as eq
 from . import training_queries as tq
+from .streaming import checkpoints as sc
 from .streaming import ingest as st
 from .streaming import sessions as ss
 
@@ -75,6 +76,7 @@ QUERIES: dict[str, QueryFn] = {
     # streaming (§2.9)
     "s3_stream_windowed": st.stream_windowed_counts,
     "s3_stream_sessions": ss.stream_sessionize,
+    "s3_stream_checkpoint_state": sc.stream_checkpoint_state,
     # coverage wave 4 (S7/S8/S4, F13, F12 cascade, J8 full, J7, F16, F2/F3)
     "s7_list_scan": cq.q_s7_list_scan,
     "s7_list_similarity": cq.q_s7_list_similarity,
@@ -171,6 +173,7 @@ SELECT user_id,
        count(*) AS n_events
 FROM s GROUP BY user_id, session_id
 """,
+    "s3_stream_checkpoint_state": sc.O_STREAM_CHECKPOINT,
     "s7_list_scan": cq.O_S7_LIST_SCAN,
     "s7_list_similarity": cq.O_S7_LIST_SIM,
     "s8_favorites_stop": cq.O_S8_FAVORITES,
