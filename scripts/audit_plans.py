@@ -116,11 +116,13 @@ def main():
                 f"{r['codegen_spans']} | {r['pushed']} | {r['python_stages']} | {r['sorts']} | {r['reused_exchanges']} |\n"
             )
         f.write("\nNotes:\n")
-        f.write("- `sched_round`: TWO hash exchanges total (stage A by (host, salt),\n")
-        f.write("  stage B by host over stage-A survivors only); the dedup anti-join\n")
-        f.write("  and robots gate are broadcast — the frontier is never reshuffled\n")
-        f.write("  for them; the wide `url` string is projected out before any\n")
-        f.write("  exchange (`__path` pre-extracted).\n")
+        f.write("- `sched_round`: THREE hash exchanges — stage A by (host, salt),\n")
+        f.write("  stage B by host over stage-A survivors only, plus the tiny robots\n")
+        f.write("  deny-map groupBy; both ranking phases come out of ONE stage-B pass\n")
+        f.write("  (mixed-order row_number — no union, no duplicated subtree). The\n")
+        f.write("  dedup anti-join and robots gate are broadcast — the frontier is\n")
+        f.write("  never reshuffled for them; the wide `url` string is projected out\n")
+        f.write("  before any exchange (`__path` pre-extracted).\n")
         f.write("- `dedup_minhash_lsh`/`dedup_jaccard`: the LSH band self-join is one\n")
         f.write("  shuffle on (band_idx, band_val); verification joins only the\n")
         f.write("  candidate pairs back to doc metadata.\n")
