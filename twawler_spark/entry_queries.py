@@ -1142,6 +1142,13 @@ GROUP BY 1, 2, 3
 """
 
 
+# per-row double -> decimal(18,6) rounds the same binary value to the
+# same 6-dp multiple in Spark and DuckDB; sums over decimals are exact,
+# so every derived statistic is order-independent.
+def _value_dec():
+    return F.col("value").cast("decimal(18,6)")
+
+
 def q_user_vector(spark, sf):
     """The vectorize.py path (§3.3): one wide per-user feature vector —
     activity counts, tempo stats, type mix, value stats — in a single
@@ -1152,9 +1159,30 @@ def q_user_vector(spark, sf):
         F.countDistinct("event_type").alias("n_types"),
         _epoch(F.min("ts")).alias("first_e"),
         _epoch(F.max("ts")).alias("last_e"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
-        F.round(F.stddev("value"), 4).alias("sd_value"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        # avg/sd/sum over doubles derive from EXACT decimal sums so the
+        # value is independent of float summation order (Spark's partition
+        # merge vs DuckDB's serial fold) — the driver hashes typed values,
+        # and a last-digit tie under round(..., 4) would diverge.
+        F.round(
+            (F.sum(_value_dec()).cast("double") / F.count("*")), 4
+        ).alias("avg_value"),
+        F.when(
+            F.count("*") > 1,
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (
+                            F.sum(_value_dec() * _value_dec()).cast("double")
+                            - F.pow(F.sum(_value_dec()).cast("double"), 2) / F.count("*")
+                        )
+                        / (F.count("*") - 1),
+                        F.lit(0.0),
+                    )
+                ),
+                4,
+            ),
+        ).alias("sd_value"),
+        F.round(F.sum(_value_dec()).cast("double"), 4).alias("sum_value"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
         F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n_view"),
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
@@ -1177,9 +1205,14 @@ SELECT user_id,
        count(DISTINCT event_type) AS n_types,
        cast(floor(epoch(min(ts))) as bigint) AS first_e,
        cast(floor(epoch(max(ts))) as bigint) AS last_e,
-       round(avg(value), 4) AS avg_value,
-       round(stddev(value), 4) AS sd_value,
-       round(sum(value), 4) AS sum_value,
+       round(cast(sum(cast(value as decimal(18,6))) as double) / count(*), 4) AS avg_value,
+       CASE WHEN count(*) > 1 THEN
+         round(sqrt(greatest(
+           (cast(sum(cast(value as decimal(18,6)) * cast(value as decimal(18,6))) as double)
+            - pow(cast(sum(cast(value as decimal(18,6))) as double), 2) / count(*))
+           / (count(*) - 1), 0.0)), 4)
+       END AS sd_value,
+       round(cast(sum(cast(value as decimal(18,6))) as double), 4) AS sum_value,
        cast(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) as bigint) AS n_click,
        cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) as bigint) AS n_view,
        cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) as bigint) AS n_purchase,
