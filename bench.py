@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import functions as F
 
+from twawler_spark.io_catalog import register_bucketed, write_bucketed
 from twawler_spark.operators.admission import admit
 from twawler_spark.operators.seen_filter import BroadcastBloom
 from twawler_spark.plans.round import build_two_phase_plan
@@ -55,23 +56,6 @@ def log(*a):
 N_BUCKETS = 64
 
 
-def _register_bucketed(spark, name: str, path: str) -> None:
-    """(Re-)attach an existing bucketed-files dir as a catalog table.
-
-    Bucketed writes need ``saveAsTable``; the in-memory catalog forgets
-    the entry across JVMs, so every session re-declares the external
-    table over the already-bucketed files (bucket ids live in the file
-    names, which Spark's bucketed scan reads back)."""
-    schema = spark.read.parquet(path).schema
-    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
-    spark.sql(f"DROP TABLE IF EXISTS {name}")
-    spark.sql(
-        f"CREATE TABLE {name} ({cols}) USING PARQUET "
-        f"CLUSTERED BY (url_hash) SORTED BY (url_hash) "
-        f"INTO {N_BUCKETS} BUCKETS LOCATION '{path}'"
-    )
-
-
 def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
     root = f"/tmp/twawler_bench/u{n_urls}_h{n_hosts}"
     marker = f"{root}/.complete"
@@ -95,19 +79,16 @@ def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
         log("writing bucketed frontier/seen layout…")
         t0 = time.time()
         for src, name in (("frontier_seed", "frontier_b"), ("seen_seed", "seen_b")):
-            (
-                spark.read.parquet(f"{root}/{src}")
-                .repartition(N_BUCKETS, "url_hash")
-                .write.mode("overwrite")
-                .bucketBy(N_BUCKETS, "url_hash")
-                .sortBy("url_hash")
-                .option("path", f"{root}/{src}_bucketed")
-                .saveAsTable(f"{name}_gen")
+            write_bucketed(
+                spark.read.parquet(f"{root}/{src}"),
+                f"{root}/{src}_bucketed",
+                f"{name}_gen",
+                n_buckets=N_BUCKETS,
             )
         open(bmarker, "w").write("ok")
         log(f"bucketed in {time.time()-t0:.1f}s")
-    _register_bucketed(spark, "frontier_b", f"{root}/frontier_seed_bucketed")
-    _register_bucketed(spark, "seen_b", f"{root}/seen_seed_bucketed")
+    register_bucketed(spark, "frontier_b", f"{root}/frontier_seed_bucketed", n_buckets=N_BUCKETS)
+    register_bucketed(spark, "seen_b", f"{root}/seen_seed_bucketed", n_buckets=N_BUCKETS)
     return root
 
 
@@ -207,7 +188,7 @@ def main() -> int:
     log("warmup…")
     sched_round_once(spark, root, round_bloom)
     times_bloom, n_active = [], 0
-    for _ in range(3):
+    for _ in range(2):
         n_active, dt = sched_round_once(spark, root, round_bloom)
         times_bloom.append(dt)
     # comparison variants: warmup (codegen + worker spawn) + best-of-2 —

@@ -25,6 +25,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, n_urls: int) -> dict:
+    # level results are cached on disk so a crashed/partial sweep can be
+    # resumed without re-measuring finished levels (delete to re-run)
+    cache = f"/tmp/twawler_bench/level_{cpus}_{n_urls}.json"
+    if os.path.exists(cache):
+        res = json.load(open(cache))
+        print(f"local[{cpus}]: cached ({cache})", file=sys.stderr)
+        return res
     env = dict(os.environ)
     env.update(
         SPARK_GRAFT_CPUS=str(cpus),
@@ -46,9 +53,15 @@ def run_level(cpus: int, n_urls: int) -> dict:
         text=True,
         timeout=7200,
     )
+    if not out.stdout.strip():
+        print(f"local[{cpus}] FAILED; stderr tail:\n"
+              + "\n".join(out.stderr.splitlines()[-40:]), file=sys.stderr)
+        raise RuntimeError(f"bench level {cpus} produced no output")
     line = out.stdout.strip().splitlines()[-1]
     res = json.loads(line)
     res["wall_sec"] = round(time.time() - t0, 1)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    json.dump(res, open(cache, "w"))
     print(f"local[{cpus}]: {res['value']} urls/sec "
           f"(headline {res['queries']['sched_round_headline']}s, "
           f"bucketed {res['queries']['sched_round_bucketed']}s, "

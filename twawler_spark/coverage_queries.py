@@ -807,3 +807,151 @@ SELECT day, rank, event_type AS trend, n FROM (
   SELECT *, row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rank
   FROM daily) WHERE rank <= 5
 """
+
+
+# =====================================================================
+# Follower stats — the per-user friend/follower profile family
+# =====================================================================
+
+def q_user_follower_stats(spark, sf):
+    """Per-user follower profile (fill_follower_stats, stats.py:561-616):
+    friend/follower counts, membership ("greek") and tracked splits with
+    percentage features, friend∩follower overlap + Jaccard, and the
+    user's own membership flag.
+
+    Edges: deterministic supplier->supplier graph derived from lineitem
+    (src = l_suppkey, dst = l_orderkey mod |supplier| + 1) — both ends in
+    one key domain so relations can reciprocate. Memberships: greek =
+    s_nationkey < 5, tracked = s_acctbal > 5000 (the reference's
+    is_greek/get_tracked set lookups as broadcast dim joins).
+
+    Scale shape: two hash aggs (friends, followers) + one co-partitioned
+    inner join (intersection) + one union-distinct agg — everything
+    partitioned by user_id, membership dim broadcast, no all-pairs. All
+    ratios derive from exact integer arithmetic (int/int IEEE division)
+    so the value-hash matches DuckDB bit-for-bit."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    nsup = s.select(F.count("*").alias("__n"))
+    dst = (F.pmod(F.col("l_orderkey"), F.col("__n")) + 1).cast("bigint")
+    edges = (
+        li.where((F.col("l_quantity") <= 5) & (F.col("l_linenumber") <= 2))
+        .crossJoin(F.broadcast(nsup))
+        .select(F.col("l_suppkey").cast("bigint").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mem = s.select(
+        F.col("s_suppkey").cast("bigint").alias("uid"),
+        (F.col("s_nationkey") < 5).alias("is_greek"),
+        (F.col("s_acctbal") > 5000).alias("is_tracked"),
+    )
+    fr = edges.select(F.col("src").alias("user_id"), F.col("dst").alias("other"))
+    fo = edges.select(F.col("dst").alias("user_id"), F.col("src").alias("other"))
+
+    def side_stats(df, seen, gr, tr):
+        return (
+            df.join(F.broadcast(mem), df.other == mem.uid)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias(seen),
+                F.sum(F.col("is_greek").cast("long")).alias(gr),
+                F.sum(F.col("is_tracked").cast("long")).alias(tr),
+            )
+        )
+
+    fr_stats = side_stats(fr, "seen_fr", "gr_fr", "tr_fr")
+    fo_stats = side_stats(fo, "seen_fo", "gr_fo", "tr_fo")
+    and_stats = (
+        fr.join(fo, ["user_id", "other"]).groupBy("user_id")
+        .agg(F.count("*").alias("fr_and_fo"))
+    )
+    or_stats = (
+        fr.unionByName(fo).distinct()
+        .join(F.broadcast(mem), F.col("other") == mem.uid)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("fr_or_fo"),
+            F.sum(F.col("is_greek").cast("long")).alias("gr_fr_fo"),
+        )
+    )
+    base = (
+        mem.withColumnRenamed("uid", "user_id")
+        .join(fr_stats, "user_id", "left")
+        .join(fo_stats, "user_id", "left")
+        .join(and_stats, "user_id", "left")
+        .join(or_stats, "user_id", "left")
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")
+    pcnt = lambda num, den: F.round(F.lit(100) * num / F.greatest(den, F.lit(1)), 4)
+    return base.select(
+        "user_id",
+        F.col("is_greek").alias("greek"),
+        z("seen_fr").alias("seen_fr"),
+        z("gr_fr").alias("gr_fr"),
+        pcnt(z("gr_fr"), z("seen_fr")).alias("gr_fr_pcnt"),
+        z("tr_fr").alias("tr_fr"),
+        pcnt(z("tr_fr"), z("seen_fr")).alias("tr_fr_pcnt"),
+        z("seen_fo").alias("seen_fo"),
+        z("gr_fo").alias("gr_fo"),
+        pcnt(z("gr_fo"), z("seen_fo")).alias("gr_fo_pcnt"),
+        z("tr_fo").alias("tr_fo"),
+        pcnt(z("tr_fo"), z("seen_fo")).alias("tr_fo_pcnt"),
+        z("fr_and_fo").alias("fr_and_fo"),
+        z("fr_or_fo").alias("fr_or_fo"),
+        F.round(z("fr_and_fo") / F.greatest(z("fr_or_fo"), F.lit(1)), 4).alias("fr_fo_jaccard"),
+        z("gr_fr_fo").alias("gr_fr_fo"),
+        pcnt(z("gr_fr_fo"), z("fr_or_fo")).alias("gr_fr_fo_pcnt"),
+    )
+
+
+O_USER_FOLLOWER_STATS = """
+WITH n AS (SELECT count(*) AS n_supp FROM supplier),
+edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+         CAST((l_orderkey % (SELECT n_supp FROM n)) + 1 AS BIGINT) AS dst
+  FROM lineitem
+  WHERE l_quantity <= 5 AND l_linenumber <= 2
+    AND CAST(l_suppkey AS BIGINT) != CAST((l_orderkey % (SELECT n_supp FROM n)) + 1 AS BIGINT)),
+mem AS (SELECT CAST(s_suppkey AS BIGINT) AS uid, s_nationkey < 5 AS is_greek,
+               s_acctbal > 5000 AS is_tracked FROM supplier),
+fr AS (SELECT src AS user_id, dst AS other FROM edges),
+fo AS (SELECT dst AS user_id, src AS other FROM edges),
+fr_stats AS (
+  SELECT user_id, count(*) AS seen_fr,
+         CAST(sum(CASE WHEN is_greek THEN 1 ELSE 0 END) AS BIGINT) AS gr_fr,
+         CAST(sum(CASE WHEN is_tracked THEN 1 ELSE 0 END) AS BIGINT) AS tr_fr
+  FROM fr JOIN mem ON other = uid GROUP BY user_id),
+fo_stats AS (
+  SELECT user_id, count(*) AS seen_fo,
+         CAST(sum(CASE WHEN is_greek THEN 1 ELSE 0 END) AS BIGINT) AS gr_fo,
+         CAST(sum(CASE WHEN is_tracked THEN 1 ELSE 0 END) AS BIGINT) AS tr_fo
+  FROM fo JOIN mem ON other = uid GROUP BY user_id),
+and_stats AS (
+  SELECT fr.user_id, count(*) AS fr_and_fo
+  FROM fr JOIN fo ON fr.user_id = fo.user_id AND fr.other = fo.other
+  GROUP BY fr.user_id),
+or_stats AS (
+  SELECT user_id, count(*) AS fr_or_fo,
+         CAST(sum(CASE WHEN is_greek THEN 1 ELSE 0 END) AS BIGINT) AS gr_fr_fo
+  FROM (SELECT user_id, other FROM fr UNION SELECT user_id, other FROM fo) u
+  JOIN mem ON other = uid GROUP BY user_id)
+SELECT m.uid AS user_id, m.is_greek AS greek,
+  COALESCE(seen_fr, 0) AS seen_fr, COALESCE(gr_fr, 0) AS gr_fr,
+  round(100 * COALESCE(gr_fr, 0) / greatest(COALESCE(seen_fr, 0), 1), 4) AS gr_fr_pcnt,
+  COALESCE(tr_fr, 0) AS tr_fr,
+  round(100 * COALESCE(tr_fr, 0) / greatest(COALESCE(seen_fr, 0), 1), 4) AS tr_fr_pcnt,
+  COALESCE(seen_fo, 0) AS seen_fo, COALESCE(gr_fo, 0) AS gr_fo,
+  round(100 * COALESCE(gr_fo, 0) / greatest(COALESCE(seen_fo, 0), 1), 4) AS gr_fo_pcnt,
+  COALESCE(tr_fo, 0) AS tr_fo,
+  round(100 * COALESCE(tr_fo, 0) / greatest(COALESCE(seen_fo, 0), 1), 4) AS tr_fo_pcnt,
+  COALESCE(fr_and_fo, 0) AS fr_and_fo, COALESCE(fr_or_fo, 0) AS fr_or_fo,
+  round(COALESCE(fr_and_fo, 0) / greatest(COALESCE(fr_or_fo, 0), 1), 4) AS fr_fo_jaccard,
+  COALESCE(gr_fr_fo, 0) AS gr_fr_fo,
+  round(100 * COALESCE(gr_fr_fo, 0) / greatest(COALESCE(fr_or_fo, 0), 1), 4) AS gr_fr_fo_pcnt
+FROM mem m
+LEFT JOIN fr_stats ON fr_stats.user_id = m.uid
+LEFT JOIN fo_stats ON fo_stats.user_id = m.uid
+LEFT JOIN and_stats ON and_stats.user_id = m.uid
+LEFT JOIN or_stats ON or_stats.user_id = m.uid
+"""

@@ -44,7 +44,9 @@ _RE_MULTISLASH = re.compile(r"/{2,}")
 def _canon_one(url: str) -> str | None:
     if url is None:
         return None
-    u = _RE_FRAGMENT.sub("", url.strip())
+    # strip AFTER fragment removal: "#..." can expose trailing
+    # whitespace, and canonicalization must be idempotent
+    u = _RE_FRAGMENT.sub("", url).strip()
     m = _RE_URL.match(u)
     if not m:
         return u
@@ -88,7 +90,7 @@ def canonicalize_series(urls: pd.Series) -> pd.Series:
     """Vectorized canonicalization: pandas .str kernels end to end; the
     only per-row Python is query-param sorting on the subset of rows
     that still have >= 2 params after tracking-param removal."""
-    s = urls.str.strip().str.replace(r"#.*$", "", regex=True)
+    s = urls.str.replace(r"#.*$", "", regex=True).str.strip()
     m = s.str.extract(
         r"^(?P<sch>[Hh][Tt][Tt][Pp][Ss]?)://(?P<host>[^/?#]+)(?P<path>[^?#]*)(?:\?(?P<q>.*))?$"
     )

@@ -27,6 +27,56 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def write_bucketed(
+    df: DataFrame,
+    path: str,
+    table_name: str,
+    key: str = "url_hash",
+    n_buckets: int = 64,
+) -> None:
+    """Persist ``df`` hash-bucketed + sorted on ``key`` (the co-located
+    layout for the two 10^10 tables, frontier and seen: a join between
+    tables bucketed alike needs NO exchange — Iceberg's ``bucket(N,
+    key)`` partition transform + storage-partitioned joins).
+
+    ``repartition(n, key)`` uses the same murmur3-pmod placement as
+    ``bucketBy``, so each task holds exactly one bucket and writes
+    exactly ONE file — which is what lets the scan also report its
+    SORTED BY ordering (no Sort before a merge join) when
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering`` is on."""
+    (
+        df.repartition(n_buckets, key)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(table_name)
+    )
+
+
+def register_bucketed(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    key: str = "url_hash",
+    n_buckets: int = 64,
+) -> None:
+    """(Re-)attach an existing bucketed-files dir as a catalog table.
+
+    Bucketed writes need ``saveAsTable``; the in-memory catalog forgets
+    the entry across JVMs, so each session re-declares the external
+    table over the already-bucketed files (bucket ids are encoded in
+    the file names, which the bucketed scan reads back)."""
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} ({cols}) USING PARQUET "
+        f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{path}'"
+    )
+
+
 class Catalog:
     def __init__(self, spark: SparkSession, root: str, use_iceberg: bool = False):
         self.spark = spark

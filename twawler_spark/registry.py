@@ -89,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "f16_flatten": cq.q_f16_flatten,
     "f2_f3_normalize": cq.q_f2_f3_normalize,
     "user_word_stats": cq.q_user_word_stats,
+    "user_follower_stats": cq.q_user_follower_stats,
     "s6_friend_scan": cq.q_s6_friend_scan,
     "s9_trends_snapshot": cq.q_s9_trends_snapshot,
     # training-data pipeline
@@ -185,6 +186,7 @@ FROM s GROUP BY user_id, session_id
     "f16_flatten": cq.O_F16,
     "f2_f3_normalize": cq.O_F2_F3,
     "user_word_stats": cq.O_USER_WORD_STATS,
+    "user_follower_stats": cq.O_USER_FOLLOWER_STATS,
     "s6_friend_scan": cq.O_S6_FRIENDS,
     "s9_trends_snapshot": cq.O_S9_TRENDS,
     "dedup_exact": tq.O_DEDUP_EXACT,

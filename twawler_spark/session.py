@@ -43,6 +43,11 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # the seen-filter merge (treeAggregate of per-bucket Bloom
+        # shards, 256 MiB each at the 10^8-key tier) returns several
+        # shard-sized partials to the driver in one stage — the 1g
+        # default aborts that job once the partition count grows
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
