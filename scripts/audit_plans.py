@@ -102,6 +102,36 @@ def main():
     round_txt = plan_text(round_plan)
     rows.append(audit("sched_round (bcast dedup)", round_txt))
 
+    # the production storage layout: co-bucketed frontier/seen dedup —
+    # the anti-join must show ZERO exchanges and ZERO sorts of its own
+    from twawler_spark.io_catalog import register_bucketed, write_bucketed
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    if not os.path.exists(f"{root}/frontier_bucketed"):
+        write_bucketed(frontier, f"{root}/frontier_bucketed", "audit_frontier_gen", n_buckets=8)
+        write_bucketed(
+            spark.read.parquet(f"{root}/seen_seed"),
+            f"{root}/seen_bucketed", "audit_seen_gen", n_buckets=8,
+        )
+    register_bucketed(spark, "audit_frontier_b", f"{root}/frontier_bucketed", n_buckets=8)
+    register_bucketed(spark, "audit_seen_b", f"{root}/seen_bucketed", n_buckets=8)
+    fb = spark.table("audit_frontier_b")
+    narrow_b = fb.where(F.col("state") == "active").select(
+        "url_hash", "host", "last_id", "first_id", "reached", "rate_tph",
+        "latest_ts", path.alias("__path"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    adm_b = narrow_b.join(
+        spark.table("audit_seen_b").select("url_hash"), "url_hash", "left_anti"
+    )
+    dedup_txt = plan_text(adm_b)
+    rows.append(audit("frontier dedup (co-bucketed)", dedup_txt))
+    round_b_txt = plan_text(
+        build_two_phase_plan(adm_b, robots, budgets, NOW_EPOCH + 3600, 16)
+    )
+    rows.append(audit("sched_round (bucketed dedup)", round_b_txt))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n\n")
         f.write("Evidence the declared plans survive Catalyst the way the design\n")
@@ -123,6 +153,10 @@ def main():
         f.write("  dedup anti-join and robots gate are broadcast — the frontier is\n")
         f.write("  never reshuffled for them; the wide `url` string is projected out\n")
         f.write("  before any exchange (`__path` pre-extracted).\n")
+        f.write("- `frontier dedup (co-bucketed)`: ZERO exchanges, ZERO sorts — the\n")
+        f.write("  production storage layout (frontier and seen bucketBy+sortBy on\n")
+        f.write("  url_hash, one file per bucket) turns whole-frontier dedup into a\n")
+        f.write("  per-bucket streaming merge; neither 10^10 table is ever shuffled.\n")
         f.write("- `dedup_minhash_lsh`/`dedup_jaccard`: the LSH band self-join is one\n")
         f.write("  shuffle on (band_idx, band_val); verification joins only the\n")
         f.write("  candidate pairs back to doc metadata.\n")
