@@ -164,6 +164,13 @@ def main() -> int:
         # same conf trades executor memory for shuffle elimination.
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(512 * 1024 * 1024),
                     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+                    # smaller splits -> task counts well above core count
+                    # at every level, so stage tails idle a bounded
+                    # fraction of the machine (a 40-task scan on 32
+                    # cores leaves 24 cores idle for the last wave);
+                    # proportional at both levels of a scaling pair
+                    "spark.sql.files.maxPartitionBytes": str(48 * 1024 * 1024),
+                    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(32 * 1024 * 1024),
                     # safe because ensure_inputs writes EXACTLY one file
                     # per bucket (repartition(N, key) aligned with
                     # bucketBy's hash): the bucketed scan then reports
