@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -69,6 +68,13 @@ def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
         open(marker, "w").write("ok")
         log(f"generated in {time.time()-t0:.1f}s")
     bmarker = f"{root}/.bucketed"
+    # marker content encodes the layout contract; a marker written for a
+    # different N_BUCKETS or writer version is stale -> rewrite the layout
+    from twawler_spark.io_catalog import BUCKET_LAYOUT_VERSION
+    bmarker_want = f"v{BUCKET_LAYOUT_VERSION}:n_buckets={N_BUCKETS}"
+    if os.path.exists(bmarker) and open(bmarker).read() != bmarker_want:
+        log("stale bucketed layout marker -> rewriting bucketed tables")
+        os.remove(bmarker)
     if not os.path.exists(bmarker):
         # the production storage layout: frontier AND seen hash-bucketed
         # + sorted on url_hash at write time, so the whole-frontier dedup
@@ -85,7 +91,7 @@ def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
                 f"{name}_gen",
                 n_buckets=N_BUCKETS,
             )
-        open(bmarker, "w").write("ok")
+        open(bmarker, "w").write(bmarker_want)
         log(f"bucketed in {time.time()-t0:.1f}s")
     register_bucketed(spark, "frontier_b", f"{root}/frontier_seed_bucketed", n_buckets=N_BUCKETS)
     register_bucketed(spark, "seen_b", f"{root}/seen_seed_bucketed", n_buckets=N_BUCKETS)
@@ -151,26 +157,39 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_urls = int(os.environ.get("SPARK_GRAFT_BENCH_URLS", "4000000"))
     n_hosts = max(100, n_urls // 200)
+    # Confs scale with the INPUT, not just the core count. The 100M-URL
+    # sweep wants many small tasks (stage tails idle a bounded fraction of
+    # the machine; AQE coalesces the excess), but at the driver's 4M-URL
+    # config those same knobs add fixed per-task scheduling overhead to
+    # ~3-second rounds and regress the headline (r2: 1.11M -> 680k
+    # urls/sec). Below the 10M-URL tier, use one shuffle partition per
+    # core and the default 128 MB splits (the r1-proven values).
+    big_input = n_urls >= 10_000_000
+    if big_input:
+        # 4x cores: a straggler task idles 1/(4*cpus) of capacity instead
+        # of 1/cpus; smaller splits keep task counts well above core count
+        # at every level of a scaling pair (proportional at N and 4N).
+        size_conf = {
+            "spark.sql.files.maxPartitionBytes": str(48 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(32 * 1024 * 1024),
+        }
+        shuffle_parts = 4 * cpus
+    else:
+        size_conf = {
+            "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024 * 1024),
+        }
+        shuffle_parts = cpus
     spark = get_spark(
         "bench",
         master=f"local[{cpus}]",
-        # 4x cores: a straggler task then idles 1/(4*cpus) of the level's
-        # capacity instead of 1/cpus — AQE coalesces the excess — so the
-        # 4N level isn't penalized by per-task tail latency. Proportional
-        # at both levels (fair scaling comparison).
-        shuffle_partitions=4 * cpus,
+        shuffle_partitions=shuffle_parts,
         # seen keys at 20% of the frontier fit a (raised) broadcast: the
         # exact dedup tier then needs no shuffle at all. On a cluster the
         # same conf trades executor memory for shuffle elimination.
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(512 * 1024 * 1024),
                     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
-                    # smaller splits -> task counts well above core count
-                    # at every level, so stage tails idle a bounded
-                    # fraction of the machine (a 40-task scan on 32
-                    # cores leaves 24 cores idle for the last wave);
-                    # proportional at both levels of a scaling pair
-                    "spark.sql.files.maxPartitionBytes": str(48 * 1024 * 1024),
-                    "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(32 * 1024 * 1024),
+                    **size_conf,
                     # safe because ensure_inputs writes EXACTLY one file
                     # per bucket (repartition(N, key) aligned with
                     # bucketBy's hash): the bucketed scan then reports
@@ -182,42 +201,40 @@ def main() -> int:
     root = ensure_inputs(spark, n_urls, n_hosts)
 
     # ------------------------------------------------- scheduling round
-    # headline: persisted-bloom dedup (production default; fastest at the
-    # 100M scale — see BENCH.md), SMJ pinned for the dedup joins because
-    # no broadcast tier exists at 10^10 seen keys. 1 warmup + 3 timed.
+    # Protocol: every variant gets exactly 1 warmup (codegen + worker
+    # spawn) + 3 timed rounds, best-of-3 — symmetric across variants so
+    # no variant gets extra draws against sandbox timing noise.
     seen_for_bloom = spark.read.parquet(f"{root}/seen_seed").select("url_hash")
     t0 = time.time()
     n_seen = seen_for_bloom.count()
     round_bloom = BroadcastBloom.build(seen_for_bloom, n_keys=n_seen)
     log(f"persisted seen-filter (one-time bootstrap build): {n_seen} keys, "
         f"{round_bloom.m_bits >> 23} MiB in {time.time()-t0:.1f}s")
+    K_TIMED = 3
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     log("warmup…")
     sched_round_once(spark, root, round_bloom)
     times_bloom, n_active = [], 0
-    for _ in range(2):
+    for _ in range(K_TIMED):
         n_active, dt = sched_round_once(spark, root, round_bloom)
         times_bloom.append(dt)
-    # comparison variants: warmup (codegen + worker spawn) + best-of-2 —
-    # single cold runs over-penalized them under sandbox timing noise
     sched_round_once(spark, root, None)
-    dt_smj = min(sched_round_once(spark, root, None)[1] for _ in range(2))
+    dt_smj = min(sched_round_once(spark, root, None)[1] for _ in range(K_TIMED))
     # production storage layout: co-bucketed anti-join, no exchange/sort
     sched_round_once(spark, root, None, bucketed=True)
-    times_bucketed = [
-        sched_round_once(spark, root, None, bucketed=True)[1] for _ in range(3)
-    ]
-    dt_bucketed = min(times_bucketed)
+    dt_bucketed = min(
+        sched_round_once(spark, root, None, bucketed=True)[1] for _ in range(K_TIMED)
+    )
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(512 * 1024 * 1024))
     sched_round_once(spark, root, None, exact_broadcast=True)
     dt_bcast = min(
-        sched_round_once(spark, root, None, exact_broadcast=True)[1] for _ in range(2)
+        sched_round_once(spark, root, None, exact_broadcast=True)[1]
+        for _ in range(K_TIMED)
     )
     # headline = the engine's storage/tier choice: fastest correct
     # variant at THIS scale. The co-bucketed layout is the production
     # answer for whole-frontier dedup (zero-shuffle at any scale); bloom
     # is the per-round admission tier (|seen| >> |candidates|).
-    # best-of-k for every variant: symmetric, noise-robust estimator.
     med = min(min(times_bloom), dt_smj, dt_bcast, dt_bucketed)
     throughput = n_active / med
 

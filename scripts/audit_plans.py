@@ -54,7 +54,9 @@ def audit(name: str, txt: str) -> dict:
         "python_stages": len(
             re.findall(r"^\(\d+\) (?:ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|FlatMapCoGroupsInPandas)", txt, re.M)
         ),
-        "sorts": len(re.findall(r"^\(\d+\) Sort", txt, re.M)),
+        # \b excludes SortMergeJoin/SortAggregate operator names; only a
+        # physical Sort node counts as a sort
+        "sorts": len(re.findall(r"^\(\d+\) Sort\b", txt, re.M)),
         "reused_exchanges": len(re.findall(r"ReusedExchange", txt)),
     }
 
@@ -107,8 +109,11 @@ def main():
     from twawler_spark.io_catalog import register_bucketed, write_bucketed
 
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-    if not os.path.exists(f"{root}/frontier_bucketed"):
+    # per-dir guard on the spec file (written last), so a crash between
+    # the two writes never leaves a half-built layout that gets reused
+    if not os.path.exists(f"{root}/frontier_bucketed/_bucket_spec.json"):
         write_bucketed(frontier, f"{root}/frontier_bucketed", "audit_frontier_gen", n_buckets=8)
+    if not os.path.exists(f"{root}/seen_bucketed/_bucket_spec.json"):
         write_bucketed(
             spark.read.parquet(f"{root}/seen_seed"),
             f"{root}/seen_bucketed", "audit_seen_gen", n_buckets=8,

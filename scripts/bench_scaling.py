@@ -24,10 +24,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _bench_version() -> str:
+    """Version token for the level cache: a hash of bench.py, so caches
+    measured by older bench code never silently mix into a sweep."""
+    import hashlib
+
+    with open(os.path.join(REPO, "bench.py"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()[:12]
+
+
 def run_level(cpus: int, n_urls: int) -> dict:
     # level results are cached on disk so a crashed/partial sweep can be
-    # resumed without re-measuring finished levels (delete to re-run)
-    cache = f"/tmp/twawler_bench/level_{cpus}_{n_urls}.json"
+    # resumed without re-measuring finished levels (delete to re-run);
+    # keyed on bench.py's content hash so a bench change invalidates them
+    cache = f"/tmp/twawler_bench/level_{cpus}_{n_urls}_{_bench_version()}.json"
     if os.path.exists(cache):
         res = json.load(open(cache))
         print(f"local[{cpus}]: cached ({cache})", file=sys.stderr)
@@ -101,10 +111,11 @@ North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
 executors. Sandbox proxy (per driver instruction): the same scheduling-
 round job at two parallelism levels on the identical input
 ({n_urls:,} synthetic frontier URLs, {max(100, n_urls // 200):,} hosts,
-log-uniform host skew), best of 3 warm rounds per variant, JVM startup
-and input generation excluded. Shuffle partitions are 4x cores at every
-level (proportional — AQE coalesces), so per-task tail latency idles
-the same fraction of each level's capacity. Each level is pinned with
+log-uniform host skew), best of 3 warm rounds per variant (symmetric
+across variants), JVM startup and input generation excluded. Shuffle
+partitions are proportional to cores at every level (4x cores at the
+>=10M-URL tier — AQE coalesces), so per-task tail latency idles the
+same fraction of each level's capacity. Each level is pinned with
 `taskset` to exactly N cores, so "local[N]" is a true N-core machine —
 an unpinned N-thread JVM would still spread GC and shuffle-IO threads
 over all 32 cores and overstate the small level.

@@ -26,6 +26,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import re
+
+# bump when the bucketed on-disk contract changes (file-per-bucket layout,
+# sort order, hash placement); markers written by other versions are stale
+BUCKET_LAYOUT_VERSION = 2
+
+
+def _scan_bucket_files(path: str) -> dict[int, int]:
+    """Map bucket id -> file count by parsing the ``_NNNNN`` suffix Spark
+    encodes in bucketed part file names (``part-*-<uuid>_00042[.c000]...``)."""
+    counts: dict[int, int] = {}
+    pat = re.compile(r"^part-.*_(\d{5})(?:\.c\d+)?\..*parquet$")
+    for f in os.listdir(path):
+        m = pat.match(f)
+        if m:
+            b = int(m.group(1))
+            counts[b] = counts.get(b, 0) + 1
+    return counts
+
 
 def write_bucketed(
     df: DataFrame,
@@ -52,6 +71,9 @@ def write_bucketed(
         .option("path", path)
         .saveAsTable(table_name)
     )
+    spec = {"n_buckets": n_buckets, "key": key, "version": BUCKET_LAYOUT_VERSION}
+    with open(f"{path}/_bucket_spec.json", "w") as f:
+        json.dump(spec, f)
 
 
 def register_bucketed(
@@ -66,7 +88,42 @@ def register_bucketed(
     Bucketed writes need ``saveAsTable``; the in-memory catalog forgets
     the entry across JVMs, so each session re-declares the external
     table over the already-bucketed files (bucket ids are encoded in
-    the file names, which the bucketed scan reads back)."""
+    the file names, which the bucketed scan reads back).
+
+    The CLUSTERED/SORTED declaration (plus the session-wide
+    ``legacy.bucketedTableScan.outputOrdering``) is only sound if the
+    on-disk layout actually matches: re-registering stale files under a
+    mismatched bucket spec would make bucketed joins silently WRONG, so
+    validate before CREATE TABLE — the ``_bucket_spec.json`` written by
+    :func:`write_bucketed` must agree on (n_buckets, key, layout
+    version), every part file's bucket id must be < n_buckets, and no
+    bucket may hold more than one file (the one-file-per-bucket
+    invariant that lets the scan report its SORTED BY ordering)."""
+    spec_path = f"{path}/_bucket_spec.json"
+    if not os.path.exists(spec_path):
+        raise ValueError(
+            f"bucketed layout at {path} has no _bucket_spec.json — "
+            "written by an older writer or not via write_bucketed(); rewrite it"
+        )
+    with open(spec_path) as f:
+        spec = json.load(f)
+    expected = {"n_buckets": n_buckets, "key": key, "version": BUCKET_LAYOUT_VERSION}
+    if spec != expected:
+        raise ValueError(
+            f"bucketed layout mismatch at {path}: on-disk spec {spec} != "
+            f"requested {expected}; rewrite with write_bucketed()"
+        )
+    counts = _scan_bucket_files(path)
+    if not counts:
+        raise ValueError(f"no bucketed part files found at {path}")
+    bad_ids = [b for b in counts if b >= n_buckets]
+    multi = {b: c for b, c in counts.items() if c > 1}
+    if bad_ids or multi:
+        raise ValueError(
+            f"bucketed layout at {path} violates the spec: "
+            f"bucket ids >= {n_buckets}: {sorted(bad_ids)}; "
+            f"buckets with >1 file: {multi}"
+        )
     schema = spark.read.parquet(path).schema
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     spark.sql(f"DROP TABLE IF EXISTS {name}")

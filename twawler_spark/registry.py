@@ -22,63 +22,28 @@ from .streaming import sessions as ss
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
-    # crawl-engine operators (SURVEY §2.1/2.2/2.6, §3.1)
-    "crawl_score": eq.q_crawl_score,
-    "crawl_budget_rank": eq.q_crawl_budget_rank,
-    "crawl_admission": eq.q_crawl_admission,
-    "url_canonicalize": eq.q_url_canonicalize,
-    # aggregations (§2.4)
-    "a1_crawl_bounds": eq.q_a1_crawl_bounds,
-    "a2_counts": eq.q_a2_counts,
-    "a3_distinct": eq.q_a3_distinct,
-    "a5_explode_count": eq.q_a5_explode_count,
-    "a6_topk": eq.q_a6_topk,
-    "a7_interval_stats": eq.q_a7_interval_stats,
-    "a8_histogram": eq.q_a8_histogram,
-    "a9_degree_stats": eq.q_a9_degree_stats,
-    "a12_zero_fill": eq.q_a12_zero_fill,
-    "a13_counters": eq.q_a13_counters,
-    "a14_daily_rollup": eq.q_a14_daily_rollup,
-    "a15_lang_topk": eq.q_a15_lang_topk,
-    "u_set_ops": eq.q_u_set_ops,
-    "a10_collect_sets": eq.q_a10_collect_sets,
-    "a11_timeseries": eq.q_a11_timeseries,
-    # joins (§2.3)
-    "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
-    "j2_antijoin_groupcount": eq.q_j2_antijoin_groupcount,
-    "j3_revenue_per_segment": eq.q_j3_revenue_per_segment,
-    "j8_synchrotrap": eq.q_j8_synchrotrap,
-    "j9_part_cooccurrence": eq.q_j9_part_cooccurrence,
-    "j10_type_similarity": eq.q_j10_type_similarity,
-    # windows (§2.5)
-    "w2_latest_per_key": eq.q_w2_latest_per_key,
-    "w3_topk_per_group": eq.q_w3_topk_per_group,
-    "w5_running_max": eq.q_w5_running_max,
-    "w_sessionize": eq.q_w_sessionize,
-    # filters / scalar functions (§2.2, §2.8)
-    "q1_pricing_summary": eq.q_q1_pricing_summary,
-    "q6_filter_agg": eq.q_q6_filter_agg,
-    "p3_array_membership": eq.q_p3_array_membership,
-    "p4_regex": eq.q_p4_regex,
-    "f_scalar_suite": eq.q_f_scalar_suite,
-    "f10_monthly": eq.q_f10_monthly,
-    "p6_staleness": eq.q_p6_staleness,
-    "f6_bigram_topk": eq.q_f6_bigram_topk,
-    "f8_urlparse": eq.q_f8_urlparse,
-    "s13_edgelist": eq.q_s13_edgelist,
-    "f15_json": eq.q_f15_json,
-    "f12_sentiment": eq.q_f12_sentiment,
-    "j4_missing_parents": eq.q_j4_missing_parents,
-    "j6_decoration": eq.q_j6_decoration,
-    "user_vector": eq.q_user_vector,
-    "viz_degree_distribution": eq.q_viz_degree_distribution,
-    "a8_log_buckets": eq.q_a8_log_buckets,
-    # streaming (§2.9)
-    "s3_stream_windowed": st.stream_windowed_counts,
-    "s3_stream_sessions": ss.stream_sessionize,
-    "s3_stream_checkpoint_state": sc.stream_checkpoint_state,
-    # coverage wave 4 (S7/S8/S4, F13, F12 cascade, J8 full, J7, F16, F2/F3)
-    "s7_list_scan": cq.q_s7_list_scan,
+    # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
+    # dict against their DuckDB oracles each round. Queries that have never
+    # had a driver CORRECTNESS row (or were added this round) go first; a
+    # representative band of already-driver-green sentinels fills the rest of
+    # the 50-row window; long-green queries sit past the window and rotate
+    # back in as needed. Every query stays locally verified regardless via
+    # scripts/check_oracles.py.
+    #
+    # Band 1 — training-data pipeline (no driver rows as of r2)
+    "dedup_exact": tq.q_dedup_exact,
+    "dedup_jaccard": tq.q_dedup_jaccard,
+    "dedup_minhash_lsh": tq.q_dedup_minhash_lsh,
+    "dedup_simhash": tq.q_dedup_simhash,
+    "dedup_embedding_cosine": tq.q_dedup_embedding_cosine,
+    "ann_cosine_topk": tq.q_ann_cosine_topk,
+    "ann_lsh_buckets": tq.q_ann_lsh_buckets,
+    "text_langid": tq.q_text_langid,
+    "text_quality": tq.q_text_quality,
+    "text_token_stats": tq.q_text_token_stats,
+    "text_fingerprint": tq.q_text_fingerprint,
+    "multimodal_meta": tq.q_multimodal_meta,
+    # Band 1 — coverage wave 4 (no driver rows as of r2)
     "s7_list_similarity": cq.q_s7_list_similarity,
     "s8_favorites_stop": cq.q_s8_favorites_stop,
     "s4_search_scan": cq.q_s4_search_scan,
@@ -92,19 +57,60 @@ QUERIES: dict[str, QueryFn] = {
     "user_follower_stats": cq.q_user_follower_stats,
     "s6_friend_scan": cq.q_s6_friend_scan,
     "s9_trends_snapshot": cq.q_s9_trends_snapshot,
-    # training-data pipeline
-    "dedup_exact": tq.q_dedup_exact,
-    "dedup_jaccard": tq.q_dedup_jaccard,
-    "dedup_minhash_lsh": tq.q_dedup_minhash_lsh,
-    "dedup_simhash": tq.q_dedup_simhash,
-    "dedup_embedding_cosine": tq.q_dedup_embedding_cosine,
-    "ann_cosine_topk": tq.q_ann_cosine_topk,
-    "ann_lsh_buckets": tq.q_ann_lsh_buckets,
-    "text_langid": tq.q_text_langid,
-    "text_quality": tq.q_text_quality,
-    "text_token_stats": tq.q_text_token_stats,
-    "text_fingerprint": tq.q_text_fingerprint,
-    "multimodal_meta": tq.q_multimodal_meta,
+    # Band 2 — new in round 3 (inserted here as they land)
+    # Band 3 — already-driver-green sentinels (CORRECTNESS_r02)
+    "crawl_score": eq.q_crawl_score,
+    "crawl_budget_rank": eq.q_crawl_budget_rank,
+    "crawl_admission": eq.q_crawl_admission,
+    "url_canonicalize": eq.q_url_canonicalize,
+    "q1_pricing_summary": eq.q_q1_pricing_summary,
+    "q6_filter_agg": eq.q_q6_filter_agg,
+    "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
+    "j8_synchrotrap": eq.q_j8_synchrotrap,
+    "w2_latest_per_key": eq.q_w2_latest_per_key,
+    "w3_topk_per_group": eq.q_w3_topk_per_group,
+    "w_sessionize": eq.q_w_sessionize,
+    "a6_topk": eq.q_a6_topk,
+    "a8_histogram": eq.q_a8_histogram,
+    "a14_daily_rollup": eq.q_a14_daily_rollup,
+    "user_vector": eq.q_user_vector,
+    "f12_sentiment": eq.q_f12_sentiment,
+    "f15_json": eq.q_f15_json,
+    "s13_edgelist": eq.q_s13_edgelist,
+    "s3_stream_windowed": st.stream_windowed_counts,
+    "s3_stream_sessions": ss.stream_sessionize,
+    "s3_stream_checkpoint_state": sc.stream_checkpoint_state,
+    "s7_list_scan": cq.q_s7_list_scan,
+    # --- past the driver's 50-row window (all driver-green in r02; still
+    # verified locally every round) ---
+    "a1_crawl_bounds": eq.q_a1_crawl_bounds,
+    "a2_counts": eq.q_a2_counts,
+    "a3_distinct": eq.q_a3_distinct,
+    "a5_explode_count": eq.q_a5_explode_count,
+    "a7_interval_stats": eq.q_a7_interval_stats,
+    "a9_degree_stats": eq.q_a9_degree_stats,
+    "a12_zero_fill": eq.q_a12_zero_fill,
+    "a13_counters": eq.q_a13_counters,
+    "a15_lang_topk": eq.q_a15_lang_topk,
+    "u_set_ops": eq.q_u_set_ops,
+    "a10_collect_sets": eq.q_a10_collect_sets,
+    "a11_timeseries": eq.q_a11_timeseries,
+    "j2_antijoin_groupcount": eq.q_j2_antijoin_groupcount,
+    "j3_revenue_per_segment": eq.q_j3_revenue_per_segment,
+    "j9_part_cooccurrence": eq.q_j9_part_cooccurrence,
+    "j10_type_similarity": eq.q_j10_type_similarity,
+    "w5_running_max": eq.q_w5_running_max,
+    "p3_array_membership": eq.q_p3_array_membership,
+    "p4_regex": eq.q_p4_regex,
+    "f_scalar_suite": eq.q_f_scalar_suite,
+    "f10_monthly": eq.q_f10_monthly,
+    "p6_staleness": eq.q_p6_staleness,
+    "f6_bigram_topk": eq.q_f6_bigram_topk,
+    "f8_urlparse": eq.q_f8_urlparse,
+    "j4_missing_parents": eq.q_j4_missing_parents,
+    "j6_decoration": eq.q_j6_decoration,
+    "viz_degree_distribution": eq.q_viz_degree_distribution,
+    "a8_log_buckets": eq.q_a8_log_buckets,
 }
 
 ORACLES: dict[str, str] = {
