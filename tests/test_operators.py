@@ -145,12 +145,22 @@ def test_frame_sample(spark):
         assert per_ref[r["media_ref"]] == r["duration_ms"] // 1000 + 1
 
 
-def test_decode_stub_raises(spark):
-    import pytest
+def test_bmp_decode_roundtrip(spark):
+    # odd width -> nonzero row padding, which the decoder must strip
+    buf = multimodal.make_bmp(5, 3, 10, 20, 30)
+    assert buf[:2] == b"BM"
+    assert len(buf) == 54 + ((3 * 5 + 3) // 4 * 4) * 3
 
-    media = multimodal.attach_media(_docs(spark))
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(media)
+    decoded = multimodal.decode_image(
+        multimodal.attach_bmp_media(_docs(spark), "doc_id")
+    ).collect()
+    assert len(decoded) > 0
+    for r in decoded:
+        i = int(r.media_ref)
+        assert (r.width, r.height) == (5 + i % 16, 4 + i % 8)
+        assert (r.mean_r, r.mean_g, r.mean_b) == (
+            i % 256, i * 7 % 256, i * 13 % 256
+        )
 
 
 # ------------------------------------------------------------------ spans

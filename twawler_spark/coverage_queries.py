@@ -329,6 +329,24 @@ def _lexicon_spark(spark):
     return vocab.unionByName(filler)
 
 
+# wiki-graph tier (senti.py:189-196): a word -> related-words graph; a
+# word found in the graph scores the MEAN of its neighbors' exact
+# scores, and if that mean is zero the word is DROPPED (it does not
+# cascade on to the lower/deaccent tiers). The reference loads the
+# graph from greekdict; here a deterministic synonym graph keys the
+# UPPERCASE form of every second vocab word to exactly two vocab
+# neighbors (two neighbors -> the mean is exact in half-point units).
+_WIKI_EDGES: list[tuple[str, str]] = []
+for _i, _w in enumerate(_VOCAB):
+    if _i % 2 == 0:
+        _WIKI_EDGES.append((_w.upper(), _VOCAB[(_i + 1) % len(_VOCAB)]))
+        _WIKI_EDGES.append((_w.upper(), _VOCAB[(_i + 3) % len(_VOCAB)]))
+
+_SQL_WIKI_EDGES = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{g}', '{n}')" for g, n in _WIKI_EDGES
+) + ") AS g(gw, nb)"
+
+
 _SQL_LEXICON = f"""
   SELECT word, cast(length(word) % 5 - 2 as int) AS score
   FROM (SELECT unnest({_VOCAB!r}) AS word)
@@ -339,14 +357,31 @@ _SQL_LEXICON = f"""
 
 
 def q_f12_sentiment_cascade(spark, sf):
-    """F12 at lexicon scale (senti.py:176-223): each token resolves
-    through exact -> lowercase -> deaccent lookups against a broadcast
-    5k-entry dictionary; per-lang rollup of mean positive / negative
-    scores (senti.py:322-392). Tokens are mutated per doc (upper /
-    accented) so every cascade stage does real work; the reference
-    deaccents Greek — here the same cascade runs over a Latin accent."""
+    """F12 at lexicon scale, full 4-tier cascade (senti.py:176-223):
+    each token resolves through exact -> wiki-graph -> lowercase ->
+    deaccent against a broadcast 5k-entry dictionary plus a broadcast
+    synonym-edge graph; per-lang rollup of mean positive / negative
+    scores (senti.py:322-392). The wiki tier scores a token as the mean
+    of its graph neighbors' exact scores, and a token IN the graph
+    whose mean is zero is dropped, not cascaded (senti.py:189-196).
+    Tokens are mutated per doc (upper / accented) so every tier does
+    real work; scores ride in exact half-point integer units (each
+    graph word has exactly 2 neighbors) so no floating-point sum ever
+    crosses an exchange — one double division at the end."""
     d = _t(spark, sf, "documents")
     lex = _lexicon_spark(spark)
+    edges = spark.createDataFrame(_WIKI_EDGES, "gw string, nb string")
+    # wiki tier pre-aggregation: graph word -> sum of neighbor exact
+    # scores (== 2 * mean, exact in ints). Tiny: |graph| rows.
+    wiki = (
+        edges.join(
+            lex.select(F.col("word").alias("nb_w"), F.col("score").alias("nb_s")),
+            edges.nb == F.col("nb_w"),
+            "left",
+        )
+        .groupBy("gw")
+        .agg(F.sum(F.coalesce("nb_s", F.lit(0))).alias("s2_w"))
+    )
     tok = F.explode(F.split(F.col("text"), " ")).alias("tok0")
     toks = d.select("lang", "doc_id", tok).select(
         "lang",
@@ -361,8 +396,19 @@ def q_f12_sentiment_cascade(spark, sf):
     e = lex.select(F.col("word").alias("w_e"), F.col("score").alias("s_e"))
     l = lex.select(F.col("word").alias("w_l"), F.col("score").alias("s_l"))
     x = lex.select(F.col("word").alias("w_d"), F.col("score").alias("s_d"))
+    in_wiki = F.col("gw").isNotNull()
+    miss_e = F.col("s_e").isNull()
+    # score in half-point units; NULL = no tier resolved it (or the
+    # wiki tier swallowed it with a zero mean)
+    s2 = (
+        F.when(~miss_e, 2 * F.col("s_e"))
+        .when(in_wiki & (F.col("s2_w") != 0), F.col("s2_w"))
+        .when(in_wiki, F.lit(None).cast("long"))
+        .otherwise(2 * F.coalesce("s_l", "s_d"))
+    )
     cascade = (
         toks.join(F.broadcast(e), toks.tok == e.w_e, "left")
+        .join(F.broadcast(wiki), toks.tok == wiki.gw, "left")
         .join(F.broadcast(l), F.lower(toks.tok) == l.w_l, "left")
         .join(
             F.broadcast(x),
@@ -371,36 +417,45 @@ def q_f12_sentiment_cascade(spark, sf):
         )
         .select(
             "lang",
-            F.coalesce("s_e", "s_l", "s_d").alias("s"),
-            F.when(F.col("s_e").isNotNull(), 1).otherwise(0).alias("hit_e"),
-            F.when(F.col("s_e").isNull() & F.col("s_l").isNotNull(), 1)
+            s2.alias("s2"),
+            F.when(~miss_e, 1).otherwise(0).alias("hit_e"),
+            F.when(miss_e & in_wiki & (F.col("s2_w") != 0), 1)
+            .otherwise(0)
+            .alias("hit_w"),
+            F.when(miss_e & ~in_wiki & F.col("s_l").isNotNull(), 1)
             .otherwise(0)
             .alias("hit_l"),
             F.when(
-                F.col("s_e").isNull() & F.col("s_l").isNull() & F.col("s_d").isNotNull(),
+                miss_e & ~in_wiki & F.col("s_l").isNull() & F.col("s_d").isNotNull(),
                 1,
             )
             .otherwise(0)
             .alias("hit_d"),
         )
     )
-    n_pos = F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
-    n_neg = F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
-    sum_pos = F.sum(F.when(F.col("s") > 0, F.col("s")).otherwise(0))
-    sum_neg = F.sum(F.when(F.col("s") < 0, F.col("s")).otherwise(0))
+    n_pos = F.sum(F.when(F.col("s2") > 0, 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("s2") < 0, 1).otherwise(0))
+    sum_pos2 = F.sum(F.when(F.col("s2") > 0, F.col("s2")).otherwise(0))
+    sum_neg2 = F.sum(F.when(F.col("s2") < 0, F.col("s2")).otherwise(0))
     return cascade.groupBy("lang").agg(
         F.sum("hit_e").alias("n_exact"),
+        F.sum("hit_w").alias("n_wiki"),
         F.sum("hit_l").alias("n_lower"),
         F.sum("hit_d").alias("n_deaccent"),
         n_pos.alias("n_pos"),
         n_neg.alias("n_neg"),
-        F.round(sum_pos / F.greatest(n_pos, F.lit(1)), 4).alias("senti_pos"),
-        F.round(sum_neg / F.greatest(n_neg, F.lit(1)), 4).alias("senti_neg"),
+        F.round(sum_pos2 / (2 * F.greatest(n_pos, F.lit(1))), 4).alias("senti_pos"),
+        F.round(sum_neg2 / (2 * F.greatest(n_neg, F.lit(1))), 4).alias("senti_neg"),
     )
 
 
 O_F12_CASCADE = f"""
 WITH lex AS ({_SQL_LEXICON}),
+graph AS ({_SQL_WIKI_EDGES}),
+wiki AS (
+  SELECT gw, cast(sum(coalesce(lex.score, 0)) as bigint) AS s2_w
+  FROM graph LEFT JOIN lex ON graph.nb = lex.word
+  GROUP BY gw),
 toks AS (
   SELECT lang,
          CASE WHEN doc_id % 3 = 0 THEN upper(tok0)
@@ -410,25 +465,34 @@ toks AS (
         FROM documents)),
 cascade AS (
   SELECT t.lang,
-         coalesce(e.score, l.score, d.score) AS s,
+         CASE WHEN e.score IS NOT NULL THEN 2 * e.score
+              WHEN w.gw IS NOT NULL AND w.s2_w != 0 THEN w.s2_w
+              WHEN w.gw IS NOT NULL THEN NULL
+              ELSE 2 * coalesce(l.score, d.score) END AS s2,
          CASE WHEN e.score IS NOT NULL THEN 1 ELSE 0 END AS hit_e,
-         CASE WHEN e.score IS NULL AND l.score IS NOT NULL THEN 1 ELSE 0 END AS hit_l,
-         CASE WHEN e.score IS NULL AND l.score IS NULL AND d.score IS NOT NULL
+         CASE WHEN e.score IS NULL AND w.gw IS NOT NULL AND w.s2_w != 0
+              THEN 1 ELSE 0 END AS hit_w,
+         CASE WHEN e.score IS NULL AND w.gw IS NULL AND l.score IS NOT NULL
+              THEN 1 ELSE 0 END AS hit_l,
+         CASE WHEN e.score IS NULL AND w.gw IS NULL AND l.score IS NULL
+                   AND d.score IS NOT NULL
               THEN 1 ELSE 0 END AS hit_d
   FROM toks t
   LEFT JOIN lex e ON t.tok = e.word
+  LEFT JOIN wiki w ON t.tok = w.gw
   LEFT JOIN lex l ON lower(t.tok) = l.word
   LEFT JOIN lex d ON translate(lower(t.tok), 'á', 'a') = d.word)
 SELECT lang,
        cast(sum(hit_e) as bigint) AS n_exact,
+       cast(sum(hit_w) as bigint) AS n_wiki,
        cast(sum(hit_l) as bigint) AS n_lower,
        cast(sum(hit_d) as bigint) AS n_deaccent,
-       cast(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) as bigint) AS n_pos,
-       cast(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) as bigint) AS n_neg,
-       round(sum(CASE WHEN s > 0 THEN s ELSE 0 END) * 1.0
-             / greatest(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END), 1), 4) AS senti_pos,
-       round(sum(CASE WHEN s < 0 THEN s ELSE 0 END) * 1.0
-             / greatest(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END), 1), 4) AS senti_neg
+       cast(sum(CASE WHEN s2 > 0 THEN 1 ELSE 0 END) as bigint) AS n_pos,
+       cast(sum(CASE WHEN s2 < 0 THEN 1 ELSE 0 END) as bigint) AS n_neg,
+       round(sum(CASE WHEN s2 > 0 THEN s2 ELSE 0 END) * 1.0
+             / (2 * greatest(sum(CASE WHEN s2 > 0 THEN 1 ELSE 0 END), 1)), 4) AS senti_pos,
+       round(sum(CASE WHEN s2 < 0 THEN s2 ELSE 0 END) * 1.0
+             / (2 * greatest(sum(CASE WHEN s2 < 0 THEN 1 ELSE 0 END), 1)), 4) AS senti_neg
 FROM cascade GROUP BY lang
 """
 
@@ -954,4 +1018,158 @@ LEFT JOIN fr_stats ON fr_stats.user_id = m.uid
 LEFT JOIN fo_stats ON fo_stats.user_id = m.uid
 LEFT JOIN and_stats ON and_stats.user_id = m.uid
 LEFT JOIN or_stats ON or_stats.user_id = m.uid
+"""
+
+
+# =====================================================================
+# Curation sweeps — duplicate user versions + cemetery contradictions
+# =====================================================================
+
+def _user_versions(spark, sf):
+    """Versioned user records (userdedup.py's users collection shape):
+    every customer appears once, half get a SECOND version that differs
+    only in the volatile counter (acctbal — the statuses/favourites
+    analog, ignored by the dedup), and every 5th gets a second version
+    that differs in a STABLE field (nation), which must NOT dedup."""
+    c = _t(spark, sf, "customer")
+    base = c.select(
+        F.col("c_custkey").alias("id"),
+        F.concat(F.lit("user"), F.pmod(F.col("c_custkey"), F.lit(700)).cast("string"))
+        .alias("screen_name_lower"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dup_volatile = base.where(F.pmod(F.col("id"), F.lit(2)) == 0).withColumn(
+        "acctbal", F.col("acctbal") + 100
+    )
+    dup_stable = base.where(F.pmod(F.col("id"), F.lit(5)) == 0).withColumn(
+        "nation", F.col("nation") + 1
+    )
+    return base.unionByName(dup_volatile).unionByName(dup_stable)
+
+
+_SQL_USER_VERSIONS = """
+  WITH base AS (
+    SELECT c_custkey AS id,
+           'user' || cast(c_custkey % 700 as varchar) AS screen_name_lower,
+           c_nationkey AS nation, c_mktsegment AS segment,
+           c_acctbal AS acctbal
+    FROM customer)
+  SELECT * FROM base
+  UNION ALL
+  SELECT id, screen_name_lower, nation, segment, acctbal + 100
+  FROM base WHERE id % 2 = 0
+  UNION ALL
+  SELECT id, screen_name_lower, nation + 1, segment, acctbal
+  FROM base WHERE id % 5 = 0
+"""
+
+
+def q_curation_user_dedup(spark, sf):
+    """Curation sweep (twkit/curation/userdedup.py:20-50): scan user
+    versions for (a) exact duplicates IGNORING volatile counters
+    (timestamp/statuses/favourites there, acctbal here) — the versions
+    the reference deletes — and (b) distinct ids sharing one lowercase
+    screen name — the reference's "same screen name but different ids"
+    warning. One aggregation over stable fields, one over names; both
+    single-shuffle groupBys, no self-join."""
+    v = _user_versions(spark, sf)
+    per_id = v.groupBy("id", "screen_name_lower").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        # versions whose stable fields all match the id's first version
+        # collapse; reference deletes all but one per stable-identical set
+        (
+            F.count(F.lit(1))
+            - F.countDistinct("nation", "segment")
+        ).alias("n_deletable"),
+    )
+    clashes = (
+        v.groupBy("screen_name_lower")
+        .agg(F.countDistinct("id").alias("n_ids"))
+        .where(F.col("n_ids") > 1)
+        .select("screen_name_lower", F.lit(True).alias("name_clash"))
+    )
+    return (
+        per_id.join(clashes, "screen_name_lower", "left")
+        .select(
+            "id",
+            "screen_name_lower",
+            "n_versions",
+            "n_deletable",
+            F.coalesce("name_clash", F.lit(False)).alias("name_clash"),
+        )
+    )
+
+
+O_CURATION_USER_DEDUP = f"""
+WITH v AS ({_SQL_USER_VERSIONS}),
+per_id AS (
+  SELECT id, screen_name_lower,
+         count(*) AS n_versions,
+         count(*) - count(DISTINCT (nation, segment)) AS n_deletable
+  FROM v GROUP BY id, screen_name_lower),
+clashes AS (
+  SELECT screen_name_lower, true AS name_clash
+  FROM v GROUP BY screen_name_lower HAVING count(DISTINCT id) > 1)
+SELECT p.id, p.screen_name_lower,
+       cast(p.n_versions as bigint) AS n_versions,
+       cast(p.n_deletable as bigint) AS n_deletable,
+       coalesce(c.name_clash, false) AS name_clash
+FROM per_id p LEFT JOIN clashes c USING (screen_name_lower)
+"""
+
+
+def q_curation_dead_list(spark, sf):
+    """Curation sweep (twkit/curation/deadlist.py:14-30): for every
+    account in the cemetery, report whether it is STILL tracked (the
+    contradiction the tool surfaces), whether it's on the ignore list,
+    and the screen name it still holds in the users collection.
+    Membership sets derive deterministically from customer keys; the
+    tracked/ignored dims are broadcast (tiny vs the 10^8-user users
+    collection this sweeps at reference scale)."""
+    c = _t(spark, sf, "customer")
+    cemetery = c.where(F.pmod(F.col("c_custkey"), F.lit(7)) == 0).select(
+        F.col("c_custkey").alias("uid")
+    )
+    tracked = c.where(F.pmod(F.col("c_custkey"), F.lit(3)) == 0).select(
+        F.col("c_custkey").alias("uid"),
+        F.lower(F.col("c_name")).alias("tracked_as"),
+    )
+    ignored = c.where(F.pmod(F.col("c_custkey"), F.lit(5)) == 0).select(
+        F.col("c_custkey").alias("uid"), F.lit(True).alias("is_ignored")
+    )
+    users = c.where(F.pmod(F.col("c_custkey"), F.lit(2)) == 0).select(
+        F.col("c_custkey").alias("uid"), F.col("c_name").alias("in_users_as")
+    )
+    return (
+        cemetery.join(F.broadcast(tracked), "uid", "left")
+        .join(F.broadcast(ignored), "uid", "left")
+        .join(users, "uid", "left")
+        .select(
+            "uid",
+            "tracked_as",
+            F.coalesce("is_ignored", F.lit(False)).alias("is_ignored"),
+            "in_users_as",
+            (F.col("tracked_as").isNotNull()).alias("contradiction"),
+        )
+    )
+
+
+O_CURATION_DEAD_LIST = """
+WITH cem AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % 7 = 0),
+tr AS (SELECT c_custkey AS uid, lower(c_name) AS tracked_as
+       FROM customer WHERE c_custkey % 3 = 0),
+ig AS (SELECT c_custkey AS uid, true AS is_ignored
+       FROM customer WHERE c_custkey % 5 = 0),
+us AS (SELECT c_custkey AS uid, c_name AS in_users_as
+       FROM customer WHERE c_custkey % 2 = 0)
+SELECT cem.uid, tr.tracked_as,
+       coalesce(ig.is_ignored, false) AS is_ignored,
+       us.in_users_as,
+       tr.tracked_as IS NOT NULL AS contradiction
+FROM cem
+LEFT JOIN tr USING (uid)
+LEFT JOIN ig USING (uid)
+LEFT JOIN us USING (uid)
 """

@@ -1149,12 +1149,10 @@ def _value_dec():
     return F.col("value").cast("decimal(18,6)")
 
 
-def q_user_vector(spark, sf):
-    """The vectorize.py path (§3.3): one wide per-user feature vector —
-    activity counts, tempo stats, type mix, value stats — in a single
-    groupBy (the reference does this per user in Python loops)."""
-    e = _t(spark, sf, "events")
-    return e.groupBy("user_id").agg(
+def _user_vector_aggs():
+    """The 16 base per-user features, shared by q_user_vector and
+    q_user_vector_wide (one agg list, identical semantics)."""
+    return [
         F.count("*").alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
         _epoch(F.min("ts")).alias("first_e"),
@@ -1196,11 +1194,18 @@ def q_user_vector(spark, sf):
         ).alias("events_per_hour"),
         F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0)).alias("n_am"),
         F.countDistinct(F.date_format("ts", "yyyy-MM-dd")).alias("n_active_days"),
-    )
+    ]
 
 
-O_USER_VECTOR = """
-SELECT user_id,
+def q_user_vector(spark, sf):
+    """The vectorize.py path (§3.3): one wide per-user feature vector —
+    activity counts, tempo stats, type mix, value stats — in a single
+    groupBy (the reference does this per user in Python loops)."""
+    e = _t(spark, sf, "events")
+    return e.groupBy("user_id").agg(*_user_vector_aggs())
+
+
+_SQL_UV_BASE = """
        count(*) AS n_events,
        count(DISTINCT event_type) AS n_types,
        cast(floor(epoch(min(ts))) as bigint) AS first_e,
@@ -1222,9 +1227,166 @@ SELECT user_id,
          cast(floor(epoch(max(ts))) as bigint) - cast(floor(epoch(min(ts))) as bigint),
          3600), 4) AS events_per_hour,
        cast(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END) as bigint) AS n_am,
-       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_active_days
+       count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_active_days"""
+
+O_USER_VECTOR = f"""
+SELECT user_id,{_SQL_UV_BASE}
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------------------------------------------------
+# user_vector_wide: base 16 features + the reference's last-month
+# day×hour usage grid + a per-user sentiment rollup (>= 40 features)
+# ---------------------------------------------------------------------
+
+UV_GRID_DAYS = 31
+UV_SENTI_DOC_MOD = 500
+
+
+def q_user_vector_wide(spark, sf):
+    """vectorize.py's wide feature family extended toward the reference's
+    ~2000-column vector: the 16 base features, PLUS the last-month
+    day×hour usage grid (stats.py:203-218 fill_lastmonth_usage: window
+    = (lastday-30d, lastday] where lastday is the user's last event day
+    truncated to midnight; hour index = hours-since-monthstart mod 24,
+    day index = hours//24 — 24 hourly + 31 daily counts), PLUS a
+    per-user sentiment rollup (senti.py §3.3's per-user features: each
+    event's document scored against the broadcast lexicon's exact tier;
+    integer sums, one double division at the end). 75 features, one
+    shuffle on user_id reused by both the window and the groupBy, and
+    one broadcast-joined doc-grain sub-aggregate."""
+    from .coverage_queries import _lexicon_spark
+
+    e = _t(spark, sf, "events")
+    wu = W.partitionBy("user_id")
+    te = _epoch(F.col("ts"))
+    ev = (
+        e.withColumn(
+            "lastday_e", _epoch(F.date_trunc("day", F.max("ts").over(wu)))
+        )
+        .withColumn("monthstart_e", F.col("lastday_e") - F.lit(30 * 86400))
+        .withColumn("in_win", (te > F.col("monthstart_e")) & (te <= F.col("lastday_e")))
+        .withColumn("hrs", F.floor((te - F.col("monthstart_e")) / F.lit(3600)))
+    )
+    grid = []
+    for h in range(24):
+        grid.append(
+            F.sum(
+                F.when(F.col("in_win") & (F.pmod(F.col("hrs"), F.lit(24)) == h), 1)
+                .otherwise(0)
+            ).alias(f"h{h:02d}")
+        )
+    for d in range(UV_GRID_DAYS):
+        grid.append(
+            F.sum(
+                F.when(F.col("in_win") & (F.floor(F.col("hrs") / F.lit(24)) == d), 1)
+                .otherwise(0)
+            ).alias(f"d{d:02d}")
+        )
+    vec = ev.groupBy("user_id").agg(*_user_vector_aggs(), *grid)
+
+    docs = _t(spark, sf, "documents")
+    lex = _lexicon_spark(spark)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    doc_senti = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("score") > 0, F.col("score")).otherwise(0)).alias("dp"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("score") < 0, F.col("score")).otherwise(0)).alias("dn"),
+            F.sum(F.when(F.col("score") < 0, 1).otherwise(0)).alias("nn"),
+        )
+    )
+    usent = (
+        e.select(
+            "user_id", F.pmod(F.col("event_id"), F.lit(UV_SENTI_DOC_MOD)).alias("doc_id")
+        )
+        .join(F.broadcast(doc_senti), "doc_id", "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.coalesce("np", F.lit(0))).alias("n_pos_tok"),
+            F.sum(F.coalesce("nn", F.lit(0))).alias("n_neg_tok"),
+            F.round(
+                F.sum(F.coalesce("dp", F.lit(0)))
+                / F.greatest(F.sum(F.coalesce("np", F.lit(0))), F.lit(1)),
+                4,
+            ).alias("senti_pos"),
+            F.round(
+                F.sum(F.coalesce("dn", F.lit(0)))
+                / F.greatest(F.sum(F.coalesce("nn", F.lit(0))), F.lit(1)),
+                4,
+            ).alias("senti_neg"),
+        )
+    )
+    return vec.join(usent, "user_id")
+
+
+def _uv_grid_sql() -> str:
+    cols = []
+    for h in range(24):
+        cols.append(
+            f"cast(sum(CASE WHEN in_win AND hrs % 24 = {h} THEN 1 ELSE 0 END) as bigint) AS h{h:02d}"
+        )
+    for d in range(UV_GRID_DAYS):
+        cols.append(
+            f"cast(sum(CASE WHEN in_win AND hrs // 24 = {d} THEN 1 ELSE 0 END) as bigint) AS d{d:02d}"
+        )
+    return ",\n       ".join(cols)
+
+
+O_USER_VECTOR_WIDE = f"""
+WITH ev AS (
+  SELECT *,
+         cast(floor(epoch(date_trunc('day', max(ts) OVER (PARTITION BY user_id)))) as bigint) AS lastday_e
+  FROM events),
+ev2 AS (
+  SELECT *,
+         lastday_e - {30 * 86400} AS monthstart_e,
+         cast(floor(epoch(ts)) as bigint) AS te
+  FROM ev),
+ev3 AS (
+  SELECT *,
+         te > monthstart_e AND te <= lastday_e AS in_win,
+         cast(floor((te - monthstart_e) / 3600.0) as bigint) AS hrs
+  FROM ev2),
+vec AS (
+  SELECT user_id,{_SQL_UV_BASE},
+       {{GRID}}
+  FROM ev3 GROUP BY user_id),
+lex AS ({{LEX}}),
+doc_senti AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN score > 0 THEN score ELSE 0 END) as bigint) AS dp,
+         cast(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) as bigint) AS np,
+         cast(sum(CASE WHEN score < 0 THEN score ELSE 0 END) as bigint) AS dn,
+         cast(sum(CASE WHEN score < 0 THEN 1 ELSE 0 END) as bigint) AS nn
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
+  JOIN lex ON t.tok = lex.word
+  GROUP BY doc_id),
+usent AS (
+  SELECT user_id,
+         cast(sum(coalesce(np, 0)) as bigint) AS n_pos_tok,
+         cast(sum(coalesce(nn, 0)) as bigint) AS n_neg_tok,
+         round(sum(coalesce(dp, 0)) * 1.0 / greatest(sum(coalesce(np, 0)), 1), 4) AS senti_pos,
+         round(sum(coalesce(dn, 0)) * 1.0 / greatest(sum(coalesce(nn, 0)), 1), 4) AS senti_neg
+  FROM (SELECT user_id, event_id % {UV_SENTI_DOC_MOD} AS doc_id FROM events) e
+  LEFT JOIN doc_senti USING (doc_id)
+  GROUP BY user_id)
+SELECT vec.*, usent.n_pos_tok, usent.n_neg_tok, usent.senti_pos, usent.senti_neg
+FROM vec JOIN usent USING (user_id)
+"""
+
+
+def _o_user_vector_wide() -> str:
+    # the lexicon SQL lives next to the Spark lexicon helper so the two
+    # stay in lockstep; imported lazily to keep module load order free
+    from .coverage_queries import _SQL_LEXICON
+
+    return O_USER_VECTOR_WIDE.format(GRID=_uv_grid_sql(), LEX=_SQL_LEXICON)
 
 
 def q_viz_degree_distribution(spark, sf):

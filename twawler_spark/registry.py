@@ -58,6 +58,10 @@ QUERIES: dict[str, QueryFn] = {
     "s6_friend_scan": cq.q_s6_friend_scan,
     "s9_trends_snapshot": cq.q_s9_trends_snapshot,
     # Band 2 — new in round 3 (inserted here as they land)
+    "multimodal_decode": tq.q_multimodal_decode,
+    "curation_user_dedup": cq.q_curation_user_dedup,
+    "curation_dead_list": cq.q_curation_dead_list,
+    "user_vector_wide": eq.q_user_vector_wide,
     # Band 3 — already-driver-green sentinels (CORRECTNESS_r02)
     "crawl_score": eq.q_crawl_score,
     "crawl_budget_rank": eq.q_crawl_budget_rank,
@@ -207,4 +211,8 @@ FROM s GROUP BY user_id, session_id
     "text_token_stats": tq.O_TEXT_TOKENS,
     "text_fingerprint": tq.O_TEXT_FP,
     "multimodal_meta": tq.O_MULTIMODAL,
+    "multimodal_decode": tq.O_MULTIMODAL_DECODE,
+    "curation_user_dedup": cq.O_CURATION_USER_DEDUP,
+    "curation_dead_list": cq.O_CURATION_DEAD_LIST,
+    "user_vector_wide": eq._o_user_vector_wide(),
 }

@@ -654,3 +654,38 @@ SELECT cast(doc_id as varchar) AS doc_id,
        md5(text) AS content_hash
 FROM documents
 """
+
+
+def q_multimodal_decode(spark, sf):
+    """Real pixel decode over a binary media column: each document gets
+    a genuine 24-bit BMP payload (dimensions/fill derived from doc_id,
+    odd widths exercising row padding), and the decoder parses headers,
+    strips padding, and reduces per-channel means in numpy inside
+    Arrow-batched mapInPandas (operators/multimodal.py:decode_image —
+    the S10/profilepics.py:30-90 processing tier, no longer stubbed).
+    The oracle predicts every decoded stat from doc_id arithmetic, so a
+    header mis-parse or padding slip fails the hash."""
+    from .operators.multimodal import attach_bmp_media, decode_image
+
+    d = _t(spark, sf, "documents")
+    return decode_image(attach_bmp_media(d, "doc_id")).select(
+        F.col("media_ref").cast("bigint").alias("doc_id"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "n_bytes",
+    )
+
+
+O_MULTIMODAL_DECODE = """
+SELECT doc_id,
+       cast(5 + doc_id % 16 as int) AS width,
+       cast(4 + doc_id % 8 as int) AS height,
+       doc_id % 256 AS mean_r,
+       doc_id * 7 % 256 AS mean_g,
+       doc_id * 13 % 256 AS mean_b,
+       54 + ((3 * (5 + doc_id % 16) + 3) // 4 * 4) * (4 + doc_id % 8) AS n_bytes
+FROM documents
+"""
