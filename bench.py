@@ -140,8 +140,15 @@ def sched_round_once(
         )
     else:
         admitted = admit(narrow, seen, bloom=bloom, confirm_broadcast=False)
+    # adaptive-salt stats: column-pruned scan + partial agg on the
+    # frontier (timed inside the round — production maintains these
+    # incrementally in the host dim)
+    host_stats = frontier.where(F.col("state") == "active").groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
     plan = build_two_phase_plan(
-        admitted, robots, budgets, NOW_EPOCH + 3600, salt_buckets=16
+        admitted, robots, budgets, NOW_EPOCH + 3600, salt_buckets=16,
+        dict_encode_hosts=True, host_stats=host_stats,
     )
     n_planned = plan.count()
     dt = time.time() - t0

