@@ -1173,3 +1173,222 @@ LEFT JOIN tr USING (uid)
 LEFT JOIN ig USING (uid)
 LEFT JOIN us USING (uid)
 """
+
+
+# =====================================================================
+# vectorize.py metadata + favoriter families (stats.py:948-1032)
+# =====================================================================
+
+def _class_counts(col, prefix):
+    """Letter-class counts (stats.py letter_count): digits, alpha,
+    upper, lower — pure regexp_replace/length expressions."""
+    return [
+        F.length(col).alias(f"{prefix}_len"),
+        F.length(F.regexp_replace(col, "[^0-9]", "")).alias(f"{prefix}_digit"),
+        F.length(F.regexp_replace(col, "[^A-Za-z]", "")).alias(f"{prefix}_alpha"),
+        F.length(F.regexp_replace(col, "[^A-Z]", "")).alias(f"{prefix}_upper"),
+        F.length(F.regexp_replace(col, "[^a-z]", "")).alias(f"{prefix}_lower"),
+    ]
+
+
+def _sql_class_counts(expr, prefix):
+    return f"""
+       length({expr}) AS {prefix}_len,
+       length(regexp_replace({expr}, '[^0-9]', '', 'g')) AS {prefix}_digit,
+       length(regexp_replace({expr}, '[^A-Za-z]', '', 'g')) AS {prefix}_alpha,
+       length(regexp_replace({expr}, '[^A-Z]', '', 'g')) AS {prefix}_upper,
+       length(regexp_replace({expr}, '[^a-z]', '', 'g')) AS {prefix}_lower"""
+
+
+def q_user_metadata_stats(spark, sf):
+    """fill_metadata_stats (stats.py:948-997): per-user profile-string
+    features — screen-name and display-name letter-class counts, bio
+    phrase stats (word/char class counts over the profile description),
+    follower/friend totals with the reference's zero-smoothing ratio.
+    screen_name = s_name; bio = the document text keyed by suppkey;
+    follower/friend counts from the same supplier edge graph as
+    user_follower_stats. Single pass: one narrow dim scan + broadcast
+    bio join + two pre-aggregated edge sides."""
+    s = _t(spark, sf, "supplier")
+    d = _t(spark, sf, "documents")
+    li = _t(spark, sf, "lineitem")
+    nsup = s.select(F.count("*").alias("__n"))
+    dst = (F.pmod(F.col("l_orderkey"), F.col("__n")) + 1).cast("bigint")
+    edges = (
+        li.where((F.col("l_quantity") <= 5) & (F.col("l_linenumber") <= 2))
+        .crossJoin(F.broadcast(nsup))
+        .select(F.col("l_suppkey").cast("bigint").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    friends = edges.groupBy(F.col("src").alias("uid")).agg(
+        F.count("*").alias("friends_count")
+    )
+    followers = edges.groupBy(F.col("dst").alias("uid")).agg(
+        F.count("*").alias("followers_count")
+    )
+    bio = d.select(
+        F.col("doc_id").alias("bio_key"),
+        F.col("text").alias("bio"),
+    )
+    base = (
+        s.select(
+            F.col("s_suppkey").cast("bigint").alias("uid"),
+            F.col("s_name").alias("screen_name"),
+            F.pmod(F.col("s_suppkey"), F.lit(500)).alias("bio_key"),
+        )
+        .join(F.broadcast(bio), "bio_key", "left")
+        .drop("bio_key")
+    )
+    toks = F.split(F.col("bio"), " ")
+    phrase = [
+        F.size(toks).alias("bio_words"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Z]"))).alias("bio_upper_words"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[a-z]"))).alias("bio_lower_words"),
+        F.length(F.regexp_replace(F.col("bio"), "[^!-/:-@]", "")).alias(
+            "bio_punctuation_chars"
+        ),
+        F.length(F.regexp_replace(F.col("bio"), "[^0-9]", "")).alias("bio_digit_chars"),
+        F.length(F.regexp_replace(F.col("bio"), "[^A-Za-z]", "")).alias(
+            "bio_alpha_chars"
+        ),
+        F.length(F.col("bio")).alias("bio_total_chars"),
+    ]
+    wide = base.select(
+        "uid",
+        "screen_name",
+        *_class_counts(F.col("screen_name"), "screen_name"),
+        *phrase,
+    )
+    out = (
+        wide.join(friends, "uid", "left")
+        .join(followers, "uid", "left")
+        .withColumn("friends_count", F.coalesce("friends_count", F.lit(0)))
+        .withColumn("followers_count", F.coalesce("followers_count", F.lit(0)))
+    )
+    # the reference smooths a zero follower count to 1 before the ratio
+    return out.withColumn(
+        "fr_fo_ratio",
+        F.round(
+            F.col("friends_count")
+            / F.greatest(F.col("followers_count"), F.lit(1)),
+            4,
+        ),
+    )
+
+
+O_USER_METADATA_STATS = f"""
+WITH nsup AS (SELECT count(*) AS n FROM supplier),
+edges AS (
+  SELECT DISTINCT l_suppkey AS src, (l_orderkey % (SELECT n FROM nsup)) + 1 AS dst
+  FROM lineitem WHERE l_quantity <= 5 AND l_linenumber <= 2
+    AND l_suppkey != (l_orderkey % (SELECT n FROM nsup)) + 1),
+fr AS (SELECT src AS uid, count(*) AS friends_count FROM edges GROUP BY src),
+fo AS (SELECT dst AS uid, count(*) AS followers_count FROM edges GROUP BY dst),
+base AS (
+  SELECT s_suppkey AS uid, s_name AS screen_name, d.text AS bio
+  FROM supplier LEFT JOIN documents d ON d.doc_id = s_suppkey % 500),
+wide AS (
+  SELECT uid, screen_name,{_sql_class_counts('screen_name', 'screen_name')},
+       len(string_split(bio, ' ')) AS bio_words,
+       len(list_filter(string_split(bio, ' '), t -> regexp_matches(t, '^[A-Z]')))
+         AS bio_upper_words,
+       len(list_filter(string_split(bio, ' '), t -> regexp_matches(t, '^[a-z]')))
+         AS bio_lower_words,
+       length(regexp_replace(bio, '[^!-/:-@]', '', 'g')) AS bio_punctuation_chars,
+       length(regexp_replace(bio, '[^0-9]', '', 'g')) AS bio_digit_chars,
+       length(regexp_replace(bio, '[^A-Za-z]', '', 'g')) AS bio_alpha_chars,
+       length(bio) AS bio_total_chars
+  FROM base)
+SELECT w.uid, w.screen_name,
+       w.screen_name_len, w.screen_name_digit, w.screen_name_alpha,
+       w.screen_name_upper, w.screen_name_lower,
+       w.bio_words, w.bio_upper_words, w.bio_lower_words,
+       w.bio_punctuation_chars, w.bio_digit_chars, w.bio_alpha_chars,
+       w.bio_total_chars,
+       coalesce(fr.friends_count, 0) AS friends_count,
+       coalesce(fo.followers_count, 0) AS followers_count,
+       round(coalesce(fr.friends_count, 0) * 1.0
+             / greatest(coalesce(fo.followers_count, 0), 1), 4) AS fr_fo_ratio
+FROM wide w LEFT JOIN fr ON fr.uid = w.uid LEFT JOIN fo ON fo.uid = w.uid
+"""
+
+
+FAV_AUTHOR_MOD = 97
+
+
+def q_user_favoriter_stats(spark, sf):
+    """fill_favoriter_stats (stats.py:1002-1032): per-user favorite
+    graph — how many distinct users favorite MY tweets (favoriters, via
+    get_favoriters' tweet->favorites join) and how many distinct users'
+    tweets I favorite (favorited, via get_favorited's favorites->tweet
+    ownership lookup) — plus the top counter-party by count with a
+    deterministic min-id tie-break (the reference's most_common head).
+    Favorites edges reuse the S8 derivation; tweet ownership is
+    author(tweet_id) = tweet_id mod {FAV_AUTHOR_MOD}. Both directions
+    are single hash-agg passes over the edge table keyed by user."""
+    li = _t(spark, sf, "lineitem")
+    favs = (
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(200)).alias("faver"),
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("tweet_id"),
+        )
+        .dropDuplicates(["faver", "tweet_id"])
+        .withColumn("author", F.pmod(F.col("tweet_id"), F.lit(FAV_AUTHOR_MOD)))
+    )
+    # favoriters of U: group my-tweets' favers
+    by_pair_in = favs.groupBy(
+        F.col("author").alias("uid"), F.col("faver").alias("other")
+    ).agg(F.count("*").alias("n"))
+    w_in = W.partitionBy("uid").orderBy(F.col("n").desc(), F.col("other").asc())
+    favoriters = by_pair_in.groupBy("uid").agg(
+        F.count("*").alias("favoriters"),
+        # composite tie-break key: max n, then min other (other < 100000)
+        F.max_by(F.col("other"), F.col("n") * 100000 - F.col("other")).alias(
+            "top_favoriter"
+        ),
+        F.max("n").alias("top_favoriter_count"),
+    )
+    # favorited BY U: group the authors of tweets U faved
+    by_pair_out = favs.groupBy(
+        F.col("faver").alias("uid"), F.col("author").alias("other")
+    ).agg(F.count("*").alias("n"))
+    favorited = by_pair_out.groupBy("uid").agg(
+        F.count("*").alias("favorited"),
+        F.max_by(F.col("other"), F.col("n") * 100000 - F.col("other")).alias(
+            "top_favorited"
+        ),
+        F.max("n").alias("top_favorited_count"),
+    )
+    return favoriters.join(favorited, "uid", "outer").na.fill(
+        0, ["favoriters", "favorited"]
+    )
+
+
+O_USER_FAVORITER_STATS = f"""
+WITH favs AS (
+  SELECT DISTINCT l_orderkey % 200 AS faver,
+         l_partkey * 100000 + l_suppkey AS tweet_id
+  FROM lineitem),
+fa AS (SELECT faver, tweet_id, tweet_id % {FAV_AUTHOR_MOD} AS author FROM favs),
+pin AS (SELECT author AS uid, faver AS other, count(*) AS n
+        FROM fa GROUP BY 1, 2),
+pout AS (SELECT faver AS uid, author AS other, count(*) AS n
+         FROM fa GROUP BY 1, 2),
+fin AS (
+  SELECT uid, count(*) AS favoriters,
+         arg_max(other, n * 100000 - other) AS top_favoriter,
+         max(n) AS top_favoriter_count
+  FROM pin GROUP BY uid),
+fout AS (
+  SELECT uid, count(*) AS favorited,
+         arg_max(other, n * 100000 - other) AS top_favorited,
+         max(n) AS top_favorited_count
+  FROM pout GROUP BY uid)
+SELECT coalesce(fin.uid, fout.uid) AS uid,
+       coalesce(favoriters, 0) AS favoriters,
+       top_favoriter, top_favoriter_count,
+       coalesce(favorited, 0) AS favorited,
+       top_favorited, top_favorited_count
+FROM fin FULL OUTER JOIN fout ON fin.uid = fout.uid
+"""

@@ -62,6 +62,8 @@ QUERIES: dict[str, QueryFn] = {
     "curation_user_dedup": cq.q_curation_user_dedup,
     "curation_dead_list": cq.q_curation_dead_list,
     "user_vector_wide": eq.q_user_vector_wide,
+    "user_metadata_stats": cq.q_user_metadata_stats,
+    "user_favoriter_stats": cq.q_user_favoriter_stats,
     # Band 3 — already-driver-green sentinels (CORRECTNESS_r02)
     "crawl_score": eq.q_crawl_score,
     "crawl_budget_rank": eq.q_crawl_budget_rank,
@@ -215,4 +217,6 @@ FROM s GROUP BY user_id, session_id
     "curation_user_dedup": cq.O_CURATION_USER_DEDUP,
     "curation_dead_list": cq.O_CURATION_DEAD_LIST,
     "user_vector_wide": eq._o_user_vector_wide(),
+    "user_metadata_stats": cq.O_USER_METADATA_STATS,
+    "user_favoriter_stats": cq.O_USER_FAVORITER_STATS,
 }
