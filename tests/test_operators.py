@@ -242,3 +242,22 @@ def test_s8_stop_condition(spark):
     assert out[1]["n_known_seen"] == 20 and out[1]["n_new"] == 0
     assert out[2]["n_pages_scanned"] == 5
     assert out[2]["n_new"] == 50 and out[2]["n_known_seen"] == 0
+
+
+def test_bmp_decode_property():
+    # pure-function property check, no Spark: any (w, h, color) roundtrips
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=64),
+        h=st.integers(min_value=1, max_value=32),
+        r=st.integers(min_value=0, max_value=255),
+        g=st.integers(min_value=0, max_value=255),
+        b=st.integers(min_value=0, max_value=255),
+    )
+    def check(w, h, r, g, b):
+        buf = multimodal.make_bmp(w, h, r, g, b)
+        assert multimodal.decode_bmp_bytes(buf) == (w, h, r, g, b)
+
+    check()

@@ -120,6 +120,37 @@ DECODE_SCHEMA = (
 )
 
 
+def decode_bmp_bytes(buf: bytes) -> tuple[int, int, int, int, int]:
+    """Pure decoder for one uncompressed 24-bit BMP: returns (width,
+    height, mean_r, mean_g, mean_b) with exact integer means. Parses
+    both headers, strips per-row padding, splits BGR planes in numpy —
+    property-tested without Spark (tests/test_operators.py)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    bpp = struct.unpack_from("<H", buf, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"only 24-bit BMP supported, got {bpp}")
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * abs(h), offset=offset
+    ).reshape(abs(h), stride)[:, : 3 * w]
+    px = rows.reshape(-1, 3).astype(np.int64)  # BGR
+    n_px = abs(h) * w
+    return (
+        w,
+        abs(h),
+        int(px[:, 2].sum()) // n_px,
+        int(px[:, 1].sum()) // n_px,
+        int(px[:, 0].sum()) // n_px,
+    )
+
+
 def decode_image(media: DataFrame) -> DataFrame:
     """Real pixel decode for uncompressed 24-bit BMP payloads: parse the
     two headers, strip per-row padding, split BGR planes, and reduce to
@@ -131,34 +162,19 @@ def decode_image(media: DataFrame) -> DataFrame:
     byte-parsing work a PIL/ffmpeg decode would, with zero external
     codecs. Reference analog: profilepics.py:30-90 fetches avatar
     images; this is the column-native processing tier over them."""
-    import struct
-
-    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, ws, hs, mr, mg, mb, nb = [], [], [], [], [], [], []
             for ref, buf in zip(pdf["media_ref"], pdf["payload"]):
                 buf = bytes(buf)
-                if buf[:2] != b"BM":
-                    raise ValueError(f"not a BMP payload for media_ref={ref}")
-                offset = struct.unpack_from("<I", buf, 10)[0]
-                w, h = struct.unpack_from("<ii", buf, 18)
-                bpp = struct.unpack_from("<H", buf, 28)[0]
-                if bpp != 24:
-                    raise ValueError(f"only 24-bit BMP supported, got {bpp}")
-                stride = (3 * w + 3) // 4 * 4
-                rows = np.frombuffer(
-                    buf, dtype=np.uint8, count=stride * abs(h), offset=offset
-                ).reshape(abs(h), stride)[:, : 3 * w]
-                px = rows.reshape(-1, 3).astype(np.int64)  # BGR
-                n_px = abs(h) * w
+                w, h, r, g, b = decode_bmp_bytes(buf)
                 refs.append(ref)
                 ws.append(w)
-                hs.append(abs(h))
-                mb.append(int(px[:, 0].sum()) // n_px)
-                mg.append(int(px[:, 1].sum()) // n_px)
-                mr.append(int(px[:, 2].sum()) // n_px)
+                hs.append(h)
+                mr.append(r)
+                mg.append(g)
+                mb.append(b)
                 nb.append(len(buf))
             yield pd.DataFrame(
                 {
