@@ -75,3 +75,27 @@ def test_bucketed_antijoin_matches_unbucketed(spark, bucketed_pair):
         .collect()
     )
     assert got == expect and len(got) > 0
+
+
+def test_register_rejects_layout_mismatch(spark, bucketed_pair):
+    import json
+    import os
+    import shutil
+
+    root, _, _ = bucketed_pair
+    # wrong n_buckets vs the on-disk spec -> loud failure, not wrong joins
+    with pytest.raises(ValueError, match="mismatch"):
+        register_bucketed(spark, "t_bad", f"{root}/big", n_buckets=N_BUCKETS * 2)
+    # missing spec (pre-validation layouts / foreign writers) -> rejected
+    plain = f"{root}/plain"
+    shutil.copytree(f"{root}/big", plain)
+    os.remove(f"{plain}/_bucket_spec.json")
+    with pytest.raises(ValueError, match="_bucket_spec"):
+        register_bucketed(spark, "t_bad", plain, n_buckets=N_BUCKETS)
+    # two files in one bucket -> the one-file-per-bucket invariant fails
+    multi = f"{root}/multi"
+    shutil.copytree(f"{root}/big", multi)
+    src = next(f for f in os.listdir(multi) if f.startswith("part-"))
+    shutil.copy(f"{multi}/{src}", f"{multi}/part-99999-deadbeef_{src.split('_')[1]}")
+    with pytest.raises(ValueError, match=">1 file"):
+        register_bucketed(spark, "t_bad", multi, n_buckets=N_BUCKETS)
