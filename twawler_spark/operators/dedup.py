@@ -53,12 +53,23 @@ def minhash_signatures(
     n_hashes: int = 8,
     shingle_k: int = 5,
 ) -> DataFrame:
-    """(id, h0..h{K-1}) — portable min-hash per shingle set."""
+    """(id, h0..h{K-1}) — portable min-hash per shingle set.
+
+    ONE md5 per shingle, split into two 60-bit halves, expanded to K
+    hashes via Kirsch-Mitzenmacher (h_k = h1 + k·h2 mod 2^59) — 8x less
+    hashing than one salted md5 per row, and the min-aggregation runs
+    over longs instead of 32-char hex strings. The same expression is
+    portable SQL (DuckDB: ('0x'||substr(md5,..))::BIGINT), so the
+    oracle computes identical signatures."""
     toks = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
     ).where(F.col("__sh") != "")
+    m = F.md5(F.col("__sh"))
+    M = 1 << 59
+    h1 = F.pmod(F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(M))
+    h2 = F.pmod(F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), F.lit(M))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("__sh")))).alias(f"h{k}")
+        F.min(F.pmod(h1 + k * h2, F.lit(M))).alias(f"h{k}")
         for k in range(n_hashes)
     ]
     return toks.groupBy(id_col).agg(*aggs)

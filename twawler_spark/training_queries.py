@@ -227,8 +227,14 @@ def q_dedup_minhash_lsh(spark, sf):
 
 
 def _o_minhash_bands() -> str:
+    # Kirsch-Mitzenmacher over one md5, matching minhash_signatures:
+    # h1/h2 = 60-bit halves mod 2^59; h_k = (h1 + k*h2) mod 2^59
+    M = 1 << 59
     hs = ",\n         ".join(
-        f"min(md5('{k}:' || tok)) AS h{k}" for k in range(N_MINHASH)
+        f"min((('0x' || substring(md5(tok), 1, 15))::BIGINT % {M}"
+        f" + {k} * (('0x' || substring(md5(tok), 17, 15))::BIGINT % {M})) % {M})"
+        f" AS h{k}"
+        for k in range(N_MINHASH)
     )
     bands = ", ".join(f"h{2*b} || '|' || h{2*b+1} AS band{b}" for b in range(4))
     joins = "\nUNION\n".join(
