@@ -17,6 +17,16 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 N_MINHASH = 8  # 4 bands x 2 rows
+
+# Kirsch-Mitzenmacher minhash in portable SQL: one md5 per shingle,
+# split into two 60-bit halves mod 2^59, expanded to K hashes
+_KM_M = 1 << 59
+_KM_MINHASH_SQL = ",".join(
+    f"min((('0x' || substring(md5(tok), 1, 15))::BIGINT % {_KM_M}"
+    f" + {k} * (('0x' || substring(md5(tok), 17, 15))::BIGINT % {_KM_M})) % {_KM_M})"
+    f" AS h{k}"
+    for k in range(N_MINHASH)
+)
 N_SIMHASH_BITS = 16
 _ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
@@ -133,7 +143,7 @@ toks AS (
   FROM docs),
 sigs AS (
   SELECT doc_id,
-         {",".join(f"min(md5('{k}:' || tok)) AS h{k}" for k in range(N_MINHASH))}
+         {_KM_MINHASH_SQL}
   FROM toks WHERE tok != '' GROUP BY doc_id),
 bands AS (SELECT doc_id, {", ".join(f"h{2 * b} || '|' || h{2 * b + 1} AS band{b}" for b in range(4))} FROM sigs),
 cands AS ({" UNION ".join(f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id" for b in range(4))}),
@@ -163,9 +173,13 @@ O_DEDUP_JACCARD = _o_dedup_jaccard()
 # ----------------------------------------------------------- minhash LSH
 
 def _minhash_cols():
-    """K min-hash columns h0..h7 via md5('<k>:'||token) (portable)."""
+    """K min-hash columns h0..h7 — one md5 per shingle, expanded via
+    Kirsch-Mitzenmacher (mirrors operators/dedup.minhash_signatures)."""
+    m = F.md5(F.col("tok"))
+    h1 = F.pmod(F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(_KM_M))
+    h2 = F.pmod(F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), F.lit(_KM_M))
     return [
-        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("tok")))).alias(f"h{k}")
+        F.min(F.pmod(h1 + k * h2, F.lit(_KM_M))).alias(f"h{k}")
         for k in range(N_MINHASH)
     ]
 
