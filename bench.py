@@ -55,9 +55,18 @@ def log(*a):
 N_BUCKETS = 64
 
 
+INPUT_LAYOUT_VERSION = 2  # v2: FRONTIER.path decomposed at generation
+
+
 def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
     root = f"/tmp/twawler_bench/u{n_urls}_h{n_hosts}"
     marker = f"{root}/.complete"
+    marker_want = f"v{INPUT_LAYOUT_VERSION}"
+    if os.path.exists(marker) and open(marker).read() != marker_want:
+        log("stale input layout -> regenerating")
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
     if not os.path.exists(marker):
         log(f"generating bench frontier: {n_urls} urls, {n_hosts} hosts -> {root}")
         t0 = time.time()
@@ -65,7 +74,7 @@ def ensure_inputs(spark, n_urls: int, n_hosts: int) -> str:
         # Arrow canonicalization path is correctness-tested elsewhere and
         # would dominate generation time at 10^7 rows
         write_inputs(spark, root, n_urls, n_hosts, noise=False)
-        open(marker, "w").write("ok")
+        open(marker, "w").write(marker_want)
         log(f"generated in {time.time()-t0:.1f}s")
     bmarker = f"{root}/.bucketed"
     # marker content encodes the layout contract; a marker written for a
@@ -129,10 +138,11 @@ def sched_round_once(
     robots = spark.read.parquet(f"{root}/robots")
 
     t0 = time.time()
-    path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
+    # FRONTIER.path was decomposed at generation: the round never reads
+    # the wide url column (the largest column in the table)
     narrow = frontier.where(F.col("state") == "active").select(
         "url_hash", "host", "last_id", "first_id", "reached", "rate_tph",
-        "latest_ts", path.alias("__path"),
+        "latest_ts", F.col("path").alias("__path"),
     )
     if bloom is None and exact_broadcast:
         admitted = narrow.join(

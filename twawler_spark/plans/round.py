@@ -251,6 +251,10 @@ def build_two_phase_plan(
               "reached", "rate_tph", "latest_ts"]
     if "__path" in active.columns:  # caller already projected the url away
         sched_cols = [F.col(c) for c in narrow] + [F.col("__path")]
+    elif "path" in active.columns:
+        # FRONTIER.path: decomposed once at admission — the scan never
+        # reads the wide url column at all (biggest column in the table)
+        sched_cols = [F.col(c) for c in narrow] + [F.col("path").alias("__path")]
     else:
         path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
         sched_cols = [F.col(c) for c in narrow] + [path.alias("__path")]
@@ -462,6 +466,8 @@ def run_round(
         "url",
         "url_hash",
         F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        # decompose once at admission; every later round reads only this
+        F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")).alias("path"),
         F.lit("active").alias("state"),
         F.lit(round_no).alias("state_round"),
         F.lit(0).cast("long").alias("last_id"),

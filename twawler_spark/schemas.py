@@ -45,6 +45,11 @@ FRONTIER = T.StructType(
         T.StructField("url", T.StringType(), False),
         T.StructField("url_hash", T.LongType(), False),     # xxhash64(canonical url)
         T.StructField("host", T.StringType(), False),
+        # canonical path, decomposed ONCE at admission: the scheduler's
+        # robots gate reads this short column instead of re-parsing the
+        # wide url string every round (columnar schema design — the url
+        # column is only read by the fetch/export paths)
+        T.StructField("path", T.StringType(), False),
         T.StructField("state", T.StringType(), False),      # active|ignored|dead|suspended|protected
         T.StructField("state_round", T.IntegerType(), False),
         T.StructField("last_id", T.LongType(), True),       # forward checkpoint (crawlerdata.lastid)

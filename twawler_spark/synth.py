@@ -125,8 +125,16 @@ def gen_frontier(
         if (canonicalize and noise)
         else F.col("raw_url")
     )
-    return out.withColumn("url", url).withColumn("url_hash", url_hash64(F.col("url"))).drop(
-        "raw_url"
+    return (
+        out.withColumn("url", url)
+        .withColumn("url_hash", url_hash64(F.col("url")))
+        # path decomposed once at generation/admission — the scheduler
+        # never re-parses the wide url column (FRONTIER.path)
+        .withColumn(
+            "path",
+            F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/")),
+        )
+        .drop("raw_url")
     )
 
 
