@@ -3,8 +3,9 @@
 Primary metric (BASELINE.json): frontier URLs scheduled+deduped per
 second per scheduling round — the count of active frontier rows pushed
 through score → robots gate → seen anti-join → per-host budget rank →
-plan emission, divided by round wall time (median of 3 warm
-iterations, JVM startup and input generation excluded).
+plan emission, divided by round wall time (1 warmup + best of 3 timed
+rounds per variant — symmetric; JVM startup and input generation
+excluded).
 
 Also times the headline operator queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1).
