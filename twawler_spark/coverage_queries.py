@@ -1392,3 +1392,160 @@ SELECT coalesce(fin.uid, fout.uid) AS uid,
        top_favorited, top_favorited_count
 FROM fin FULL OUTER JOIN fout ON fin.uid = fout.uid
 """
+
+
+# =====================================================================
+# nightowls — night/day activity split + max-daily-interval stats
+# =====================================================================
+
+NIGHT_HOURS = (0, 1, 2, 3, 4, 5, 18, 19, 20, 21, 22, 23)
+
+
+def q_nightowls(spark, sf):
+    """nightowls.py:53-64: per user, tweets in night hours (0-5, 18-23)
+    vs day hours, the is_nightowl flag (night > day), and the
+    max-daily-interval family — per (user, day) the MAXIMUM inter-event
+    gap, then max/avg/min/median/stdev of those per-day maxima across
+    days (the reference reads these straight off the materialized user
+    vector; here they derive from events in one window + two aggs).
+    Gaps are integer epoch seconds, so avg/std come from exact integer
+    sums with one double op at the end (population std, numpy default);
+    days with fewer than two events contribute no interval."""
+    e = _t(spark, sf, "events")
+    te = F.floor(F.unix_timestamp("ts")).cast("long")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    gaps = e.select(
+        "user_id",
+        day.alias("day"),
+        (te - F.lag(te).over(
+            W.partitionBy("user_id", day).orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        )).alias("gap"),
+    )
+    daily = gaps.where(F.col("gap").isNotNull()).groupBy("user_id", "day").agg(
+        F.max("gap").alias("mdi")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("mdi")
+    s2 = F.sum(F.col("mdi") * F.col("mdi"))
+    mdi_stats = daily.groupBy("user_id").agg(
+        F.max("mdi").alias("max_mdi"),
+        F.min("mdi").alias("min_mdi"),
+        F.round(s / n, 4).alias("avg_mdi"),
+        F.round(F.expr("percentile(mdi, 0.5)"), 4).alias("med_mdi"),
+        F.round(F.sqrt(F.greatest(n * s2 - s * s, F.lit(0))) / n, 4).alias("std_mdi"),
+    )
+    night = F.sum(F.when(F.hour("ts").isin(*NIGHT_HOURS), 1).otherwise(0))
+    counts = e.groupBy("user_id").agg(
+        night.alias("night_tweets"),
+        (F.count(F.lit(1)) - night).alias("day_tweets"),
+    )
+    return (
+        counts.join(mdi_stats, "user_id", "left")
+        .withColumn("is_nightowl", F.col("night_tweets") > F.col("day_tweets"))
+        .select(
+            "user_id", "night_tweets", "day_tweets", "is_nightowl",
+            "max_mdi", "min_mdi", "avg_mdi", "med_mdi", "std_mdi",
+        )
+    )
+
+
+O_NIGHTOWLS = f"""
+WITH g AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         cast(floor(epoch(ts)) as bigint)
+           - lag(cast(floor(epoch(ts)) as bigint))
+             OVER (PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+                   ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+daily AS (
+  SELECT user_id, day, max(gap) AS mdi
+  FROM g WHERE gap IS NOT NULL GROUP BY user_id, day),
+mdi_stats AS (
+  SELECT user_id,
+         max(mdi) AS max_mdi, min(mdi) AS min_mdi,
+         round(sum(mdi) * 1.0 / count(*), 4) AS avg_mdi,
+         round(quantile_cont(mdi, 0.5), 4) AS med_mdi,
+         round(sqrt(greatest(count(*) * sum(mdi * mdi) - sum(mdi) * sum(mdi), 0))
+               / count(*), 4) AS std_mdi
+  FROM daily GROUP BY user_id),
+counts AS (
+  SELECT user_id,
+         cast(sum(CASE WHEN hour(ts) IN {NIGHT_HOURS} THEN 1 ELSE 0 END) as bigint)
+           AS night_tweets,
+         cast(sum(CASE WHEN hour(ts) IN {NIGHT_HOURS} THEN 0 ELSE 1 END) as bigint)
+           AS day_tweets
+  FROM events GROUP BY user_id)
+SELECT c.user_id, c.night_tweets, c.day_tweets,
+       c.night_tweets > c.day_tweets AS is_nightowl,
+       m.max_mdi, m.min_mdi, m.avg_mdi, m.med_mdi, m.std_mdi
+FROM counts c LEFT JOIN mdi_stats m USING (user_id)
+"""
+
+
+# =====================================================================
+# dialogues — recursive reply-thread exploration (iterative closure)
+# =====================================================================
+
+DIALOGUE_STEP = 1000   # parent(tweet) = tweet - STEP (deterministic chains)
+DIALOGUE_MAX_DEPTH = 6
+
+
+def q_dialogues(spark, sf):
+    """dialogues.py explore_thread: starting from root tweets, walk the
+    reply graph downward (children = tweets whose in_reply_to is the
+    current tweet), depth-bounded. The reference recurses per tweet in
+    Python; here the closure is an ITERATIVE sequence of joins — level
+    k+1 = level k ⋈ reply-edges — with the edge table broadcast (edges
+    are plan-bounded per round at crawl scale) and the loop unrolled to
+    the depth cap, exactly mirroring the recursive-CTE oracle. Output
+    is one row per root: thread size and max depth reached.
+
+    Reply edges derive deterministically from events: tweet e replies
+    to e - 1000 when e >= 1000 and e % 3 != 0; the rest are roots."""
+    e = _t(spark, sf, "events")
+    tweets = e.select(F.col("event_id").alias("tweet_id"))
+    is_reply = (F.col("tweet_id") >= DIALOGUE_STEP) & (
+        F.pmod(F.col("tweet_id"), F.lit(3)) != 0
+    )
+    edges = tweets.where(is_reply).select(
+        F.col("tweet_id").alias("child"),
+        (F.col("tweet_id") - DIALOGUE_STEP).alias("parent"),
+    )
+    roots = tweets.where(~is_reply).select(
+        F.col("tweet_id").alias("root"), F.col("tweet_id"), F.lit(0).alias("depth")
+    )
+    closure = roots
+    level = roots
+    for d in range(1, DIALOGUE_MAX_DEPTH + 1):
+        level = (
+            level.join(F.broadcast(edges), level.tweet_id == edges.parent)
+            .select("root", F.col("child").alias("tweet_id"), F.lit(d).alias("depth"))
+        )
+        closure = closure.unionByName(level)
+    return closure.groupBy("root").agg(
+        F.count(F.lit(1)).alias("n_tweets"),
+        F.max("depth").alias("max_depth"),
+    )
+
+
+O_DIALOGUES = f"""
+WITH tweets AS (SELECT event_id AS tweet_id FROM events),
+edges AS (
+  SELECT tweet_id AS child, tweet_id - {DIALOGUE_STEP} AS parent
+  FROM tweets WHERE tweet_id >= {DIALOGUE_STEP} AND tweet_id % 3 != 0),
+roots AS (
+  SELECT tweet_id FROM tweets
+  WHERE NOT (tweet_id >= {DIALOGUE_STEP} AND tweet_id % 3 != 0)),
+thread AS (
+  WITH RECURSIVE walk(root, tweet_id, depth) AS (
+    SELECT tweet_id, tweet_id, 0 FROM roots
+    UNION ALL
+    SELECT w.root, e.child, w.depth + 1
+    FROM walk w JOIN edges e ON e.parent = w.tweet_id
+    WHERE w.depth < {DIALOGUE_MAX_DEPTH})
+  SELECT * FROM walk)
+SELECT root, count(*) AS n_tweets, cast(max(depth) as int) AS max_depth
+FROM thread GROUP BY root
+"""

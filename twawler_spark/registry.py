@@ -64,6 +64,8 @@ QUERIES: dict[str, QueryFn] = {
     "user_vector_wide": eq.q_user_vector_wide,
     "user_metadata_stats": cq.q_user_metadata_stats,
     "user_favoriter_stats": cq.q_user_favoriter_stats,
+    "nightowls": cq.q_nightowls,
+    "dialogues": cq.q_dialogues,
     # Band 3 — already-driver-green sentinels (CORRECTNESS_r02)
     "crawl_score": eq.q_crawl_score,
     "crawl_budget_rank": eq.q_crawl_budget_rank,
@@ -73,8 +75,6 @@ QUERIES: dict[str, QueryFn] = {
     "q6_filter_agg": eq.q_q6_filter_agg,
     "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
     "j8_synchrotrap": eq.q_j8_synchrotrap,
-    "w2_latest_per_key": eq.q_w2_latest_per_key,
-    "w3_topk_per_group": eq.q_w3_topk_per_group,
     "w_sessionize": eq.q_w_sessionize,
     "user_vector": eq.q_user_vector,
     "f12_sentiment": eq.q_f12_sentiment,
@@ -86,6 +86,8 @@ QUERIES: dict[str, QueryFn] = {
     "s7_list_scan": cq.q_s7_list_scan,
     # --- past the driver's 50-row window (all driver-green in r02; still
     # verified locally every round) ---
+    "w2_latest_per_key": eq.q_w2_latest_per_key,
+    "w3_topk_per_group": eq.q_w3_topk_per_group,
     "a6_topk": eq.q_a6_topk,
     "a8_histogram": eq.q_a8_histogram,
     "a14_daily_rollup": eq.q_a14_daily_rollup,
@@ -219,4 +221,6 @@ FROM s GROUP BY user_id, session_id
     "user_vector_wide": eq._o_user_vector_wide(),
     "user_metadata_stats": cq.O_USER_METADATA_STATS,
     "user_favoriter_stats": cq.O_USER_FAVORITER_STATS,
+    "nightowls": cq.O_NIGHTOWLS,
+    "dialogues": cq.O_DIALOGUES,
 }
