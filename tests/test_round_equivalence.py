@@ -119,3 +119,38 @@ def test_checkpoints_match(run):
         for uh, row in sim.frontier_rows.items()
     }
     assert spark_cp == sim_cp
+
+
+def test_plan_invariant_under_repartitioning(spark, crawl_root):
+    """Determinism under parallelism: the scheduling plan is a pure
+    function of the snapshot — any physical repartitioning of the input
+    (different partition counts, different partitioners) must produce
+    the identical plan row set, ranks included."""
+    from pyspark.sql import functions as F
+
+    from twawler_spark.plans.round import build_two_phase_plan
+    from twawler_spark.synth import NOW_EPOCH
+
+    frontier = spark.read.parquet(f"{crawl_root}/frontier_seed")
+    budgets = spark.read.parquet(f"{crawl_root}/host_budget")
+    robots = spark.read.parquet(f"{crawl_root}/robots")
+    host_stats = frontier.where(F.col("state") == "active").groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+
+    def plan_rows(active):
+        plan = build_two_phase_plan(
+            active, robots, budgets, NOW_EPOCH + 3600, salt_buckets=4,
+            dict_encode_hosts=True, host_stats=host_stats, hot_threshold=50,
+        )
+        return sorted(
+            (r["url_hash"], r["host"], r["phase"], r["fetch_rank"])
+            for r in plan.collect()
+        )
+
+    active = frontier.where(F.col("state") == "active")
+    base = plan_rows(active)
+    assert len(base) > 50
+    assert base == plan_rows(active.repartition(3))
+    assert base == plan_rows(active.repartition(17, "url_hash"))
+    assert base == plan_rows(active.coalesce(1))
