@@ -33,6 +33,10 @@ AUDIT = (
     "s8_favorites_stop",
     "text_quality",
     "user_vector",
+    "user_vector_wide",
+    "nightowls",
+    "curation_user_dedup",
+    "multimodal_decode",
 )
 
 
