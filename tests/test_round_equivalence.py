@@ -154,3 +154,59 @@ def test_plan_invariant_under_repartitioning(spark, crawl_root):
     assert base == plan_rows(active.repartition(3))
     assert base == plan_rows(active.repartition(17, "url_hash"))
     assert base == plan_rows(active.coalesce(1))
+
+
+def test_null_first_id_rides_the_plan_intact(spark, crawl_root):
+    """Packing regression (ADVICE r3): first_id is nullable — a NULL
+    first_id must come out of the plan as NULL *without* nulling the
+    packed-alongside non-null `reached` bit (a plain first_id*2+reached
+    pack loses `reached` for those rows, and fetch_results would then
+    coerce it to False and resume backfill past an exhausted floor)."""
+    from pyspark.sql import functions as F
+
+    from twawler_spark.plans.round import build_two_phase_plan
+    from twawler_spark.synth import NOW_EPOCH
+
+    frontier = spark.read.parquet(f"{crawl_root}/frontier_seed")
+    budgets = spark.read.parquet(f"{crawl_root}/host_budget")
+    robots = spark.read.parquet(f"{crawl_root}/robots")
+    nulled = F.col("url_hash") % 5 == 0
+    active = (
+        frontier.where(F.col("state") == "active")
+        .withColumn("first_id", F.when(~nulled, F.col("first_id")))
+        .withColumn("reached", F.when(nulled, F.lit(True)).otherwise(F.col("reached")))
+    )
+    plan = build_two_phase_plan(
+        active, robots, budgets, NOW_EPOCH + 3600, salt_buckets=4,
+        dict_encode_hosts=True,
+    )
+    rows = plan.select("url_hash", "first_id", "reached").collect()
+    null_rows = [r for r in rows if r["url_hash"] % 5 == 0]
+    assert null_rows, "expected some null-first_id rows to be scheduled"
+    assert all(r["first_id"] is None for r in null_rows)
+    assert all(r["reached"] is True for r in null_rows)
+    other = [r for r in rows if r["url_hash"] % 5 != 0]
+    assert all(r["first_id"] is not None for r in other)
+
+
+def test_missing_budget_host_fails_fast(spark, crawl_root):
+    """dict_encode_hosts regression (ADVICE r3): a frontier host absent
+    from the budgets dim must raise, not silently collapse all unmatched
+    hosts into one NULL-host ranking partition."""
+    from pyspark.sql import functions as F
+
+    from twawler_spark.plans.round import build_two_phase_plan
+    from twawler_spark.synth import NOW_EPOCH
+
+    frontier = spark.read.parquet(f"{crawl_root}/frontier_seed")
+    robots = spark.read.parquet(f"{crawl_root}/robots")
+    budgets = spark.read.parquet(f"{crawl_root}/host_budget")
+    one_host = budgets.select("host").first()["host"]
+    holey = budgets.where(F.col("host") != one_host)
+    active = frontier.where(F.col("state") == "active")
+    plan = build_two_phase_plan(
+        active, robots, holey, NOW_EPOCH + 3600, salt_buckets=4,
+        dict_encode_hosts=True,
+    )
+    with pytest.raises(Exception, match="missing from budgets dim"):
+        plan.collect()

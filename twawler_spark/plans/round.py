@@ -262,13 +262,18 @@ def build_two_phase_plan(
     # rate_tph/latest_ts are consumed by score(); __path by the robots
     # gate — none of them may ride the ranking shuffles and sorts.
     # first_id/reached are pure passengers (no ranking consumer): pack
-    # them into ONE long for the exchanges (first_id*2 + reached; ids
-    # stay well under 2^62) and unpack on the small plan output.
+    # them into ONE long for the exchanges and unpack on the small plan
+    # output. FRONTIER.first_id is nullable (schemas.py) — a plain
+    # first_id*2+reached would go NULL and drag the non-null reached bit
+    # with it, so bit 1 carries an explicit null flag:
+    #   coalesce(first_id,0)*4 | is_null<<1 | reached   (ids < 2^61)
     gated = (
         gate_robots(scored, robots, path_col="__path")
         .withColumn(
             "__fi_r",
-            F.col("first_id") * 2 + F.col("reached").cast("long"),
+            F.coalesce(F.col("first_id"), F.lit(0)) * 4
+            + F.col("first_id").isNull().cast("long") * 2
+            + F.col("reached").cast("long"),
         )
         .drop("__path", "rate_tph", "latest_ts", "first_id", "reached")
     )
@@ -287,7 +292,27 @@ def build_two_phase_plan(
             dim = budgets.select("host", "budget_per_round").withColumn(
                 "host_id", F.row_number().over(Window.orderBy("host")).cast("long")
             )
-        joined = gated.join(F.broadcast(dim), "host", "left").drop("host")
+        # budgets must cover every frontier host under dict encoding —
+        # a miss would leave host_id NULL and silently merge all such
+        # hosts into ONE ranking partition (and a NULL host in the
+        # output). Fail fast instead: raise on the first unmatched row.
+        joined = (
+            gated.join(F.broadcast(dim), "host", "left")
+            .withColumn(
+                "host_id",
+                F.when(
+                    F.col("host_id").isNull(),
+                    F.raise_error(F.concat(
+                        F.lit("build_two_phase_plan: frontier host '"),
+                        F.col("host"),
+                        F.lit("' missing from budgets dim "
+                              "(dict_encode_hosts=True requires full "
+                              "budget coverage)"),
+                    )).cast("long"),
+                ).otherwise(F.col("host_id")),
+            )
+            .drop("host")
+        )
         hkey = "host_id"
     else:
         dim = None
@@ -346,7 +371,10 @@ def build_two_phase_plan(
         is_p1.cast("int").desc(), *order_h
     ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     keep = ["url_hash", "host", "last_id",
-            F.shiftright(F.col("__fi_r"), 1).alias("first_id"),
+            F.when(
+                F.col("__fi_r").bitwiseAND(F.lit(2)) == 0,
+                F.shiftright(F.col("__fi_r"), 2),
+            ).alias("first_id"),
             (F.col("__fi_r").bitwiseAND(F.lit(1)) == 1).alias("reached"),
             "expected", "hours_idle"]
     staged = (
