@@ -47,3 +47,28 @@ def test_np_stream_matches_scalar():
             vec = np_stream64(keys, stream, idx)
             for i, k in enumerate(keys):
                 assert int(vec[i]) == stream64(int(k), stream, idx)
+
+
+def test_stream64_duckdb_sql_parity():
+    """The crawl-round oracles re-derive the deterministic fetch
+    synthesis in DuckDB via the expanded splitmix64 SQL in
+    crawl_queries._stream — it must be bit-identical to
+    hashing.stream64 (the function the engine's fetcher uses)."""
+    import duckdb
+
+    from twawler_spark.crawl_queries import _stream
+    from twawler_spark.hashing import stream64
+
+    con = duckdb.connect()
+    keys = [0, 1, 12345, (1 << 60) - 7, 987654321987654321, (1 << 64) - 1]
+    for k in keys:
+        for stream in (1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13):
+            for idx in (0, 5, 257, 4096):
+                sql = f"SELECT ({_stream(str(k), stream, str(idx))})::VARCHAR"
+                got = int(con.sql(sql).fetchone()[0])
+                assert got == stream64(k, stream, idx), (k, stream, idx)
+    # and inside a lambda (how the span oracles use it)
+    got = con.sql(
+        f"SELECT list_transform(range(0, 4), k -> ({_stream('42', 5, 'k')}) % 3)"
+    ).fetchone()[0]
+    assert got == [stream64(42, 5, k) % 3 for k in range(4)]

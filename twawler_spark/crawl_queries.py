@@ -1,0 +1,402 @@
+"""Driver-contract queries for the crawl round itself (SURVEY §7 step 4).
+
+The engine's reason to exist — score → robots gate → per-host budget
+rank → fetch → state MERGE — runs here as three driver queries over a
+frontier derived deterministically from the driver's ``events`` table,
+each with a full DuckDB oracle. The Spark side calls the REAL engine
+code (``build_two_phase_plan``, ``fetch_documents``, ``fetch_results``,
+``merge_fetch_results``); the oracle re-derives the same answer in pure
+SQL, including the deterministic fetch synthesis.
+
+The fetch synthesis is keyed by splitmix64 streams (hashing.py), which
+DuckDB lacks — so the oracle builder below EXPANDS splitmix64 into SQL:
+128-bit HUGEINT arithmetic mod 2^64, with the 64×64 multiplies split
+hi/lo to stay inside INT128, and single-element ``list_transform``
+lambdas as let-bindings so the expression stays linear in size.
+Parity with hashing.stream64 is property-tested in tests/test_hashing.py.
+
+Reference parity: the round pipeline rebuilds crawl-tweets.sh:37-160
+(score freq.py:103,133; budget rank dumpall.py:106-111; checkpoint
+advance dumpall.py:83-87; backfill paging load-past.py:69-77; state
+transitions utils.py:351-446).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import docspec
+from .entry_queries import CRAWL_NOW, _epoch, _t
+from .plans.fetcher import fetch_documents, fetch_results
+from .plans.round import build_two_phase_plan, merge_fetch_results
+
+N_HOSTS = 20
+ROUND_NO = 1
+
+# ------------------------------------------------------------------ SQL
+# splitmix64 / stream64 (hashing.py) expanded to DuckDB expressions.
+
+_M64 = "18446744073709551616::HUGEINT"  # 2^64
+_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+_let_ctr = [0]
+
+
+def _let(expr: str, body) -> str:
+    """Bind ``expr`` to a fresh lambda variable (evaluated once) —
+    DuckDB has no scalar CTEs inside expressions, but a single-element
+    ``list_transform`` is exactly a let-binding."""
+    _let_ctr[0] += 1
+    v = f"__v{_let_ctr[0]}"
+    return f"list_transform([({expr})], {v} -> ({body(v)}))[1]"
+
+
+def _mulmod(a: str, b: int) -> str:
+    """(a * b) mod 2^64 without INT128 overflow: split the constant
+    multiplicand into 32-bit halves."""
+    b_hi, b_lo = b >> 32, b & 0xFFFFFFFF
+    return (
+        f"((((({a}) * {b_hi}::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT"
+        f" + ({a}) * {b_lo}::HUGEINT) % {_M64})"
+    )
+
+
+def _smx(z: str) -> str:
+    """One splitmix64 finalization step (hashing.py:splitmix64)."""
+    return _let(
+        f"((({z}) + {_GAMMA}::HUGEINT) % {_M64})",
+        lambda a: _let(
+            _mulmod(f"xor({a}, {a} >> 30)", _SM_M1),
+            lambda b: _let(
+                _mulmod(f"xor({b}, {b} >> 27)", _SM_M2),
+                lambda c: f"xor({c}, {c} >> 31)",
+            ),
+        ),
+    )
+
+
+def _stream(key: str, stream: int, index: str = "0") -> str:
+    """hashing.stream64(key, stream, index) as a DuckDB expression.
+    ``key`` must be a HUGEINT expression in [0, 2^64); ``index`` a small
+    non-negative integer expression."""
+    s = (stream * _SM_M1) % (1 << 64)
+    inner = _smx(f"xor(({key})::HUGEINT, {s}::HUGEINT)")
+    if index == "0":
+        return _smx(inner)
+    im = _mulmod(f"({index})::HUGEINT", _SM_M2)
+    return _smx(_let(inner, lambda i: f"xor({i}, {im})"))
+
+
+_VOCAB_SQL = "[" + ", ".join(f"'{w}'" for w in docspec.VOCAB) + "]"
+
+# ---------------------------------------------------------------- fixture
+# Frontier synthesized from events: one URL per user_id, 20 hosts.
+# url_hash is the cross-engine-portable md5-prefix hash (60-bit,
+# positive) rather than xxhash64, so the oracle can derive it in SQL.
+
+
+def _crawl_fixture(
+    spark: SparkSession, sf: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(frontier, budgets, robots) derived from the events table."""
+    e = _t(spark, sf, "events")
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("latest_ts"),
+        _epoch(F.max("ts")).alias("latest_e"),
+        _epoch(F.min("ts")).alias("earliest_e"),
+    )
+    rate = F.col("n_events") * 3600.0 / F.greatest(
+        F.col("latest_e") - F.col("earliest_e"), F.lit(3600)
+    )
+    uid = F.col("user_id")
+    frontier = agg.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("u:"), uid.cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("url_hash"),
+        F.concat(F.lit("h"), F.pmod(uid, F.lit(N_HOSTS)).cast("string")).alias("host"),
+        F.concat(F.lit("/u/"), uid.cast("string")).alias("path"),
+        F.lit("active").alias("state"),
+        F.lit(0).alias("state_round"),
+        (uid * 10).cast("long").alias("last_id"),
+        # nullable backfill checkpoint — exercises the null-flag packing
+        F.when(F.pmod(uid, F.lit(7)) != 0, uid.cast("long")).alias("first_id"),
+        (F.pmod(uid, F.lit(3)) == 0).alias("reached"),
+        F.col("latest_ts"),
+        rate.alias("rate_tph"),
+    )
+    hosts = spark.range(N_HOSTS).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.col("id").alias("hn"),
+    )
+    budgets = hosts.select(
+        "host", (2 + F.pmod(F.col("hn"), F.lit(4))).cast("int").alias("budget_per_round")
+    )
+    deny1 = hosts.where(F.col("hn") % 5 == 0).select(
+        "host", F.lit("deny").alias("rule"), F.lit("/u/1").alias("path_prefix")
+    )
+    deny2 = hosts.where(F.col("hn") % 10 == 0).select(
+        "host", F.lit("deny").alias("rule"), F.lit("/u/3").alias("path_prefix")
+    )
+    allow = hosts.where(F.col("hn") % 4 == 0).select(
+        "host", F.lit("allow").alias("rule"), F.lit("/").alias("path_prefix")
+    )
+    robots = deny1.unionByName(deny2).unionByName(allow)
+    return frontier, budgets, robots
+
+
+def _plan(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    frontier, budgets, robots = _crawl_fixture(spark, sf)
+    plan = build_two_phase_plan(
+        frontier,
+        robots,
+        budgets,
+        CRAWL_NOW,
+        salt_buckets=4,
+        dict_encode_hosts=True,
+    )
+    return frontier, plan
+
+
+# shared oracle CTE chain: frontier fixture -> robots gate -> two-phase
+# budget rank (the salted stage A is a pure superset optimization, so
+# the unsalted SQL ranking is the same function of the snapshot)
+_SQL_PLAN_BASE = f"""
+agg AS (
+  SELECT user_id, count(*) AS n_events,
+         cast(floor(epoch(max(ts))) as bigint) AS latest_e,
+         cast(floor(epoch(min(ts))) as bigint) AS earliest_e
+  FROM events GROUP BY user_id),
+f AS (
+  SELECT user_id,
+         ('0x' || substr(md5('u:' || cast(user_id as varchar)), 1, 15))::BIGINT AS url_hash,
+         user_id % {N_HOSTS} AS hn,
+         'h' || cast(user_id % {N_HOSTS} as varchar) AS host,
+         '/u/' || cast(user_id as varchar) AS path,
+         cast(user_id * 10 as bigint) AS last_id0,
+         CASE WHEN user_id % 7 <> 0 THEN cast(user_id as bigint) END AS first_id0,
+         (user_id % 3 = 0) AS reached0,
+         latest_e,
+         n_events * 3600.0 / greatest(latest_e - earliest_e, 3600) AS rate_tph
+  FROM agg),
+sc AS (
+  SELECT *, greatest(({CRAWL_NOW} - latest_e) / 3600.0, 0.0) AS hours_idle FROM f),
+sc2 AS (SELECT *, rate_tph * hours_idle AS expected FROM sc),
+gated AS (
+  SELECT * FROM sc2
+  WHERE NOT ((hn % 5 = 0 AND path LIKE '/u/1%')
+          OR (hn % 10 = 0 AND path LIKE '/u/3%'))),
+wb AS (
+  SELECT *, 2 + hn % 4 AS b, greatest((2 + hn % 4) // 2, 1) AS b2 FROM gated),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY expected DESC, url_hash ASC) AS rank_e
+  FROM wb),
+late AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY hours_idle DESC, url_hash ASC) AS rank_h
+  FROM ranked WHERE rank_e > b),
+plan AS (
+  SELECT url_hash, host, last_id0, first_id0, reached0, expected, hours_idle,
+         rank_e AS fetch_rank, 'expected' AS phase
+  FROM ranked WHERE rank_e <= b
+  UNION ALL
+  SELECT url_hash, host, last_id0, first_id0, reached0, expected, hours_idle,
+         rank_h, 'late'
+  FROM late WHERE rank_h <= b2)
+"""
+
+
+# ------------------------------------------------- query 1: the plan
+
+
+def q_crawl_round_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S5/O1/J5/P5: one scheduling round's fetch plan — score
+    (freq.py:103,133), robots gate, salted two-phase per-host budget
+    rank (dumpall.py:106-111 + --crawl-late), dict-encoded hosts."""
+    _, plan = _plan(spark, sf)
+    return plan.select(
+        "url_hash",
+        "host",
+        "fetch_rank",
+        "phase",
+        "last_id",
+        "first_id",
+        "reached",
+        F.round("expected", 4).alias("expected_r"),
+        F.round("hours_idle", 4).alias("hours_idle_r"),
+    )
+
+
+O_CRAWL_ROUND_PLAN = f"""
+WITH {_SQL_PLAN_BASE}
+SELECT url_hash, host, fetch_rank, phase,
+       last_id0 AS last_id, first_id0 AS first_id, reached0 AS reached,
+       round(expected, 4) AS expected_r, round(hours_idle, 4) AS hours_idle_r
+FROM plan
+"""
+
+
+# ------------------------------------------------- query 2: the documents
+
+
+def q_crawl_round_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """S1/S2/S10/S12: fetched interleaved span documents after one round
+    (dumpall.py:23-92 timeline paging), doc-level — verifies per-row
+    span-sequence equality (kind, text, media_ref, order) inside the
+    driver gate, not just pytest."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    spans = F.col("spans")
+    return docs.select(
+        "doc_id",
+        "url_hash",
+        "host",
+        "fetch_rank",
+        F.size(spans).alias("n_spans"),
+        F.concat_ws(",", F.transform(spans, lambda s: s["kind"])).alias("span_kinds"),
+        F.concat_ws(
+            ",", F.transform(spans, lambda s: s["offset"].cast("string"))
+        ).alias("offsets"),
+        F.concat_ws(
+            " | ",
+            F.transform(
+                F.filter(spans, lambda s: s["kind"] == "text"), lambda s: s["text"]
+            ),
+        ).alias("text_all"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.filter(spans, lambda s: s["kind"] == "media"),
+                lambda s: s["media_ref"],
+            ),
+        ).alias("media_all"),
+    )
+
+
+def _build_o_docs() -> str:
+    kind = lambda: f"({_stream('d', docspec._S_KIND, 'k')}) % 3"  # noqa: E731
+    word = (
+        f"({_VOCAB_SQL})[(1 + ({_stream('d', docspec._S_WORD, 'k*16+t')}) % 32)::BIGINT]"
+    )
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    media = (
+        f"printf('m%012x', (({_stream('d', docspec._S_MEDIA, 'k')})"
+        f" % 281474976710656::HUGEINT)::BIGINT)"
+    )
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (
+  SELECT url_hash, host, fetch_rank, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (
+  SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (
+  SELECT *, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+  FROM st2 WHERE r100 < 88),
+dj AS (
+  SELECT url_hash, host, fetch_rank, u, unnest(range(0, nd)) AS j FROM ok),
+dk AS (
+  SELECT url_hash, host, fetch_rank,
+         ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+  FROM dj),
+dd AS (
+  SELECT *, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk)
+SELECT
+  printf('d%08x%08x', (d >> 32)::BIGINT, (d % 4294967296::HUGEINT)::BIGINT) AS doc_id,
+  url_hash, host, fetch_rank,
+  nsp AS n_spans,
+  array_to_string(list_transform(range(0, nsp),
+    k -> CASE WHEN {kind()} < 2 THEN 'text' ELSE 'media' END), ',') AS span_kinds,
+  array_to_string(range(0, nsp), ',') AS offsets,
+  coalesce(array_to_string(list_transform(
+    list_filter(range(0, nsp), k -> {kind()} < 2),
+    k -> array_to_string(list_transform(range(0, {nwords}), t -> {word}), ' ')),
+    ' | '), '') AS text_all,
+  coalesce(array_to_string(list_transform(
+    list_filter(range(0, nsp), k -> {kind()} >= 2),
+    k -> {media}), ','), '') AS media_all
+FROM dd
+"""
+
+
+O_CRAWL_ROUND_DOCS = _build_o_docs()
+
+
+# ------------------------------------------------- query 3: the state MERGE
+
+
+def q_crawl_round_states(spark: SparkSession, sf: str) -> DataFrame:
+    """U4/S2: frontier state after one round's MERGE — status-driven
+    transitions (utils.py:351-446), forward checkpoint advance
+    (dumpall.py:83-87), backfill paging + reached floor
+    (load-past.py:69-77), latest_ts touch. Aggregated per state."""
+    frontier, plan = _plan(spark, sf)
+    results = fetch_results(plan)
+    merged = merge_fetch_results(frontier, results, ROUND_NO, CRAWL_NOW)
+    return merged.groupBy("state").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("last_id").alias("sum_last_id"),
+        F.sum("first_id").alias("sum_first_id"),
+        F.sum(F.col("reached").cast("int")).alias("n_reached"),
+        F.sum("state_round").alias("sum_state_round"),
+        F.sum(_epoch(F.col("latest_ts"))).alias("sum_latest_e"),
+    )
+
+
+def _build_o_states() -> str:
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (
+  SELECT url_hash, last_id0, first_id0, reached0, (url_hash)::HUGEINT AS u
+  FROM plan),
+st2 AS (
+  SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+res AS (
+  SELECT url_hash, last_id0, first_id0, reached0,
+         CASE WHEN r100 < 88 THEN 200 WHEN r100 < 92 THEN 404
+              WHEN r100 < 96 THEN 429 ELSE 403 END AS status,
+         CASE WHEN r100 < 88
+              THEN (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT
+              ELSE 0 END AS nd
+  FROM st2),
+res2 AS (
+  SELECT url_hash, status,
+         coalesce(last_id0, 0) + nd AS new_last_id,
+         CASE WHEN status = 200 AND NOT reached0
+              THEN greatest(coalesce(first_id0, 0) - {docspec.BACKFILL_STEP}, 0)
+              ELSE coalesce(first_id0, 0) END AS new_first_id,
+         CASE WHEN status = 200 AND NOT reached0
+              THEN greatest(coalesce(first_id0, 0) - {docspec.BACKFILL_STEP}, 0) = 0
+              ELSE reached0 END AS new_reached
+  FROM res),
+mrg AS (
+  SELECT fr.url_hash,
+         CASE WHEN r.status = 404 THEN 'dead'
+              WHEN r.status = 403 THEN 'protected'
+              WHEN r.status = 429 THEN 'suspended'
+              ELSE 'active' END AS state,
+         CASE WHEN r.status IS NOT NULL AND r.status <> 200
+              THEN 1 ELSE 0 END AS state_round,
+         coalesce(r.new_last_id, fr.last_id0) AS last_id,
+         coalesce(r.new_first_id, fr.first_id0) AS first_id,
+         coalesce(r.new_reached, fr.reached0) AS reached,
+         CASE WHEN r.status = 200 THEN {CRAWL_NOW} ELSE fr.latest_e END AS latest_e
+  FROM f fr LEFT JOIN res2 r USING (url_hash))
+SELECT state, count(*) AS n_urls,
+       cast(sum(last_id) as bigint) AS sum_last_id,
+       cast(sum(first_id) as bigint) AS sum_first_id,
+       cast(sum(CASE WHEN reached THEN 1 ELSE 0 END) as bigint) AS n_reached,
+       cast(sum(state_round) as bigint) AS sum_state_round,
+       cast(sum(latest_e) as bigint) AS sum_latest_e
+FROM mrg GROUP BY state
+"""
+
+
+O_CRAWL_ROUND_STATES = _build_o_states()

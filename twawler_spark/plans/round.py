@@ -393,6 +393,53 @@ def build_two_phase_plan(
     )
 
 
+def merge_fetch_results(
+    frontier: DataFrame, results: DataFrame, round_no: int, now: int
+) -> DataFrame:
+    """State MERGE (reference utils.py:351-446 set-mutation protocol):
+    apply per-URL fetch outcomes to the frontier — status-driven state
+    transitions (404→dead, 403→protected, 429→suspended), checkpoint
+    advances (dumpall.py:83-87 last_id; load-past.py:69-77
+    first_id/reached) and the latest_ts touch on success. Unscheduled
+    rows pass through unchanged (status NULL). Extracted from
+    ``run_round`` so the driver-contract queries oracle the exact
+    engine code path."""
+    res = F.broadcast(
+        results.select("url_hash", "status", "new_last_id", "new_first_id", "new_reached")
+    )
+    return (
+        frontier.join(res, "url_hash", "left")
+        .withColumn(
+            "state",
+            F.when(F.col("status") == 404, "dead")
+            .when(F.col("status") == 403, "protected")
+            .when(F.col("status") == 429, "suspended")
+            .otherwise(F.col("state")),
+        )
+        .withColumn(
+            "state_round",
+            F.when(
+                F.col("status").isNotNull() & (F.col("status") != 200), F.lit(round_no)
+            ).otherwise(F.col("state_round")),
+        )
+        .withColumn(
+            "last_id", F.coalesce(F.col("new_last_id"), F.col("last_id"))
+        )
+        .withColumn(
+            "first_id", F.coalesce(F.col("new_first_id"), F.col("first_id"))
+        )
+        .withColumn(
+            "reached", F.coalesce(F.col("new_reached"), F.col("reached"))
+        )
+        .withColumn(
+            "latest_ts",
+            F.when(F.col("status") == 200, F.timestamp_seconds(F.lit(now))).otherwise(
+                F.col("latest_ts")
+            ),
+        )
+    )
+
+
 def run_round(
     catalog: Catalog,
     round_no: int,
@@ -508,40 +555,7 @@ def run_round(
     )
 
     # --------------------------------------------------------- state MERGE
-    res = F.broadcast(
-        results.select("url_hash", "status", "new_last_id", "new_first_id", "new_reached")
-    )
-    merged = (
-        frontier.join(res, "url_hash", "left")
-        .withColumn(
-            "state",
-            F.when(F.col("status") == 404, "dead")
-            .when(F.col("status") == 403, "protected")
-            .when(F.col("status") == 429, "suspended")
-            .otherwise(F.col("state")),
-        )
-        .withColumn(
-            "state_round",
-            F.when(
-                F.col("status").isNotNull() & (F.col("status") != 200), F.lit(round_no)
-            ).otherwise(F.col("state_round")),
-        )
-        .withColumn(
-            "last_id", F.coalesce(F.col("new_last_id"), F.col("last_id"))
-        )
-        .withColumn(
-            "first_id", F.coalesce(F.col("new_first_id"), F.col("first_id"))
-        )
-        .withColumn(
-            "reached", F.coalesce(F.col("new_reached"), F.col("reached"))
-        )
-        .withColumn(
-            "latest_ts",
-            F.when(F.col("status") == 200, F.timestamp_seconds(F.lit(now))).otherwise(
-                F.col("latest_ts")
-            ),
-        )
-    )
+    merged = merge_fetch_results(frontier, results, round_no, now)
     changed = merged.where(F.col("status").isNotNull() | F.col("__revived"))
     frontier_cols = [f.name for f in FRONTIER.fields]
     obs_delta = Observation()

@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import coverage_queries as cq
+from . import crawl_queries as crq
 from . import entry_queries as eq
 from . import training_queries as tq
 from .streaming import checkpoints as sc
@@ -30,6 +31,10 @@ QUERIES: dict[str, QueryFn] = {
     # back in as needed. Every query stays locally verified regardless via
     # scripts/check_oracles.py.
     #
+    # Band 0 — new in round 4: the crawl round itself, driver-oracled
+    "crawl_round_plan": crq.q_crawl_round_plan,
+    "crawl_round_docs": crq.q_crawl_round_docs,
+    "crawl_round_states": crq.q_crawl_round_states,
     # Band 1 — training-data pipeline (no driver rows as of r2)
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -122,6 +127,9 @@ QUERIES: dict[str, QueryFn] = {
 }
 
 ORACLES: dict[str, str] = {
+    "crawl_round_plan": crq.O_CRAWL_ROUND_PLAN,
+    "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
+    "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,
