@@ -1496,14 +1496,17 @@ def q_dialogues(spark, sf):
     """dialogues.py explore_thread: starting from root tweets, walk the
     reply graph downward (children = tweets whose in_reply_to is the
     current tweet), depth-bounded. The reference recurses per tweet in
-    Python; here the closure is an ITERATIVE sequence of joins — level
-    k+1 = level k ⋈ reply-edges — with the edge table broadcast (edges
-    are plan-bounded per round at crawl scale) and the loop unrolled to
-    the depth cap, exactly mirroring the recursive-CTE oracle. Output
-    is one row per root: thread size and max depth reached.
+    Python; here the closure is the level-synchronous BFS of
+    operators/graph.py:reply_closure — the corpus-scale reply-edge
+    table is hash-partitioned on parent ONCE (persisted; every level
+    reuses that single exchange), each level is checkpointed flat, and
+    the loop exits early when a level drains. Output is one row per
+    root: thread size and max depth reached.
 
     Reply edges derive deterministically from events: tweet e replies
     to e - 1000 when e >= 1000 and e % 3 != 0; the rest are roots."""
+    from .operators.graph import reply_closure
+
     e = _t(spark, sf, "events")
     tweets = e.select(F.col("event_id").alias("tweet_id"))
     is_reply = (F.col("tweet_id") >= DIALOGUE_STEP) & (
@@ -1516,14 +1519,7 @@ def q_dialogues(spark, sf):
     roots = tweets.where(~is_reply).select(
         F.col("tweet_id").alias("root"), F.col("tweet_id"), F.lit(0).alias("depth")
     )
-    closure = roots
-    level = roots
-    for d in range(1, DIALOGUE_MAX_DEPTH + 1):
-        level = (
-            level.join(F.broadcast(edges), level.tweet_id == edges.parent)
-            .select("root", F.col("child").alias("tweet_id"), F.lit(d).alias("depth"))
-        )
-        closure = closure.unionByName(level)
+    closure = reply_closure(roots, edges, DIALOGUE_MAX_DEPTH)
     return closure.groupBy("root").agg(
         F.count(F.lit(1)).alias("n_tweets"),
         F.max("depth").alias("max_depth"),

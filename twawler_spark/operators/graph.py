@@ -1,0 +1,60 @@
+"""Iterative graph closure — reply-thread exploration at corpus scale.
+
+Reference: twkit/analytics/dialogues.py ``explore_thread`` recurses per
+tweet over a Mongo cursor (children = tweets whose in_reply_to is the
+current id), depth-bounded. At 750 M tweets the reply-edge table is far
+beyond broadcast size, so the rebuild is a level-synchronous BFS:
+
+  * the edge table is hash-partitioned on ``parent`` ONCE and persisted
+    — every level's join reuses that one materialized exchange (the
+    in-memory scan preserves outputPartitioning, so only the small,
+    shrinking level side shuffles per step);
+  * each level is eagerly localCheckpoint'ed: the lineage stays flat
+    (no exponentially nested join plan), each level join is its own
+    job so AQE can still pick a broadcast build at runtime whenever the
+    actual level/edge sizes allow — broadcast remains the size-gated
+    fast path without a hand-rolled threshold;
+  * the loop exits as soon as a level drains (most threads are far
+    shallower than the depth cap).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def reply_closure(
+    roots: DataFrame,
+    edges: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """Depth-bounded downward closure of ``roots`` over ``edges``.
+
+    roots: (root, tweet_id, depth=0); edges: (child, parent).
+    Returns (root, tweet_id, depth) for every reachable tweet.
+    """
+    edges_p = edges.repartition("parent").persist(StorageLevel.MEMORY_AND_DISK)
+    levels = [roots]
+    level = roots
+    for d in range(1, max_depth + 1):
+        level = (
+            level.join(edges_p, level["tweet_id"] == edges_p["parent"])
+            .select(
+                "root",
+                F.col("child").alias("tweet_id"),
+                F.lit(d).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if level.isEmpty():
+            break
+        levels.append(level)
+    out = reduce(lambda a, b: a.unionByName(b), levels)
+    # every kept level is already materialized by its checkpoint, so the
+    # union no longer references the partitioned edge cache
+    edges_p.unpersist()
+    return out

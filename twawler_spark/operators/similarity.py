@@ -6,13 +6,19 @@
                           windowed rank (correct at any scale, O(Q·N))
   rp_lsh_buckets          random-hyperplane signature (deterministic ±1
                           planes from md5 parity — no stored model)
-  lsh_topk                the scale path: candidates from matching LSH
-                          buckets (multi-probe via rotated prefixes),
-                          exact cosine re-rank, top-k per query
+  banded_lsh_signatures   B independent tables of P sign bits, all
+                          B·P plane sums in one pass
+  banded_lsh_candidates   bounded candidates: shared small bucket in
+                          any table + spill-to-exact for oversized
+                          buckets (hot regions under skew)
+  lsh_topk                the scale path: banded candidates, exact
+                          cosine re-rank, top-k per query
 
-At 100 TB the corpus bucketing is computed once and written
-bucket-partitioned; query batches join only their probe buckets —
-a broadcastable bucket map replaces the full cross join.
+At 100 TB the corpus signatures are computed once and written
+bucket-partitioned; query batches join only their buckets — candidate
+volume is bounded by B·bucket_cap per query even under skewed
+embedding distributions, and the tiny bucket-size dim rides
+broadcasts.
 """
 
 from __future__ import annotations
@@ -87,43 +93,116 @@ def rp_lsh_buckets(
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
-def lsh_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
+def banded_lsh_signatures(
+    df: DataFrame,
+    n_tables: int = 4,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates (same signature under
-    any single-bit flip — multi-probe radius 1), exact cosine re-rank."""
-    cb = rp_lsh_buckets(corpus, n_planes, id_col, vec_col).withColumnRenamed(
-        id_col, "c_id"
+    """(id, table_id, bucket) — B independent hash tables of P sign
+    bits each, all B·P plane sums computed in ONE pass over the dims
+    (one explode, one groupBy). Global plane index q = table·P + p
+    seeds the ±1 weights, so table 0 reproduces the single-table
+    ``rp_lsh_buckets`` signature.
+
+    This is the banding treatment minhash already has (dedup.py:78):
+    a single 2^P-bucket table degrades toward all-pairs as the corpus
+    grows (bucket population ~ N/2^P) and radius-1 multi-probe
+    multiplies candidates ×(P+1) on top; B independent tables recover
+    recall with candidate volume that stays proportional to bucket
+    size, and compose with the bucket-size cap below."""
+    total = n_tables * n_planes
+    dims = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "v"))
+    parts = dims.select(
+        F.col(id_col),
+        *[
+            (_plane_sign(q, F.col("d")) * F.col("v").cast("double")).alias(f"w{q}")
+            for q in range(total)
+        ],
     )
-    qb = rp_lsh_buckets(queries, n_planes, id_col, vec_col).withColumnRenamed(
-        id_col, "q_id"
+    sums = parts.groupBy(id_col).agg(
+        *[F.sum(f"w{q}").alias(f"s{q}") for q in range(total)]
     )
-    # multi-probe: query probes its own bucket + every 1-bit neighbor
-    probes = qb.select(
-        "q_id",
-        F.explode(
-            F.array(
-                F.col("bucket"),
-                *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p)).cast("int")
-                    for p in range(n_planes)
-                ],
+    tables = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            term = F.when(
+                F.col(f"s{t * n_planes + p}") >= 0, F.lit(1 << p)
+            ).otherwise(F.lit(0))
+            bucket = term if bucket is None else bucket + term
+        tables.append(
+            F.struct(
+                F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket")
             )
-        ).alias("bucket"),
+        )
+    return sums.select(
+        F.col(id_col), F.explode(F.array(*tables)).alias("__tb")
+    ).select(F.col(id_col), F.col("__tb.table_id"), F.col("__tb.bucket"))
+
+
+def banded_lsh_candidates(
+    queries: DataFrame,
+    corpus: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    bucket_cap: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distinct (q_id, c_id) ANN candidates with BOUNDED volume.
+
+    Normal path: q and c share a (table, bucket) whose corpus
+    population is <= bucket_cap — candidate count per query is at most
+    B·bucket_cap regardless of corpus skew. Oversized buckets (hot
+    regions where sign-LSH collapses) SPILL TO EXACT: their distinct
+    members are compared against every query directly, so recall never
+    silently drops; at a sane (B, P, cap) sizing the spill set is a
+    vanishing fraction of the corpus. The bucket-size dim is tiny
+    (<= B·2^P rows) and rides broadcasts."""
+    csig = banded_lsh_signatures(corpus, n_tables, n_planes, id_col, vec_col
+                                 ).withColumnRenamed(id_col, "c_id")
+    qsig = banded_lsh_signatures(queries, n_tables, n_planes, id_col, vec_col
+                                 ).withColumnRenamed(id_col, "q_id")
+    sizes = csig.groupBy("table_id", "bucket").agg(F.count("*").alias("__n"))
+    small = sizes.where(F.col("__n") <= bucket_cap).select("table_id", "bucket")
+    over = sizes.where(F.col("__n") > bucket_cap).select("table_id", "bucket")
+    normal = qsig.join(
+        csig.join(F.broadcast(small), ["table_id", "bucket"]),
+        ["table_id", "bucket"],
+    ).select("q_id", "c_id")
+    spill_members = (
+        csig.join(F.broadcast(over), ["table_id", "bucket"])
+        .select("c_id")
+        .distinct()
+    )
+    spill = queries.select(F.col(id_col).alias("q_id")).crossJoin(spill_members)
+    return (
+        normal.unionByName(spill)
+        .where(F.col("q_id") != F.col("c_id"))
+        .distinct()
+    )
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    bucket_cap: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: banded-table candidates (bounded by
+    bucket_cap, spill-to-exact on oversized buckets), exact cosine
+    re-rank."""
+    cand = banded_lsh_candidates(
+        queries, corpus, n_tables, n_planes, bucket_cap, id_col, vec_col
     )
     qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("__qv"))
     cv = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("__cv"))
-    cand = (
-        probes.join(cb, "bucket")
-        .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
     scored = (
         cand.join(qv, "q_id")
         .join(cv, "c_id")

@@ -35,6 +35,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_plan": crq.q_crawl_round_plan,
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
+    "ann_lsh_topk": tq.q_ann_lsh_topk,
     # Band 1 — training-data pipeline (no driver rows as of r2)
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -130,6 +131,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_plan": crq.O_CRAWL_ROUND_PLAN,
     "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
     "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
+    "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,

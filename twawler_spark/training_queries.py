@@ -460,63 +460,134 @@ SELECT q_id, c_id, cos, rnk FROM (
 """
 
 
+ANN_TABLES = 4      # B independent hash tables
+ANN_PLANES = 8      # P sign bits per table
+ANN_BUCKET_CAP = 8  # corpus-population cap per bucket (spill-to-exact above)
+
+
 def q_ann_lsh_buckets(spark, sf):
-    """Random-hyperplane LSH bucketing (the ANN scale path): 8 sign bits
-    from deterministic ±1 planes (md5 parity of 'p,d'); bucket sizes."""
+    """Banded random-hyperplane LSH (the ANN scale path): B=4
+    independent tables of P=8 sign bits, all 32 plane sums in one pass
+    (operators/similarity.py:banded_lsh_signatures). Output: per-table
+    bucket populations with the oversized (spill-to-exact) flag — a
+    single 256-bucket table degenerates toward all-pairs as the corpus
+    grows; banding + the cap bound candidate volume under skew."""
+    from .operators.similarity import banded_lsh_signatures
+
     e = _t(spark, sf, "embeddings")
-    dims = e.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("d", "v")
-    )
-    parts = dims.select(
-        "vec_id",
-        *[
-            (
-                F.when(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"{p},"), F.col("d").cast("string"))), 1, 1
-                    ).isin(*_ODD_HEX),
-                    F.col("v").cast("double"),
-                ).otherwise(-F.col("v").cast("double"))
-            ).alias(f"w{p}")
-            for p in range(8)
-        ],
-    )
-    sums = parts.groupBy("vec_id").agg(
-        *[F.sum(f"w{p}").alias(f"s{p}") for p in range(8)]
-    )
-    bucket = sum(
-        [F.when(F.col(f"s{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0)) for p in range(8)]
-    )
-    return (
-        sums.select(bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("n_vectors"))
+    sig = banded_lsh_signatures(e, ANN_TABLES, ANN_PLANES)
+    return sig.groupBy("table_id", "bucket").agg(
+        F.count("*").alias("n_vectors"),
+        (F.count("*") > ANN_BUCKET_CAP).alias("oversized"),
     )
 
 
-def _o_ann_lsh() -> str:
+def _o_ann_sig_cte() -> str:
+    """Shared oracle CTEs: dims -> 32 plane sums -> (vec_id, table_id,
+    bucket) signatures, mirroring banded_lsh_signatures."""
+    total = ANN_TABLES * ANN_PLANES
     parts = ",\n         ".join(
-        f"CASE WHEN substring(md5('{p},' || cast(d - 1 as varchar)), 1, 1) IN {repr(_ODD_HEX)} "
-        f"THEN v::double ELSE -v::double END AS w{p}"
-        for p in range(8)
+        f"CASE WHEN substring(md5('{q},' || cast(d - 1 as varchar)), 1, 1) IN {repr(_ODD_HEX)} "
+        f"THEN v::double ELSE -v::double END AS w{q}"
+        for q in range(total)
     )
-    sums = ", ".join(f"sum(w{p}) AS s{p}" for p in range(8))
-    bucket = " + ".join(f"CASE WHEN s{p} >= 0 THEN {1 << p} ELSE 0 END" for p in range(8))
+    sums = ", ".join(f"sum(w{q}) AS s{q}" for q in range(total))
+    sig_rows = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {t} AS table_id, cast({b} as int) AS bucket FROM sums".format(
+            t=t,
+            b=" + ".join(
+                f"CASE WHEN s{t * ANN_PLANES + p} >= 0 THEN {1 << p} ELSE 0 END"
+                for p in range(ANN_PLANES)
+            ),
+        )
+        for t in range(ANN_TABLES)
+    )
     return f"""
-WITH dims AS (
+dims AS (
   SELECT vec_id, d, embedding[d] AS v
   FROM embeddings, generate_series(1, 64) t(d)),
 parts AS (
   SELECT vec_id,
          {parts}
   FROM dims),
-sums AS (SELECT vec_id, {sums} FROM parts GROUP BY vec_id)
-SELECT cast({bucket} as bigint) AS bucket, count(*) AS n_vectors
-FROM sums GROUP BY 1
+sums AS (SELECT vec_id, {sums} FROM parts GROUP BY vec_id),
+sig AS (
+{sig_rows})
 """
 
 
-O_ANN_LSH = _o_ann_lsh()
+O_ANN_LSH = f"""
+WITH {_o_ann_sig_cte()}
+SELECT table_id, bucket, count(*) AS n_vectors,
+       count(*) > {ANN_BUCKET_CAP} AS oversized
+FROM sig GROUP BY table_id, bucket
+"""
+
+
+def q_ann_lsh_topk(spark, sf):
+    """Full banded-LSH ANN pipeline: bounded candidates (shared small
+    bucket in any table, plus queries × oversized-bucket members as the
+    exact spill), cosine re-rank, top-5 per query (vec_id < 10)."""
+    from .operators.similarity import banded_lsh_candidates
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    cand = banded_lsh_candidates(
+        q, e, ANN_TABLES, ANN_PLANES, ANN_BUCKET_CAP
+    )
+    qv = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv"))
+    cv = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv"))
+    cos = _cos_spark(F.col("__qv"), F.col("__cv"))
+    scored = (
+        cand.join(qv, "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", F.round(cos, 4).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("q_id", "c_id", "cos", "rnk")
+    )
+
+
+O_ANN_LSH_TOPK = f"""
+WITH {_o_ann_sig_cte()},
+sizes AS (SELECT table_id, bucket, count(*) AS n FROM sig GROUP BY 1, 2),
+small_pairs AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM sig q
+  JOIN sig c USING (table_id, bucket)
+  JOIN sizes z USING (table_id, bucket)
+  WHERE q.vec_id < 10 AND z.n <= {ANN_BUCKET_CAP}),
+spill_members AS (
+  SELECT DISTINCT s.vec_id AS c_id
+  FROM sig s JOIN sizes z USING (table_id, bucket)
+  WHERE z.n > {ANN_BUCKET_CAP}),
+qids AS (SELECT DISTINCT vec_id AS q_id FROM embeddings WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q_id, c_id FROM (
+    SELECT q_id, c_id FROM small_pairs
+    UNION ALL
+    SELECT q_id, c_id FROM qids CROSS JOIN spill_members)
+  WHERE q_id <> c_id),
+qv AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings),
+cv AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings),
+scored AS (
+  SELECT q_id, c_id,
+         round(
+           list_reduce(list_transform(range(1, len(q_emb) + 1),
+             i -> q_emb[i]::double * c_emb[i]::double), (x, y) -> x + y)
+           / (sqrt(list_reduce(list_transform(range(1, len(q_emb) + 1),
+                i -> q_emb[i]::double * q_emb[i]::double), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(c_emb) + 1),
+                i -> c_emb[i]::double * c_emb[i]::double), (x, y) -> x + y))),
+         4) AS cos
+  FROM cand JOIN qv USING (q_id) JOIN cv USING (c_id))
+SELECT q_id, c_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
 
 
 # ----------------------------------------------------------- text analysis
