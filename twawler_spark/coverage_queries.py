@@ -1545,3 +1545,265 @@ thread AS (
 SELECT root, count(*) AS n_tweets, cast(max(depth) as int) AS max_depth
 FROM thread GROUP BY root
 """
+
+
+# =====================================================================
+# findsilent — silent-cluster detection (pairwise Jaccard of friend
+# sets of low-activity users)
+# =====================================================================
+
+SILENT_STATUS_THRESHOLD = 6   # statuses below this = "silent" (findsilent's ==0)
+SILENT_FRIEND_THRESHOLD = 10  # --fthreshold: only well-connected silents
+SILENT_JACCARD_THRESHOLD = 0.15  # --jthreshold
+
+
+def q_silent_clusters(spark, sf):
+    """findsilent.py:80-113: collect users with near-zero posting
+    activity but >= fthreshold friends, then report pairs of silent
+    users whose friend sets overlap with Jaccard > jthreshold (bot-net
+    signature: many registered-but-mute accounts following the same
+    herd). The reference loops all-pairs in Python over in-memory sets;
+    here the intersection counts come from ONE self-join keyed on the
+    shared friend id — |silent| is tiny relative to the corpus, so the
+    join input is the semi-joined edge slice, never all users' edges.
+
+    Fixture: friend edges = lineitem (l_suppkey follows l_partkey),
+    activity = per-custkey order count (suppkeys share the custkey id
+    space)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    edges = li.select(
+        F.col("l_suppkey").alias("user_id"), F.col("l_partkey").alias("follows")
+    ).dropDuplicates(["user_id", "follows"])
+    activity = o.groupBy(F.col("o_custkey").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_statuses")
+    )
+    friends = edges.groupBy("user_id").agg(
+        F.countDistinct("follows").alias("n_friends")
+    )
+    silent = (
+        friends.join(activity, "user_id", "left")
+        .where(
+            (F.coalesce("n_statuses", F.lit(0)) < SILENT_STATUS_THRESHOLD)
+            & (F.col("n_friends") >= SILENT_FRIEND_THRESHOLD)
+        )
+        .select("user_id", "n_friends")
+    )
+    sedges = edges.join(F.broadcast(silent.select("user_id")), "user_id", "left_semi")
+    a, b = sedges.alias("a"), sedges.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.follows") == F.col("b.follows"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = silent.select(F.col("user_id").alias("user_a"), F.col("n_friends").alias("na"))
+    sb = silent.select(F.col("user_id").alias("user_b"), F.col("n_friends").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "user_a")
+        .join(F.broadcast(sb), "user_b")
+        .where(jac > SILENT_JACCARD_THRESHOLD)
+        .select("user_a", "user_b", "n_common", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+O_SILENT_CLUSTERS = f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS user_id, l_partkey AS follows FROM lineitem),
+activity AS (
+  SELECT o_custkey AS user_id, count(*) AS n_statuses FROM orders GROUP BY 1),
+friends AS (
+  SELECT user_id, count(DISTINCT follows) AS n_friends FROM edges GROUP BY 1),
+silent AS (
+  SELECT f.user_id, f.n_friends
+  FROM friends f LEFT JOIN activity a USING (user_id)
+  WHERE coalesce(a.n_statuses, 0) < {SILENT_STATUS_THRESHOLD}
+    AND f.n_friends >= {SILENT_FRIEND_THRESHOLD}),
+sedges AS (
+  SELECT e.* FROM edges e JOIN silent s USING (user_id)),
+inter AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b, count(*) AS n_common
+  FROM sedges a JOIN sedges b
+    ON a.follows = b.follows AND a.user_id < b.user_id
+  GROUP BY 1, 2)
+SELECT i.user_a, i.user_b, i.n_common,
+       round(i.n_common * 1.0 / (sa.n_friends + sb.n_friends - i.n_common), 4)
+         AS jaccard
+FROM inter i
+JOIN silent sa ON sa.user_id = i.user_a
+JOIN silent sb ON sb.user_id = i.user_b
+WHERE i.n_common * 1.0 / (sa.n_friends + sb.n_friends - i.n_common)
+      > {SILENT_JACCARD_THRESHOLD}
+"""
+
+
+# =====================================================================
+# graphword / entities — per-word daily usage series with zero-fill
+# =====================================================================
+
+TRACKED_WORDS = ("spark", "join", "scan", "filter", "vector")
+WORD_DAY_BASE = "2024-01-01"
+
+
+def q_word_daily_series(spark, sf):
+    """graphword.py:83-112 + entities.py: per tracked word, the daily
+    usage series — documents mentioning the word that day, split into
+    marked (the urlcnt analog: docs also containing 'table') and plain
+    — with the day axis ZERO-FILLED across the global [first, last]
+    range like the reference's explicit gap loop (graphword.py:105-111).
+    Day(doc) derives deterministically from doc_id; the word explode is
+    a single scan + hash agg; the dense day axis is sequence+explode
+    cross the tiny tracked-word dim (no per-day driver loop)."""
+    d = _t(spark, sf, "documents")
+    day = F.date_add(F.lit(WORD_DAY_BASE).cast("date"), F.pmod(F.col("doc_id"), F.lit(31)).cast("int"))
+    toks = d.select(
+        day.alias("day"),
+        F.col("text").contains("table").alias("marked"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias("word"),
+    ).where(F.col("word").isin(*TRACKED_WORDS))
+    counts = toks.groupBy("word", "day").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("marked").cast("long")).alias("n_marked"),
+    )
+    bounds = counts.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    axis = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    ).crossJoin(
+        spark.createDataFrame([(w,) for w in TRACKED_WORDS], ["word"])
+    )
+    return (
+        axis.join(counts, ["word", "day"], "left")
+        .select(
+            "word",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.coalesce("n_marked", F.lit(0)).alias("n_marked"),
+        )
+    )
+
+
+O_WORD_DAILY_SERIES = f"""
+WITH docs AS (
+  SELECT DATE '{WORD_DAY_BASE}' + CAST(doc_id % 31 AS INT) AS day,
+         contains(text, 'table') AS marked,
+         unnest(list_distinct(string_split(lower(text), ' '))) AS word
+  FROM documents),
+counts AS (
+  SELECT word, day, count(*) AS n_docs,
+         sum(CASE WHEN marked THEN 1 ELSE 0 END) AS n_marked
+  FROM docs WHERE word IN {repr(tuple(TRACKED_WORDS))}
+  GROUP BY 1, 2),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+axis AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+words AS (SELECT unnest({list(TRACKED_WORDS)!r}) AS word)
+SELECT w.word, strftime(a.day, '%Y-%m-%d') AS day,
+       coalesce(c.n_docs, 0) AS n_docs,
+       cast(coalesce(c.n_marked, 0) as bigint) AS n_marked
+FROM axis a CROSS JOIN words w
+LEFT JOIN counts c ON c.word = w.word AND c.day = a.day
+"""
+
+
+# =====================================================================
+# aliases — screen-name history chains from the SCD2 users versions
+# =====================================================================
+
+def _alias_versions(spark, sf):
+    """Versioned user records WITH screen-name changes: every user has
+    version 1; every 3rd id renamed at version 2 (suffix 'x'); every
+    9th renamed again at version 3 (suffix 'y'); non-renamed ids with
+    id%5==1 get a version 2 that does NOT change the name
+    (volatile-only update — must not appear as an alias change).
+    Version numbers never collide within an id, keeping the lag order
+    total."""
+    c = _t(spark, sf, "customer")
+    uid = F.col("c_custkey")
+    name0 = F.concat(F.lit("user"), F.pmod(uid, F.lit(700)).cast("string"))
+    v1 = c.select(uid.alias("id"), F.lit(1).alias("version"), name0.alias("screen_name"))
+    v2r = c.where(F.pmod(uid, F.lit(3)) == 0).select(
+        uid.alias("id"), F.lit(2).alias("version"),
+        F.concat(name0, F.lit("x")).alias("screen_name"),
+    )
+    v2s = c.where((F.pmod(uid, F.lit(3)) != 0) & (F.pmod(uid, F.lit(5)) == 1)).select(
+        uid.alias("id"), F.lit(2).alias("version"), name0.alias("screen_name")
+    )
+    v3 = c.where(F.pmod(uid, F.lit(9)) == 0).select(
+        uid.alias("id"), F.lit(3).alias("version"),
+        F.concat(name0, F.lit("y")).alias("screen_name"),
+    )
+    return v1.unionByName(v2r).unionByName(v2s).unionByName(v3)
+
+
+_SQL_ALIAS_VERSIONS = """
+  SELECT c_custkey AS id, 1 AS version,
+         'user' || cast(c_custkey % 700 as varchar) AS screen_name
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, 'user' || cast(c_custkey % 700 as varchar) || 'x'
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT c_custkey, 2, 'user' || cast(c_custkey % 700 as varchar)
+  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 1
+  UNION ALL
+  SELECT c_custkey, 3, 'user' || cast(c_custkey % 700 as varchar) || 'y'
+  FROM customer WHERE c_custkey % 9 = 0
+"""
+
+
+def q_curation_aliases(spark, sf):
+    """twkit/curation/aliases.py: per-user screen-name history — the
+    ordered chain of names an account has held (the reference walks
+    users versions per id and prints old names; the SCD2 rebuild emits
+    the change chain in one pass). A version that repeats the previous
+    name (volatile-only update) is NOT a change. One window (lag) +
+    one hash agg — no per-user driver loop."""
+    v = _alias_versions(spark, sf)
+    w = W.partitionBy("id").orderBy("version")
+    changes = (
+        v.withColumn("prev", F.lag("screen_name").over(w))
+        .where(F.col("prev").isNull() | (F.col("prev") != F.col("screen_name")))
+    )
+    return (
+        changes.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_names"),
+            F.concat_ws(
+                "->",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("version", "screen_name"))
+                    ),
+                    lambda x: x["screen_name"],
+                ),
+            ).alias("alias_chain"),
+            F.max_by("screen_name", "version").alias("current_name"),
+            F.min_by("screen_name", "version").alias("first_name"),
+        )
+        .where(F.col("n_names") > 1)
+    )
+
+
+O_CURATION_ALIASES = f"""
+WITH v AS ({_SQL_ALIAS_VERSIONS}),
+lagged AS (
+  SELECT id, version, screen_name,
+         lag(screen_name) OVER (PARTITION BY id ORDER BY version) AS prev
+  FROM v),
+changes AS (
+  SELECT id, version, screen_name FROM lagged
+  WHERE prev IS NULL OR prev <> screen_name)
+SELECT id, count(*) AS n_names,
+       string_agg(screen_name, '->' ORDER BY version) AS alias_chain,
+       max_by(screen_name, version) AS current_name,
+       min_by(screen_name, version) AS first_name
+FROM changes GROUP BY id HAVING count(*) > 1
+"""

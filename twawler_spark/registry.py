@@ -36,6 +36,9 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
+    "silent_clusters": cq.q_silent_clusters,
+    "word_daily_series": cq.q_word_daily_series,
+    "curation_aliases": cq.q_curation_aliases,
     # Band 1 — training-data pipeline (no driver rows as of r2)
     "dedup_exact": tq.q_dedup_exact,
     "dedup_jaccard": tq.q_dedup_jaccard,
@@ -132,6 +135,9 @@ ORACLES: dict[str, str] = {
     "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
     "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
+    "silent_clusters": cq.O_SILENT_CLUSTERS,
+    "word_daily_series": cq.O_WORD_DAILY_SERIES,
+    "curation_aliases": cq.O_CURATION_ALIASES,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,
