@@ -361,7 +361,8 @@ def q_f12_sentiment_cascade(spark, sf):
     each token resolves through exact -> wiki-graph -> lowercase ->
     deaccent against a broadcast 5k-entry dictionary plus a broadcast
     synonym-edge graph; per-lang rollup of mean positive / negative
-    scores (senti.py:322-392). The wiki tier scores a token as the mean
+    scores (senti.py:322-392). Like the reference's `if s:` falsy
+    check, an exact-tier score of 0 is a MISS and cascades onward. The wiki tier scores a token as the mean
     of its graph neighbors' exact scores, and a token IN the graph
     whose mean is zero is dropped, not cascaded (senti.py:189-196).
     Tokens are mutated per doc (upper / accented) so every tier does
@@ -397,7 +398,10 @@ def q_f12_sentiment_cascade(spark, sf):
     l = lex.select(F.col("word").alias("w_l"), F.col("score").alias("s_l"))
     x = lex.select(F.col("word").alias("w_d"), F.col("score").alias("s_d"))
     in_wiki = F.col("gw").isNotNull()
-    miss_e = F.col("s_e").isNull()
+    # reference fidelity (senti.py `if s:`): an exact-tier score of 0 is
+    # falsy there, so it MISSES and cascades to the wiki tier — NULL and
+    # 0 are both misses here
+    miss_e = F.col("s_e").isNull() | (F.col("s_e") == 0)
     # score in half-point units; NULL = no tier resolved it (or the
     # wiki tier swallowed it with a zero mean)
     s2 = (
@@ -465,16 +469,19 @@ toks AS (
         FROM documents)),
 cascade AS (
   SELECT t.lang,
-         CASE WHEN e.score IS NOT NULL THEN 2 * e.score
+         CASE WHEN e.score IS NOT NULL AND e.score <> 0 THEN 2 * e.score
               WHEN w.gw IS NOT NULL AND w.s2_w != 0 THEN w.s2_w
               WHEN w.gw IS NOT NULL THEN NULL
               ELSE 2 * coalesce(l.score, d.score) END AS s2,
-         CASE WHEN e.score IS NOT NULL THEN 1 ELSE 0 END AS hit_e,
-         CASE WHEN e.score IS NULL AND w.gw IS NOT NULL AND w.s2_w != 0
+         CASE WHEN e.score IS NOT NULL AND e.score <> 0 THEN 1 ELSE 0 END AS hit_e,
+         CASE WHEN (e.score IS NULL OR e.score = 0)
+                   AND w.gw IS NOT NULL AND w.s2_w != 0
               THEN 1 ELSE 0 END AS hit_w,
-         CASE WHEN e.score IS NULL AND w.gw IS NULL AND l.score IS NOT NULL
+         CASE WHEN (e.score IS NULL OR e.score = 0)
+                   AND w.gw IS NULL AND l.score IS NOT NULL
               THEN 1 ELSE 0 END AS hit_l,
-         CASE WHEN e.score IS NULL AND w.gw IS NULL AND l.score IS NULL
+         CASE WHEN (e.score IS NULL OR e.score = 0)
+                   AND w.gw IS NULL AND l.score IS NULL
                    AND d.score IS NOT NULL
               THEN 1 ELSE 0 END AS hit_d
   FROM toks t
