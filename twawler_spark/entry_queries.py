@@ -1242,32 +1242,69 @@ FROM events GROUP BY user_id
 
 UV_GRID_DAYS = 31
 UV_SENTI_DOC_MOD = 500
+UV_TGT_MOD = 149  # interaction-target id space (1..149)
+UV_GAP_BUCKETS = 12
+# (family, gating event_type, deterministic target multiplier) — the
+# mention/quote/retweet/reply interaction families of stats.py:403-459
+UV_FAMILIES = (
+    ("mention", "click", 7),
+    ("quote", "view", 11),
+    ("retweet", "purchase", 13),
+    ("reply", "error", 17),
+)
+
+
+def _uv_fam_dst(mult: int):
+    return 1 + F.pmod(F.col("event_id") * mult, F.lit(UV_TGT_MOD))
 
 
 def q_user_vector_wide(spark, sf):
     """vectorize.py's wide feature family extended toward the reference's
-    ~2000-column vector: the 16 base features, PLUS the last-month
-    day×hour usage grid (stats.py:203-218 fill_lastmonth_usage: window
-    = (lastday-30d, lastday] where lastday is the user's last event day
-    truncated to midnight; hour index = hours-since-monthstart mod 24,
-    day index = hours//24 — 24 hourly + 31 daily counts), PLUS a
-    per-user sentiment rollup (senti.py §3.3's per-user features: each
-    event's document scored against the broadcast lexicon's exact tier;
-    integer sums, one double division at the end). 75 features, one
-    shuffle on user_id reused by both the window and the groupBy, and
-    one broadcast-joined doc-grain sub-aggregate."""
+    ~2000-column vector — 161 features per user:
+
+      * 16 base features (activity/tempo/type/value);
+      * last-month day×hour usage grid (stats.py:203-218
+        fill_lastmonth_usage): 24 hourly + 31 daily counts;
+      * full-history hour-of-day (24) and day-of-week (7+1) counters
+        (stats.py usage_times_stats hcnt/dcnt);
+      * inter-event gap log2-histogram (12 buckets) + avg/max gap
+        (stats.py time_between_any interval quanta);
+      * the 4 interaction families mention/quote/retweet/reply
+        (stats.py:403-459): out/in degree + weight, avg weights,
+        out/in ratio, pcnt-of-activity, and the top-3 counter-parties
+        as a 'dst:count' string (most_mentioned_users et al.,
+        .most_common(500) analog) — 9 × 4 features;
+      * doc-grain rollups (stats.py:791-810 tag counters +
+        most_used_sources): total/avg tags, distinct sources, distinct
+        docs, and the 4-feature sentiment rollup.
+
+    Plan shape: ONE shuffle on user_id carries the base agg, both
+    usage grids, the gap windows and the out-side interaction stats;
+    the in-side and top-k family stats aggregate over the tiny target
+    id space (<= {UV_TGT_MOD} rows/family) and ride broadcast joins;
+    the doc-grain rollup joins a broadcast 500-row doc dim. No Python
+    stage anywhere."""
     from .coverage_queries import _lexicon_spark
 
     e = _t(spark, sf, "events")
     wu = W.partitionBy("user_id")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
     te = _epoch(F.col("ts"))
     ev = (
         e.withColumn(
             "lastday_e", _epoch(F.date_trunc("day", F.max("ts").over(wu)))
         )
         .withColumn("monthstart_e", F.col("lastday_e") - F.lit(30 * 86400))
-        .withColumn("in_win", (te > F.col("monthstart_e")) & (te <= F.col("lastday_e")))
-        .withColumn("hrs", F.floor((te - F.col("monthstart_e")) / F.lit(3600)))
+        .withColumn("te", te)
+        .withColumn(
+            "in_win",
+            (F.col("te") > F.col("monthstart_e"))
+            & (F.col("te") <= F.col("lastday_e")),
+        )
+        .withColumn(
+            "hrs", F.floor((F.col("te") - F.col("monthstart_e")) / F.lit(3600))
+        )
+        .withColumn("gap", F.col("te") - F.lag("te").over(wo))
     )
     grid = []
     for h in range(24):
@@ -1284,7 +1321,92 @@ def q_user_vector_wide(spark, sf):
                 .otherwise(0)
             ).alias(f"d{d:02d}")
         )
+    # full-history hour-of-day + day-of-week counters (usage_times_stats)
+    for h in range(24):
+        grid.append(
+            F.sum(F.when(F.hour("ts") == h, 1).otherwise(0)).alias(f"ha{h:02d}")
+        )
+    for i in range(1, 8):  # Spark dayofweek: 1=Sunday .. 7=Saturday
+        grid.append(
+            F.sum(F.when(F.dayofweek("ts") == i, 1).otherwise(0)).alias(f"dw{i}")
+        )
+    # inter-event gap log2 histogram + avg/max (time_between_any quanta)
+    gap_bucket = F.least(
+        F.floor(F.log2(F.col("gap") + 1)), F.lit(UV_GAP_BUCKETS - 1)
+    )
+    for g in range(UV_GAP_BUCKETS):
+        grid.append(
+            F.sum(
+                F.when(F.col("gap").isNotNull() & (gap_bucket == g), 1).otherwise(0)
+            ).alias(f"g{g:02d}")
+        )
+    grid.append(
+        F.round(
+            F.coalesce(F.sum("gap"), F.lit(0))
+            / F.greatest(F.count("gap"), F.lit(1)),
+            4,
+        ).alias("avg_gap")
+    )
+    grid.append(F.coalesce(F.max("gap"), F.lit(0)).alias("max_gap"))
+    # out-side interaction families (deterministic targets)
+    for fam, etype, mult in UV_FAMILIES:
+        cond = F.col("event_type") == etype
+        dst = _uv_fam_dst(mult)
+        grid.append(
+            F.countDistinct(F.when(cond, dst)).alias(f"{fam}_outdeg")
+        )
+        grid.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{fam}_outw"))
     vec = ev.groupBy("user_id").agg(*_user_vector_aggs(), *grid)
+
+    # in-side family stats: aggregate over the tiny target id space
+    ins = None
+    for fam, etype, mult in UV_FAMILIES:
+        src = e.where(F.col("event_type") == etype).select(
+            F.col("user_id").alias("src"), _uv_fam_dst(mult).alias("user_id")
+        )
+        g = src.groupBy("user_id").agg(
+            F.countDistinct("src").alias(f"{fam}_indeg"),
+            F.count(F.lit(1)).alias(f"{fam}_inw"),
+        )
+        ins = g if ins is None else ins.join(g, "user_id", "outer")
+    # top-3 counter-parties per family, as a 'dst:count' ranked string
+    pairs = None
+    for fam, etype, mult in UV_FAMILIES:
+        p = e.where(F.col("event_type") == etype).select(
+            "user_id", F.lit(fam).alias("fam"), _uv_fam_dst(mult).alias("dst")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cnts = pairs.groupBy("user_id", "fam", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    wr = W.partitionBy("user_id", "fam").orderBy(
+        F.col("cnt").desc(), F.col("dst").asc()
+    )
+    top_str = (
+        cnts.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= 3)
+        .groupBy("user_id", "fam")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("rn").alias("r"),
+                                F.concat_ws(":", F.col("dst"), F.col("cnt")).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("s")
+        )
+    )
+    tops = top_str.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("fam") == fam, F.col("s"))).alias(f"top_{fam}")
+            for fam, _, _ in UV_FAMILIES
+        ]
+    )
 
     docs = _t(spark, sf, "documents")
     lex = _lexicon_spark(spark)
@@ -1301,11 +1423,17 @@ def q_user_vector_wide(spark, sf):
             F.sum(F.when(F.col("score") < 0, 1).otherwise(0)).alias("nn"),
         )
     )
+    doc_meta = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tags"),
+        "source",
+    )
     usent = (
         e.select(
             "user_id", F.pmod(F.col("event_id"), F.lit(UV_SENTI_DOC_MOD)).alias("doc_id")
         )
         .join(F.broadcast(doc_senti), "doc_id", "left")
+        .join(F.broadcast(doc_meta), "doc_id", "left")
         .groupBy("user_id")
         .agg(
             F.sum(F.coalesce("np", F.lit(0))).alias("n_pos_tok"),
@@ -1320,9 +1448,54 @@ def q_user_vector_wide(spark, sf):
                 / F.greatest(F.sum(F.coalesce("nn", F.lit(0))), F.lit(1)),
                 4,
             ).alias("senti_neg"),
+            F.sum(F.coalesce("n_tags", F.lit(0))).alias("total_tags"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("doc_id").alias("n_docs_seen"),
         )
     )
-    return vec.join(usent, "user_id")
+    out = (
+        vec.join(F.broadcast(ins), "user_id", "left")
+        .join(F.broadcast(tops), "user_id", "left")
+        .join(usent, "user_id")
+    )
+    for fam, _, _ in UV_FAMILIES:
+        out = (
+            out.withColumn(f"{fam}_indeg", F.coalesce(f"{fam}_indeg", F.lit(0)))
+            .withColumn(f"{fam}_inw", F.coalesce(f"{fam}_inw", F.lit(0)))
+            .withColumn(
+                f"{fam}_avg_outw",
+                F.round(
+                    F.col(f"{fam}_outw") / F.greatest(F.col(f"{fam}_outdeg"), F.lit(1)),
+                    4,
+                ),
+            )
+            .withColumn(
+                f"{fam}_avg_inw",
+                F.round(
+                    F.col(f"{fam}_inw") / F.greatest(F.col(f"{fam}_indeg"), F.lit(1)),
+                    4,
+                ),
+            )
+            .withColumn(
+                f"{fam}_ratio",
+                F.round(
+                    F.col(f"{fam}_outdeg")
+                    / F.greatest(F.col(f"{fam}_indeg"), F.lit(1)),
+                    4,
+                ),
+            )
+            .withColumn(
+                f"{fam}_pcnt",
+                F.round(100.0 * F.col(f"{fam}_outw") / F.col("n_events"), 4),
+            )
+            .withColumn(f"top_{fam}", F.coalesce(f"top_{fam}", F.lit("")))
+        )
+    return out.withColumn(
+        "weekend_pcnt",
+        F.round(100.0 * (F.col("dw1") + F.col("dw7")) / F.col("n_events"), 4),
+    ).withColumn(
+        "avg_tags", F.round(F.col("total_tags") / F.col("n_events"), 4)
+    )
 
 
 def _uv_grid_sql() -> str:
@@ -1335,7 +1508,89 @@ def _uv_grid_sql() -> str:
         cols.append(
             f"cast(sum(CASE WHEN in_win AND hrs // 24 = {d} THEN 1 ELSE 0 END) as bigint) AS d{d:02d}"
         )
+    for h in range(24):
+        cols.append(
+            f"cast(sum(CASE WHEN hour(ts) = {h} THEN 1 ELSE 0 END) as bigint) AS ha{h:02d}"
+        )
+    for i in range(1, 8):  # DuckDB dayofweek: 0=Sunday — shift to Spark's 1..7
+        cols.append(
+            f"cast(sum(CASE WHEN dayofweek(ts) + 1 = {i} THEN 1 ELSE 0 END) as bigint) AS dw{i}"
+        )
+    bucket = f"least(cast(floor(log2(gap + 1)) as bigint), {UV_GAP_BUCKETS - 1})"
+    for g in range(UV_GAP_BUCKETS):
+        cols.append(
+            f"cast(sum(CASE WHEN gap IS NOT NULL AND {bucket} = {g} THEN 1 ELSE 0 END) as bigint) AS g{g:02d}"
+        )
+    cols.append(
+        "round(coalesce(sum(gap), 0) * 1.0 / greatest(count(gap), 1), 4) AS avg_gap"
+    )
+    cols.append("cast(coalesce(max(gap), 0) as bigint) AS max_gap")
+    for fam, etype, mult in UV_FAMILIES:
+        dst = f"1 + (event_id * {mult}) % {UV_TGT_MOD}"
+        cols.append(
+            f"count(DISTINCT CASE WHEN event_type = '{etype}' THEN {dst} END) AS {fam}_outdeg"
+        )
+        cols.append(
+            f"cast(sum(CASE WHEN event_type = '{etype}' THEN 1 ELSE 0 END) as bigint) AS {fam}_outw"
+        )
     return ",\n       ".join(cols)
+
+
+def _uv_fam_sql() -> tuple[str, str, str]:
+    """In-side + top-3 family CTEs and their final-select columns."""
+    in_ctes, top_pairs, final = [], [], []
+    for fam, etype, mult in UV_FAMILIES:
+        dst = f"1 + (event_id * {mult}) % {UV_TGT_MOD}"
+        in_ctes.append(
+            f"""{fam}_in AS (
+  SELECT uid AS user_id, count(DISTINCT src) AS {fam}_indeg,
+         count(*) AS {fam}_inw
+  FROM (SELECT user_id AS src, {dst} AS uid
+        FROM events WHERE event_type = '{etype}')
+  GROUP BY 1)"""
+        )
+        top_pairs.append(
+            f"SELECT user_id, '{fam}' AS fam, {dst} AS dst "
+            f"FROM events WHERE event_type = '{etype}'"
+        )
+        final.append(f"coalesce({fam}_in.{fam}_indeg, 0) AS {fam}_indeg")
+        final.append(f"coalesce({fam}_in.{fam}_inw, 0) AS {fam}_inw")
+        final.append(
+            f"round(vec.{fam}_outw * 1.0 / greatest(vec.{fam}_outdeg, 1), 4) AS {fam}_avg_outw"
+        )
+        final.append(
+            f"round(coalesce({fam}_in.{fam}_inw, 0) * 1.0"
+            f" / greatest(coalesce({fam}_in.{fam}_indeg, 0), 1), 4) AS {fam}_avg_inw"
+        )
+        final.append(
+            f"round(vec.{fam}_outdeg * 1.0"
+            f" / greatest(coalesce({fam}_in.{fam}_indeg, 0), 1), 4) AS {fam}_ratio"
+        )
+        final.append(
+            f"round(100.0 * vec.{fam}_outw / vec.n_events, 4) AS {fam}_pcnt"
+        )
+        final.append(f"coalesce(tp.top_{fam}, '') AS top_{fam}")
+    top_cte = f"""fam_pairs AS (
+  {'  UNION ALL '.join(top_pairs)}),
+fam_cnts AS (
+  SELECT user_id, fam, dst, count(*) AS cnt FROM fam_pairs GROUP BY 1, 2, 3),
+fam_rn AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, fam ORDER BY cnt DESC, dst ASC) AS rn
+  FROM fam_cnts),
+fam_tops AS (
+  SELECT user_id, fam,
+         string_agg(cast(dst as varchar) || ':' || cast(cnt as varchar),
+                    ',' ORDER BY rn) AS s
+  FROM fam_rn WHERE rn <= 3 GROUP BY 1, 2),
+tp AS (
+  SELECT user_id,
+         {', '.join(f"max(CASE WHEN fam = '{fam}' THEN s END) AS top_{fam}" for fam, _, _ in UV_FAMILIES)}
+  FROM fam_tops GROUP BY user_id)"""
+    joins = "\n".join(
+        f"LEFT JOIN {fam}_in USING (user_id)" for fam, _, _ in UV_FAMILIES
+    ) + "\nLEFT JOIN tp USING (user_id)"
+    return ",\n".join(in_ctes) + ",\n" + top_cte, joins, ",\n       ".join(final)
 
 
 O_USER_VECTOR_WIDE = f"""
@@ -1351,7 +1606,8 @@ ev2 AS (
 ev3 AS (
   SELECT *,
          te > monthstart_e AND te <= lastday_e AS in_win,
-         cast(floor((te - monthstart_e) / 3600.0) as bigint) AS hrs
+         cast(floor((te - monthstart_e) / 3600.0) as bigint) AS hrs,
+         te - lag(te) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
   FROM ev2),
 vec AS (
   SELECT user_id,{_SQL_UV_BASE},
@@ -1367,17 +1623,30 @@ doc_senti AS (
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) t
   JOIN lex ON t.tok = lex.word
   GROUP BY doc_id),
+doc_meta AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tags, source FROM documents),
 usent AS (
   SELECT user_id,
          cast(sum(coalesce(np, 0)) as bigint) AS n_pos_tok,
          cast(sum(coalesce(nn, 0)) as bigint) AS n_neg_tok,
          round(sum(coalesce(dp, 0)) * 1.0 / greatest(sum(coalesce(np, 0)), 1), 4) AS senti_pos,
-         round(sum(coalesce(dn, 0)) * 1.0 / greatest(sum(coalesce(nn, 0)), 1), 4) AS senti_neg
+         round(sum(coalesce(dn, 0)) * 1.0 / greatest(sum(coalesce(nn, 0)), 1), 4) AS senti_neg,
+         cast(sum(coalesce(n_tags, 0)) as bigint) AS total_tags,
+         count(DISTINCT source) AS n_sources,
+         count(DISTINCT doc_id) AS n_docs_seen
   FROM (SELECT user_id, event_id % {UV_SENTI_DOC_MOD} AS doc_id FROM events) e
   LEFT JOIN doc_senti USING (doc_id)
-  GROUP BY user_id)
-SELECT vec.*, usent.n_pos_tok, usent.n_neg_tok, usent.senti_pos, usent.senti_neg
+  LEFT JOIN doc_meta USING (doc_id)
+  GROUP BY user_id),
+{{FAM_CTES}}
+SELECT vec.*,
+       usent.n_pos_tok, usent.n_neg_tok, usent.senti_pos, usent.senti_neg,
+       usent.total_tags, usent.n_sources, usent.n_docs_seen,
+       round(usent.total_tags * 1.0 / vec.n_events, 4) AS avg_tags,
+       round(100.0 * (vec.dw1 + vec.dw7) / vec.n_events, 4) AS weekend_pcnt,
+       {{FAM_FINAL}}
 FROM vec JOIN usent USING (user_id)
+{{FAM_JOINS}}
 """
 
 
@@ -1386,7 +1655,14 @@ def _o_user_vector_wide() -> str:
     # stay in lockstep; imported lazily to keep module load order free
     from .coverage_queries import _SQL_LEXICON
 
-    return O_USER_VECTOR_WIDE.format(GRID=_uv_grid_sql(), LEX=_SQL_LEXICON)
+    fam_ctes, fam_joins, fam_final = _uv_fam_sql()
+    return O_USER_VECTOR_WIDE.format(
+        GRID=_uv_grid_sql(),
+        LEX=_SQL_LEXICON,
+        FAM_CTES=fam_ctes,
+        FAM_JOINS=fam_joins,
+        FAM_FINAL=fam_final,
+    )
 
 
 def q_viz_degree_distribution(spark, sf):
