@@ -24,14 +24,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Queries that have never
-    # had a driver CORRECTNESS row (or were added this round) go first; a
-    # representative band of already-driver-green sentinels fills the rest of
-    # the 50-row window; long-green queries sit past the window and rotate
-    # back in as needed. Every query stays locally verified regardless via
-    # scripts/check_oracles.py.
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 7
+    # new queries and 4 reworked queries lead, then the 33 queries whose
+    # newest driver rows are from r1/r2, then 6 r3-green sentinels. The 40
+    # r3-verified queries sit past the window and rotate back in r5+; every
+    # query stays locally verified each round via scripts/check_oracles.py.
     #
-    # Band 0 — new in round 4: the crawl round itself, driver-oracled
+    # Band 0 — new in round 4 (crawl round itself + ANN topk + findsilent,
+    # word series, aliases)
     "crawl_round_plan": crq.q_crawl_round_plan,
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
@@ -39,62 +39,12 @@ QUERIES: dict[str, QueryFn] = {
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
-    # Band 1 — training-data pipeline (no driver rows as of r2)
-    "dedup_exact": tq.q_dedup_exact,
-    "dedup_jaccard": tq.q_dedup_jaccard,
-    "dedup_minhash_lsh": tq.q_dedup_minhash_lsh,
-    "dedup_simhash": tq.q_dedup_simhash,
-    "dedup_embedding_cosine": tq.q_dedup_embedding_cosine,
-    "ann_cosine_topk": tq.q_ann_cosine_topk,
-    "ann_lsh_buckets": tq.q_ann_lsh_buckets,
-    "text_langid": tq.q_text_langid,
-    "text_quality": tq.q_text_quality,
-    "text_token_stats": tq.q_text_token_stats,
-    "text_fingerprint": tq.q_text_fingerprint,
-    "multimodal_meta": tq.q_multimodal_meta,
-    # Band 1 — coverage wave 4 (no driver rows as of r2)
-    "s7_list_similarity": cq.q_s7_list_similarity,
-    "s8_favorites_stop": cq.q_s8_favorites_stop,
-    "s4_search_scan": cq.q_s4_search_scan,
-    "f13_gender": cq.q_f13_gender,
-    "f12_sentiment_cascade": cq.q_f12_sentiment_cascade,
-    "j8_synchrotrap_full": cq.q_j8_synchrotrap_full,
-    "j7_unknown_endpoints": cq.q_j7_unknown_endpoints,
-    "f16_flatten": cq.q_f16_flatten,
-    "f2_f3_normalize": cq.q_f2_f3_normalize,
-    "user_word_stats": cq.q_user_word_stats,
-    "user_follower_stats": cq.q_user_follower_stats,
-    "s6_friend_scan": cq.q_s6_friend_scan,
-    "s9_trends_snapshot": cq.q_s9_trends_snapshot,
-    # Band 2 — new in round 3 (inserted here as they land)
-    "multimodal_decode": tq.q_multimodal_decode,
-    "curation_user_dedup": cq.q_curation_user_dedup,
-    "curation_dead_list": cq.q_curation_dead_list,
-    "user_vector_wide": eq.q_user_vector_wide,
-    "user_metadata_stats": cq.q_user_metadata_stats,
-    "user_favoriter_stats": cq.q_user_favoriter_stats,
-    "nightowls": cq.q_nightowls,
+    # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
-    # Band 3 — already-driver-green sentinels (CORRECTNESS_r02)
-    "crawl_score": eq.q_crawl_score,
-    "crawl_budget_rank": eq.q_crawl_budget_rank,
-    "crawl_admission": eq.q_crawl_admission,
-    "url_canonicalize": eq.q_url_canonicalize,
-    "q1_pricing_summary": eq.q_q1_pricing_summary,
-    "q6_filter_agg": eq.q_q6_filter_agg,
-    "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
-    "j8_synchrotrap": eq.q_j8_synchrotrap,
-    "w_sessionize": eq.q_w_sessionize,
-    "user_vector": eq.q_user_vector,
-    "f12_sentiment": eq.q_f12_sentiment,
-    "f15_json": eq.q_f15_json,
-    "s13_edgelist": eq.q_s13_edgelist,
-    "s3_stream_windowed": st.stream_windowed_counts,
-    "s3_stream_sessions": ss.stream_sessionize,
-    "s3_stream_checkpoint_state": sc.stream_checkpoint_state,
-    "s7_list_scan": cq.q_s7_list_scan,
-    # --- past the driver's 50-row window (all driver-green in r02; still
-    # verified locally every round) ---
+    "ann_lsh_buckets": tq.q_ann_lsh_buckets,
+    "f12_sentiment_cascade": cq.q_f12_sentiment_cascade,
+    "user_vector_wide": eq.q_user_vector_wide,
+    # Band 1 — newest driver rows are r1/r2; rotate through the window
     "w2_latest_per_key": eq.q_w2_latest_per_key,
     "w3_topk_per_group": eq.q_w3_topk_per_group,
     "a6_topk": eq.q_a6_topk,
@@ -128,6 +78,55 @@ QUERIES: dict[str, QueryFn] = {
     "j6_decoration": eq.q_j6_decoration,
     "viz_degree_distribution": eq.q_viz_degree_distribution,
     "a8_log_buckets": eq.q_a8_log_buckets,
+    # Band 2 — r3-green sentinels
+    "crawl_score": eq.q_crawl_score,
+    "q1_pricing_summary": eq.q_q1_pricing_summary,
+    "dedup_minhash_lsh": tq.q_dedup_minhash_lsh,
+    "multimodal_decode": tq.q_multimodal_decode,
+    "s3_stream_windowed": st.stream_windowed_counts,
+    "j8_synchrotrap_full": cq.q_j8_synchrotrap_full,
+    # --- past the driver's 50-row window (driver-green in r03; still
+    # verified locally every round) ---
+    "dedup_exact": tq.q_dedup_exact,
+    "dedup_jaccard": tq.q_dedup_jaccard,
+    "dedup_simhash": tq.q_dedup_simhash,
+    "dedup_embedding_cosine": tq.q_dedup_embedding_cosine,
+    "ann_cosine_topk": tq.q_ann_cosine_topk,
+    "text_langid": tq.q_text_langid,
+    "text_quality": tq.q_text_quality,
+    "text_token_stats": tq.q_text_token_stats,
+    "text_fingerprint": tq.q_text_fingerprint,
+    "multimodal_meta": tq.q_multimodal_meta,
+    "s7_list_similarity": cq.q_s7_list_similarity,
+    "s8_favorites_stop": cq.q_s8_favorites_stop,
+    "s4_search_scan": cq.q_s4_search_scan,
+    "f13_gender": cq.q_f13_gender,
+    "j7_unknown_endpoints": cq.q_j7_unknown_endpoints,
+    "f16_flatten": cq.q_f16_flatten,
+    "f2_f3_normalize": cq.q_f2_f3_normalize,
+    "user_word_stats": cq.q_user_word_stats,
+    "user_follower_stats": cq.q_user_follower_stats,
+    "s6_friend_scan": cq.q_s6_friend_scan,
+    "s9_trends_snapshot": cq.q_s9_trends_snapshot,
+    "curation_user_dedup": cq.q_curation_user_dedup,
+    "curation_dead_list": cq.q_curation_dead_list,
+    "user_metadata_stats": cq.q_user_metadata_stats,
+    "user_favoriter_stats": cq.q_user_favoriter_stats,
+    "nightowls": cq.q_nightowls,
+    "crawl_budget_rank": eq.q_crawl_budget_rank,
+    "crawl_admission": eq.q_crawl_admission,
+    "url_canonicalize": eq.q_url_canonicalize,
+    "q6_filter_agg": eq.q_q6_filter_agg,
+    "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
+    "j8_synchrotrap": eq.q_j8_synchrotrap,
+    "w_sessionize": eq.q_w_sessionize,
+    "user_vector": eq.q_user_vector,
+    "f12_sentiment": eq.q_f12_sentiment,
+    "f15_json": eq.q_f15_json,
+    "s13_edgelist": eq.q_s13_edgelist,
+    "s3_stream_sessions": ss.stream_sessionize,
+    "s3_stream_checkpoint_state": sc.stream_checkpoint_state,
+    "s7_list_scan": cq.q_s7_list_scan,
 }
 
 ORACLES: dict[str, str] = {
