@@ -37,6 +37,13 @@ AUDIT = (
     "nightowls",
     "curation_user_dedup",
     "multimodal_decode",
+    "crawl_round_plan",
+    "crawl_round_docs",
+    "crawl_round_states",
+    "ann_lsh_topk",
+    "silent_clusters",
+    "word_daily_series",
+    "curation_aliases",
 )
 
 
@@ -141,6 +148,32 @@ def main():
     rows.append(audit("sched_round (bucketed dedup)", round_b_txt))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
+    # dialogues level-join: with the reply-edge table repartitioned on
+    # `parent` ONCE and persisted, every BFS level's join must show ONE
+    # exchange total (the small level side) — the edge side reads the
+    # cached partitioning (InMemoryTableScan, no Exchange above it).
+    # Audited with broadcast off, since at corpus scale the edge table
+    # exceeds any broadcast threshold (AQE re-enables the broadcast fast
+    # path at runtime when actual sizes allow).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    tweets = ev.select(F.col("event_id").alias("tweet_id"))
+    is_reply = (F.col("tweet_id") >= 1000) & (F.pmod(F.col("tweet_id"), F.lit(3)) != 0)
+    d_edges = tweets.where(is_reply).select(
+        F.col("tweet_id").alias("child"), (F.col("tweet_id") - 1000).alias("parent")
+    )
+    d_roots = tweets.where(~is_reply).select(
+        F.col("tweet_id").alias("root"), F.col("tweet_id"), F.lit(0).alias("depth")
+    )
+    edges_p = d_edges.repartition("parent").persist()
+    edges_p.count()
+    level_join = d_roots.join(edges_p, d_roots["tweet_id"] == edges_p["parent"]).select(
+        "root", F.col("child").alias("tweet_id"), F.lit(1).alias("depth")
+    )
+    rows.append(audit("dialogues level-join (edges persisted)", plan_text(level_join)))
+    edges_p.unpersist()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# PLANS — physical-plan audit (`.explain(\"formatted\")`)\n\n")
         f.write("Evidence the declared plans survive Catalyst the way the design\n")
@@ -172,6 +205,18 @@ def main():
         f.write("- `f12_sentiment_cascade`: all three lexicon lookups are\n")
         f.write("  BroadcastHashJoins (the 5k-entry dictionary never shuffles the\n")
         f.write("  exploded token stream).\n")
+        f.write("- `dialogues level-join (edges persisted)`: ONE live exchange per\n")
+        f.write("  level — the small level side. The row counts 2 because\n")
+        f.write("  `explain` prints the cached relation's BUILD plan inline (the\n")
+        f.write("  one-time repartition-by-parent); at runtime the edge side is an\n")
+        f.write("  InMemoryTableScan with no Exchange above it — no per-level edge\n")
+        f.write("  shuffle, no per-level broadcast of a corpus-derived table.\n")
+        f.write("- `ann_lsh_topk`: banded candidates — bucket sizes are a tiny dim\n")
+        f.write("  riding broadcasts; the only big shuffles key on (table, bucket)\n")
+        f.write("  with per-bucket population capped (spill-to-exact above the cap).\n")
+        f.write("- `crawl_round_*`: the driver-facing crawl round (real\n")
+        f.write("  build_two_phase_plan + Arrow fetch stage); python stages are the\n")
+        f.write("  sanctioned fetch UDFs, everything before the fetch is JVM-side.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")
