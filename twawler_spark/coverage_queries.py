@@ -1814,3 +1814,147 @@ SELECT id, count(*) AS n_names,
        min_by(screen_name, version) AS first_name
 FROM changes GROUP BY id HAVING count(*) > 1
 """
+
+
+# =====================================================================
+# networkstatistics — whole-graph metrics over the follow graph
+# =====================================================================
+
+def q_graph_stats(spark, sf):
+    """networkstatistics.py:66-85 (igraph whole-graph metrics), the
+    SQL-expressible set: density, reciprocity, degree assortativity
+    (Pearson over edge-endpoint total degrees — exact integer sums, one
+    double step at the end) and undirected transitivity
+    (3·triangles / wedges). Triangle counting uses the degree-ordered
+    a<b<c orientation, the standard bounded-fanout shape for
+    distributed triangle enumeration; radius/girth/diameter are
+    iterative-BFS metrics the reference gets from igraph and are
+    documented as out of the batch-SQL surface (COVERAGE.md).
+
+    Edges: the deterministic mention graph (src = user_id,
+    dst = 1 + (event_id*7) % 149), self-loops dropped, deduplicated."""
+    e = _t(spark, sf, "events")
+    edges = (
+        e.select(
+            F.col("user_id").alias("src"),
+            (1 + F.pmod(F.col("event_id") * 7, F.lit(149))).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(nodes.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(
+            edges.alias("x")
+            .join(
+                edges.alias("y"),
+                (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_recip"))
+        )
+        .crossJoin(
+            deg.agg(
+                (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges")
+            )
+        )
+        .crossJoin(
+            und.alias("e1")
+            .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+            .join(
+                und.alias("e3"),
+                (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        .crossJoin(
+            edges.join(
+                deg.select(F.col("id").alias("src"), F.col("deg").alias("dx")), "src"
+            )
+            .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dy")), "dst")
+            .agg(
+                F.count(F.lit(1)).alias("m"),
+                F.sum("dx").alias("sx"),
+                F.sum("dy").alias("sy"),
+                F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+                F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+                F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+            )
+        )
+    )
+    assort_num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    assort_den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return base.select(
+        "n_nodes",
+        "n_edges",
+        "n_recip",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.col("n_edges") / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))), 4
+        ).alias("density"),
+        F.round(F.col("n_recip") / F.col("n_edges"), 4).alias("reciprocity"),
+        F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 4).alias("transitivity"),
+        F.round(assort_num / assort_den, 4).alias("assortativity"),
+    )
+
+
+O_GRAPH_STATS = """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id <> 1 + (event_id * 7) % 149),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges),
+deg AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+m1 AS (SELECT count(*) AS n_edges FROM edges),
+m2 AS (SELECT count(*) AS n_nodes FROM nodes),
+m3 AS (
+  SELECT count(*) AS n_recip
+  FROM edges x JOIN edges y ON x.src = y.dst AND x.dst = y.src),
+m4 AS (
+  SELECT cast(sum(deg * (deg - 1)) // 2 as bigint) AS n_wedges FROM deg),
+m5 AS (
+  SELECT count(*) AS n_triangles
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  JOIN und e3 ON e1.a = e3.a AND e2.b = e3.b),
+m6 AS (
+  SELECT count(*) AS m,
+         cast(sum(dx.deg) as bigint) AS sx, cast(sum(dy.deg) as bigint) AS sy,
+         cast(sum(dx.deg * dy.deg) as bigint) AS sxy,
+         cast(sum(dx.deg * dx.deg) as bigint) AS sxx,
+         cast(sum(dy.deg * dy.deg) as bigint) AS syy
+  FROM edges
+  JOIN deg dx ON dx.id = edges.src
+  JOIN deg dy ON dy.id = edges.dst)
+SELECT n_nodes, n_edges, n_recip, n_triangles, n_wedges,
+       round(n_edges * 1.0 / (n_nodes * (n_nodes - 1)), 4) AS density,
+       round(n_recip * 1.0 / n_edges, 4) AS reciprocity,
+       round(3.0 * n_triangles / n_wedges, 4) AS transitivity,
+       round((m * sxy - sx * sy) * 1.0
+             / sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy)), 4)
+         AS assortativity
+FROM m1, m2, m3, m4, m5, m6
+"""

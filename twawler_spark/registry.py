@@ -24,9 +24,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 7
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 8
     # new queries and 4 reworked queries lead, then the 33 queries whose
-    # newest driver rows are from r1/r2, then 6 r3-green sentinels. The 40
+    # newest driver rows are from r1/r2, then 5 r3-green sentinels. The 40
     # r3-verified queries sit past the window and rotate back in r5+; every
     # query stays locally verified each round via scripts/check_oracles.py.
     #
@@ -39,6 +39,7 @@ QUERIES: dict[str, QueryFn] = {
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
+    "graph_stats": cq.q_graph_stats,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
     "ann_lsh_buckets": tq.q_ann_lsh_buckets,
@@ -137,6 +138,7 @@ ORACLES: dict[str, str] = {
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
+    "graph_stats": cq.O_GRAPH_STATS,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,
