@@ -261,3 +261,65 @@ def test_bmp_decode_property():
         assert multimodal.decode_bmp_bytes(buf) == (w, h, r, g, b)
 
     check()
+
+
+def test_banded_lsh_candidates_bounded_under_skew(spark):
+    """Skewed corpus (one hot region: many copies of the same vector)
+    must NOT degenerate the bucket join quadratically: hot buckets are
+    capped and their members spill to the exact path, so candidate
+    volume is O(Q·(B·cap + |spill|)) — and recall survives (every
+    query still sees the hot members via the spill)."""
+    e = _emb(spark)
+    base = e.where(F.col("vec_id") < 20)
+    # 200 near-identical vectors (same sign pattern -> one bucket/table)
+    hot = (
+        e.where(F.col("vec_id") == 0)
+        .crossJoin(spark.range(200).select(F.col("id").alias("k")))
+        .select(
+            (F.col("k") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(1.0).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(hot)
+    queries = base.select("vec_id", "embedding").where(F.col("vec_id") < 5)
+    cap = 16
+    cand = similarity.banded_lsh_candidates(
+        queries, corpus, n_tables=4, n_planes=8, bucket_cap=cap
+    )
+    n_q = queries.count()
+    n_cand = cand.count()
+    # bound: per query at most 4 tables * cap normal candidates + the
+    # distinct spill members (hot set + anything else oversized)
+    spill_max = 200 + 20
+    assert n_cand <= n_q * (4 * cap + spill_max), (n_cand, n_q)
+    # recall through the spill: query 0 is IDENTICAL to every hot copy,
+    # whose bucket is oversized in all tables — still a candidate
+    got = {r["c_id"] for r in cand.where(F.col("q_id") == 0).collect()}
+    assert 10000 in got
+
+
+def test_reply_closure_early_exit_and_depth(spark):
+    """graph.py reply_closure: level-synchronous BFS must traverse
+    chains exactly to the depth cap, stop early when a level drains,
+    and never re-broadcast/shuffle the edge side per level (covered by
+    the PLANS.md audit; here: semantics)."""
+    from twawler_spark.operators.graph import reply_closure
+
+    # two chains: 1->2->3->4 (depth 3) and 10->11 (depth 1), one isolate
+    edges = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (11, 10)], "child long, parent long"
+    )
+    roots = spark.createDataFrame(
+        [(1,), (10,), (99,)], "root long"
+    ).select("root", F.col("root").alias("tweet_id"), F.lit(0).alias("depth"))
+    out = reply_closure(roots, edges, max_depth=6)
+    rows = {(r["root"], r["tweet_id"]): r["depth"] for r in out.collect()}
+    assert rows[(1, 4)] == 3 and rows[(1, 2)] == 1
+    assert rows[(10, 11)] == 1
+    assert rows[(99, 99)] == 0
+    assert len(rows) == 4 + 2 + 1
+    # depth cap truncates
+    capped = reply_closure(roots, edges, max_depth=2)
+    assert max(r["depth"] for r in capped.collect()) == 2
