@@ -400,3 +400,88 @@ FROM mrg GROUP BY state
 
 
 O_CRAWL_ROUND_STATES = _build_o_states()
+
+
+# ------------------------------------------- query 4: outlink discovery
+
+
+def q_crawl_round_outlinks(spark: SparkSession, sf: str) -> DataFrame:
+    """S5/S12/P5: outlink discovery + within-round dedup + admission —
+    the discover→admit half of run_round (addfollowers.py follow-edge
+    expansion + can_follow, utils.py:672-692). Discovered links come
+    from the engine's ``discover_outlinks`` (Arrow stage over the
+    plan-bounded results table); the seen set is the deterministic
+    outlink universe of even-user frontier rows, so a real fraction of
+    discoveries is already-seen. Admission joins on the canonical URL
+    string (run_round keys the same set by xxhash64(url); the string
+    key is the SQL-portable equivalent). Output: per target host,
+    discovered vs admitted counts and the oid range."""
+    from .operators.admission import admit
+    from .plans.fetcher import discover_outlinks
+
+    frontier, plan = _plan(spark, sf)
+    results = fetch_results(plan)
+    links = discover_outlinks(results, N_HOSTS)
+    cands = links.select("url").dropDuplicates(["url"])
+    seen = discover_outlinks(
+        frontier.where(F.pmod(F.col("url_hash"), F.lit(2)) == 0).select(
+            "url_hash", F.lit(200).alias("status")
+        ),
+        N_HOSTS,
+    ).select("url").dropDuplicates(["url"])
+    admitted = admit(cands, seen, bloom=None, key_col="url")
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    oid = F.regexp_extract(F.col("url"), r"/o/([0-9]+)", 1).cast("long")
+    disc = cands.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_discovered"),
+        F.min(oid).alias("min_oid"),
+        F.max(oid).alias("max_oid"),
+    )
+    adm = admitted.groupBy(host.alias("host")).agg(
+        F.count(F.lit(1)).alias("n_admitted")
+    )
+    return disc.join(adm, "host", "left").select(
+        "host",
+        "n_discovered",
+        F.coalesce("n_admitted", F.lit(0)).alias("n_admitted"),
+        "min_oid",
+        "max_oid",
+    )
+
+
+def _build_o_outlinks() -> str:
+    n_out = f"({_stream('u', docspec._S_NOUT)}) % 4"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    oid = f"(({_stream('u', docspec._S_OUTID, 'j')}) % 281474976710656::HUGEINT)::BIGINT"
+    link = (
+        f"'https://h' || cast({th} as varchar) || '.example.com/o/' || "
+        f"cast({oid} as varchar)"
+    )
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, ({n_out})::BIGINT AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT u, unnest(range(0, nout)) AS j FROM ok),
+cands AS (SELECT DISTINCT {link} AS url FROM lj),
+sf0 AS (
+  SELECT (url_hash)::HUGEINT AS u FROM f
+  WHERE url_hash % 2 = 0
+    AND ({_stream("(url_hash)::HUGEINT", docspec._S_STATUS)}) % 100 < 88),
+sok AS (SELECT u, ({n_out})::BIGINT AS nout FROM sf0),
+slj AS (SELECT u, unnest(range(0, nout)) AS j FROM sok),
+seen AS (SELECT DISTINCT {link} AS url FROM slj),
+adm AS (SELECT url FROM cands WHERE url NOT IN (SELECT url FROM seen)),
+hosts AS (
+  SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         cast(regexp_extract(url, '/o/([0-9]+)', 1) as bigint) AS oid,
+         url IN (SELECT url FROM adm) AS is_adm
+  FROM cands)
+SELECT host, count(*) AS n_discovered,
+       cast(sum(CASE WHEN is_adm THEN 1 ELSE 0 END) as bigint) AS n_admitted,
+       min(oid) AS min_oid, max(oid) AS max_oid
+FROM hosts GROUP BY host
+"""
+
+
+O_CRAWL_ROUND_OUTLINKS = _build_o_outlinks()

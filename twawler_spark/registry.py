@@ -24,9 +24,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 8
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 9
     # new queries and 4 reworked queries lead, then the 33 queries whose
-    # newest driver rows are from r1/r2, then 5 r3-green sentinels. The 40
+    # newest driver rows are from r1/r2, then 4 r3-green sentinels (the
+    # remaining sentinels overflow past the window; all r3-green). The
     # r3-verified queries sit past the window and rotate back in r5+; every
     # query stays locally verified each round via scripts/check_oracles.py.
     #
@@ -35,6 +36,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_plan": crq.q_crawl_round_plan,
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
+    "crawl_round_outlinks": crq.q_crawl_round_outlinks,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
@@ -134,6 +136,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_plan": crq.O_CRAWL_ROUND_PLAN,
     "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
     "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
+    "crawl_round_outlinks": crq.O_CRAWL_ROUND_OUTLINKS,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
