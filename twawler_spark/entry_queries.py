@@ -1358,25 +1358,40 @@ def q_user_vector_wide(spark, sf):
         grid.append(F.sum(F.when(cond, 1).otherwise(0)).alias(f"{fam}_outw"))
     vec = ev.groupBy("user_id").agg(*_user_vector_aggs(), *grid)
 
-    # in-side family stats: aggregate over the tiny target id space
-    ins = None
+    # family pairs in ONE events pass (each event belongs to exactly one
+    # family via its type — no 4-way union re-scan); the (user, fam,
+    # dst) count shuffle is then reused by BOTH the top-k ranking and
+    # the in-side degree/weight stats
+    fam_col, dst_col = None, None
     for fam, etype, mult in UV_FAMILIES:
-        src = e.where(F.col("event_type") == etype).select(
-            F.col("user_id").alias("src"), _uv_fam_dst(mult).alias("user_id")
+        cond = F.col("event_type") == etype
+        fam_col = (
+            F.when(cond, fam) if fam_col is None else fam_col.when(cond, fam)
         )
-        g = src.groupBy("user_id").agg(
-            F.countDistinct("src").alias(f"{fam}_indeg"),
-            F.count(F.lit(1)).alias(f"{fam}_inw"),
+        dst_col = (
+            F.when(cond, _uv_fam_dst(mult))
+            if dst_col is None
+            else dst_col.when(cond, _uv_fam_dst(mult))
         )
-        ins = g if ins is None else ins.join(g, "user_id", "outer")
-    # top-3 counter-parties per family, as a 'dst:count' ranked string
-    pairs = None
-    for fam, etype, mult in UV_FAMILIES:
-        p = e.where(F.col("event_type") == etype).select(
-            "user_id", F.lit(fam).alias("fam"), _uv_fam_dst(mult).alias("dst")
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = e.select(
+        "user_id", fam_col.alias("fam"), dst_col.alias("dst")
+    ).where(F.col("fam").isNotNull())
     cnts = pairs.groupBy("user_id", "fam", "dst").agg(F.count(F.lit(1)).alias("cnt"))
+    # in-side stats from the SAME cnts relation: rows per (fam, dst) are
+    # distinct sources, so indeg = row count, inweight = sum(cnt) — one
+    # tiny agg over the target id space, no per-family outer-join chain
+    ins = cnts.groupBy(F.col("dst").alias("user_id")).agg(
+        *[
+            F.sum(F.when(F.col("fam") == fam, 1).otherwise(0)).alias(f"{fam}_indeg")
+            for fam, _, _ in UV_FAMILIES
+        ],
+        *[
+            F.sum(
+                F.when(F.col("fam") == fam, F.col("cnt")).otherwise(0)
+            ).alias(f"{fam}_inw")
+            for fam, _, _ in UV_FAMILIES
+        ],
+    )
     wr = W.partitionBy("user_id", "fam").orderBy(
         F.col("cnt").desc(), F.col("dst").asc()
     )
