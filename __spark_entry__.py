@@ -21,17 +21,20 @@ from twawler_spark.registry import ORACLES, QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: one crawl-scheduling pass (score → budget-rank) over a
-    frontier derived from the sf0.001 events table — docs planned per
-    host. Exercises scan, agg, window, filter, join-free rank path."""
+    """Flagship: one REAL scheduling round (score → robots gate →
+    salted two-phase budget rank → deterministic fetch) over a frontier
+    derived from the sf0.001 events table — fetched documents per host.
+    This is the engine's own plan path (plans/round.py
+    build_two_phase_plan + plans/fetcher.py), not a simplified twin."""
     from pyspark.sql import functions as F
 
-    from twawler_spark.entry_queries import q_crawl_budget_rank
+    from twawler_spark.crawl_queries import q_crawl_round_docs
 
-    plan = q_crawl_budget_rank(spark, "/root/testdata/sf0.001")
-    return plan.groupBy("host").agg(
-        F.count("*").alias("n_scheduled"),
-        F.round(F.sum("expected"), 4).alias("sum_expected"),
+    docs = q_crawl_round_docs(spark, "/root/testdata/sf0.001")
+    return docs.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_spans").alias("n_spans"),
+        F.countDistinct("url_hash").alias("n_urls_fetched"),
     )
 
 
