@@ -1820,16 +1820,53 @@ FROM changes GROUP BY id HAVING count(*) > 1
 # networkstatistics — whole-graph metrics over the follow graph
 # =====================================================================
 
+def _triangles_degree_ordered(und, deg):
+    """Exact triangle count with the DEGREE-ORDERED orientation: every
+    undirected edge is directed from its lower-(deg, id) endpoint to
+    the higher, so each triangle is enumerated exactly once from its
+    lowest-ranked vertex and the pivot fan-out is bounded by the
+    oriented out-degree — O(sqrt(E)) per node under the arboricity
+    bound — instead of the raw degree of hub nodes. This is what keeps
+    the wedge join from exploding on celebrity-degree vertices at
+    corpus scale."""
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("db"))
+    ed = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+    )
+    o1, o2 = ori.alias("o1"), ori.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            (F.col("o1.dd") < F.col("o2.dd"))
+            | ((F.col("o1.dd") == F.col("o2.dd")) & (F.col("o1.dst") < F.col("o2.dst")))
+        ),
+    ).select(F.col("o1.dst").alias("y"), F.col("o2.dst").alias("z"))
+    closing = ori.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    return wedges.join(closing, ["y", "z"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def q_graph_stats(spark, sf):
     """networkstatistics.py:66-85 (igraph whole-graph metrics), the
     SQL-expressible set: density, reciprocity, degree assortativity
     (Pearson over edge-endpoint total degrees — exact integer sums, one
     double step at the end) and undirected transitivity
     (3·triangles / wedges). Triangle counting uses the degree-ordered
-    a<b<c orientation, the standard bounded-fanout shape for
-    distributed triangle enumeration; radius/girth/diameter are
-    iterative-BFS metrics the reference gets from igraph and are
-    documented as out of the batch-SQL surface (COVERAGE.md).
+    orientation (``_triangles_degree_ordered``) so pivot fan-out is
+    bounded under hub skew; the DuckDB oracle enumerates triangles the
+    naive id-ordered way — the two independent enumerations agreeing is
+    part of the check. radius/girth/diameter are iterative-BFS metrics
+    the reference gets from igraph and are documented as out of the
+    batch-SQL surface (COVERAGE.md).
 
     Edges: the deterministic mention graph (src = user_id,
     dst = 1 + (event_id*7) % 149), self-loops dropped, deduplicated."""
@@ -1872,15 +1909,7 @@ def q_graph_stats(spark, sf):
                 (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges")
             )
         )
-        .crossJoin(
-            und.alias("e1")
-            .join(und.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-            .join(
-                und.alias("e3"),
-                (F.col("e1.a") == F.col("e3.a")) & (F.col("e2.b") == F.col("e3.b")),
-            )
-            .agg(F.count(F.lit(1)).alias("n_triangles"))
-        )
+        .crossJoin(_triangles_degree_ordered(und, deg))
         .crossJoin(
             edges.join(
                 deg.select(F.col("id").alias("src"), F.col("deg").alias("dx")), "src"
