@@ -37,6 +37,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
     "crawl_round_outlinks": crq.q_crawl_round_outlinks,
+    "s3_stream_crawl_admission": st.stream_crawl_admission,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
@@ -137,6 +138,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
     "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
     "crawl_round_outlinks": crq.O_CRAWL_ROUND_OUTLINKS,
+    "s3_stream_crawl_admission": st.O_STREAM_CRAWL_ADMISSION,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
