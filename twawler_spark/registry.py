@@ -24,9 +24,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 9
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 10
     # new queries and 4 reworked queries lead, then the 33 queries whose
-    # newest driver rows are from r1/r2, then 4 r3-green sentinels (the
+    # newest driver rows are from r1/r2, then 3 r3-green sentinels (the
     # remaining sentinels overflow past the window; all r3-green). The
     # r3-verified queries sit past the window and rotate back in r5+; every
     # query stays locally verified each round via scripts/check_oracles.py.
