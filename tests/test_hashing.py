@@ -72,3 +72,30 @@ def test_stream64_duckdb_sql_parity():
         f"SELECT list_transform(range(0, 4), k -> ({_stream('42', 5, 'k')}) % 3)"
     ).fetchone()[0]
     assert got == [stream64(42, 5, k) % 3 for k in range(4)]
+
+
+def test_stream64_duckdb_sql_parity_property():
+    """Hypothesis sweep of the splitmix64 SQL expansion across the full
+    u64 key space (one DuckDB query per batch, all streams the engine
+    uses)."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from twawler_spark.crawl_queries import _stream
+    from twawler_spark.hashing import stream64
+
+    con = duckdb.connect()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        k=st.integers(min_value=0, max_value=(1 << 64) - 1),
+        stream=st.integers(min_value=1, max_value=13),
+        idx=st.integers(min_value=0, max_value=1 << 20),
+    )
+    def check(k, stream, idx):
+        got = int(
+            con.sql(f"SELECT ({_stream(str(k), stream, str(idx))})::VARCHAR").fetchone()[0]
+        )
+        assert got == stream64(k, stream, idx)
+
+    check()

@@ -1260,7 +1260,7 @@ def _uv_fam_dst(mult: int):
 
 def q_user_vector_wide(spark, sf):
     """vectorize.py's wide feature family extended toward the reference's
-    ~2000-column vector — 161 features per user:
+    ~2000-column vector — 160 features per user (161 output columns):
 
       * 16 base features (activity/tempo/type/value);
       * last-month day×hour usage grid (stats.py:203-218
