@@ -145,7 +145,12 @@ Admission at the production per-round shape (|seen| >> |candidates|,
 SMJ pinned — no broadcast tier exists at 80 GB of keys), local[{max(levels)}]:
 exact {some["queries"]["admit_seenbig_exact"]}s vs persisted-bloom
 {some["queries"]["admit_seenbig_bloom"]}s (incl. the per-round O(delta)
-filter update of {some["queries"]["bloom_delta_update"]}s).
+filter update of {some["queries"]["bloom_delta_update"]}s) vs
+sharded-cogroup {some["queries"].get("admit_seenbig_sharded", "n/a")}s
+(the >=10^9-key tier where the filter no longer broadcasts: bits stay
+co-partitioned with the candidates, probe is an Arrow cogroup, confirm
+is a shuffle join — measured here at the same shape so the tier choice
+is empirical).
 
 Scaling law to the 10^10 design point: the round is a linear scan +
 hash-partitioned shuffles (score: narrow; robots gate: broadcast join;
