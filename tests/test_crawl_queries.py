@@ -1,0 +1,94 @@
+"""Invariant tests for the crawl-round driver queries (crawl_queries.py)
+— the DuckDB oracle proves Spark==SQL; these prove both satisfy the
+crawl semantics (budgets, robots, span ordering, state conservation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from twawler_spark import crawl_queries as crq
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def plan_rows(spark):
+    _, plan = crq._plan(spark, SF)
+    return [r.asDict() for r in plan.collect()]
+
+
+def test_plan_respects_budgets_and_phases(plan_rows):
+    from collections import Counter
+
+    per_host = Counter()
+    for r in plan_rows:
+        per_host[(r["host"], r["phase"])] += 1
+    assert per_host, "plan must schedule something"
+    for (host, phase), n in per_host.items():
+        hn = int(host[1:])
+        b = 2 + hn % 4
+        b2 = max(b // 2, 1)
+        assert n <= (b if phase == "expected" else b2), (host, phase, n)
+    # fetch_rank is dense + unique per (host, phase)
+    for host in {h for h, _ in per_host}:
+        for phase in ("expected", "late"):
+            ranks = sorted(
+                r["fetch_rank"]
+                for r in plan_rows
+                if r["host"] == host and r["phase"] == phase
+            )
+            assert ranks == list(range(1, len(ranks) + 1)), (host, phase, ranks)
+
+
+def test_plan_respects_robots(spark):
+    frontier, plan = crq._plan(spark, SF)
+    joined = plan.join(
+        frontier.select("url_hash", "path"), "url_hash"
+    ).collect()
+    for r in joined:
+        hn = int(r["host"][1:])
+        if hn % 5 == 0:
+            assert not r["path"].startswith("/u/1"), r
+        if hn % 10 == 0:
+            assert not r["path"].startswith("/u/3"), r
+
+
+def test_docs_span_sequences_well_formed(spark):
+    docs = crq.q_crawl_round_docs(spark, SF).collect()
+    assert docs
+    for r in docs:
+        kinds = r["span_kinds"].split(",")
+        assert r["n_spans"] == len(kinds)
+        assert r["offsets"] == ",".join(str(i) for i in range(r["n_spans"]))
+        n_text = sum(k == "text" for k in kinds)
+        n_media = sum(k == "media" for k in kinds)
+        assert n_text + n_media == r["n_spans"]
+        assert (r["text_all"] != "") == (n_text > 0)
+        assert (r["media_all"] != "") == (n_media > 0)
+        if n_media:
+            assert all(m.startswith("m") and len(m) == 13
+                       for m in r["media_all"].split(","))
+
+
+def test_states_conserve_frontier(spark):
+    rows = {r["state"]: r.asDict() for r in crq.q_crawl_round_states(spark, SF).collect()}
+    frontier, plan = crq._plan(spark, SF)
+    n_frontier = frontier.count()
+    assert sum(r["n_urls"] for r in rows.values()) == n_frontier
+    # every non-active state row came from a scheduled fetch this round
+    n_transitioned = sum(
+        r["n_urls"] for s, r in rows.items() if s != "active"
+    )
+    assert n_transitioned == sum(r["sum_state_round"] for r in rows.values())
+    assert n_transitioned <= plan.count()
+
+
+def test_outlinks_admission_subset(spark):
+    out = crq.q_crawl_round_outlinks(spark, SF).collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_admitted"] <= r["n_discovered"], r
+        assert r["host"].endswith(".example.com")
+    # the seen universe overlaps: something must actually be filtered
+    assert any(r["n_admitted"] < r["n_discovered"] for r in out)
