@@ -45,7 +45,10 @@ HEADLINE_QUERIES = (
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_quality",
+    "crawl_round_docs",
+    "graph_stats",
 )
 
 

@@ -93,18 +93,36 @@ def rp_lsh_buckets(
     return sums.select(F.col(id_col), bucket.cast("int").alias("bucket"))
 
 
+def plane_sign_value(plane: int, dim: int) -> float:
+    """Python twin of ``_plane_sign`` — hashlib.md5 matches Spark md5
+    and DuckDB md5 bit-for-bit, so the ±1 matrix can be baked into the
+    plan as literals instead of hashed per row."""
+    import hashlib
+
+    h = hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[0]
+    return 1.0 if h in _ODD_HEX else -1.0
+
+
 def banded_lsh_signatures(
     df: DataFrame,
     n_tables: int = 4,
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """(id, table_id, bucket) — B independent hash tables of P sign
-    bits each, all B·P plane sums computed in ONE pass over the dims
-    (one explode, one groupBy). Global plane index q = table·P + p
-    seeds the ±1 weights, so table 0 reproduces the single-table
+    bits each. Global plane index q = table·P + p seeds the ±1 weights
+    (md5 parity of 'q,d'), so table 0 reproduces the single-table
     ``rp_lsh_buckets`` signature.
+
+    The ±1 plane matrix is a CONSTANT (B·P × dim), so it is baked into
+    the plan as literal arrays and each plane sum is one
+    ``zip_with``+``aggregate`` left fold over the embedding — per-row
+    column expressions, no explode, no groupBy shuffle, no per-row
+    hashing (the naive form computed B·P md5s per dimension per row).
+    The fold order is d=0..dim-1, which the oracle mirrors with an
+    ordered ``list_reduce`` — bit-identical double sums.
 
     This is the banding treatment minhash already has (dedup.py:78):
     a single 2^P-bucket table degrades toward all-pairs as the corpus
@@ -112,24 +130,20 @@ def banded_lsh_signatures(
     multiplies candidates ×(P+1) on top; B independent tables recover
     recall with candidate volume that stays proportional to bucket
     size, and compose with the bucket-size cap below."""
-    total = n_tables * n_planes
-    dims = df.select(F.col(id_col), F.posexplode(F.col(vec_col)).alias("d", "v"))
-    parts = dims.select(
-        F.col(id_col),
-        *[
-            (_plane_sign(q, F.col("d")) * F.col("v").cast("double")).alias(f"w{q}")
-            for q in range(total)
-        ],
-    )
-    sums = parts.groupBy(id_col).agg(
-        *[F.sum(f"w{q}").alias(f"s{q}") for q in range(total)]
-    )
+    def plane_sum(q: int):
+        weights = F.array(*[F.lit(plane_sign_value(q, d)) for d in range(dim)])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
     tables = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
             term = F.when(
-                F.col(f"s{t * n_planes + p}") >= 0, F.lit(1 << p)
+                plane_sum(t * n_planes + p) >= 0, F.lit(1 << p)
             ).otherwise(F.lit(0))
             bucket = term if bucket is None else bucket + term
         tables.append(
@@ -137,7 +151,7 @@ def banded_lsh_signatures(
                 F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket")
             )
         )
-    return sums.select(
+    return df.select(
         F.col(id_col), F.explode(F.array(*tables)).alias("__tb")
     ).select(F.col(id_col), F.col("__tb.table_id"), F.col("__tb.bucket"))
 
@@ -165,17 +179,17 @@ def banded_lsh_candidates(
                                  ).withColumnRenamed(id_col, "c_id")
     qsig = banded_lsh_signatures(queries, n_tables, n_planes, id_col, vec_col
                                  ).withColumnRenamed(id_col, "q_id")
-    sizes = csig.groupBy("table_id", "bucket").agg(F.count("*").alias("__n"))
-    small = sizes.where(F.col("__n") <= bucket_cap).select("table_id", "bucket")
-    over = sizes.where(F.col("__n") > bucket_cap).select("table_id", "bucket")
+    # bucket populations via ONE window over the signature shuffle — no
+    # separate sizes aggregate re-deriving the signature subtree; the
+    # small/oversized branches below then share a single exchange
+    # (ReusedExchange) instead of recomputing the plane sums per branch
+    w = Window.partitionBy("table_id", "bucket")
+    csig = csig.withColumn("__n", F.count(F.lit(1)).over(w))
     normal = qsig.join(
-        csig.join(F.broadcast(small), ["table_id", "bucket"]),
-        ["table_id", "bucket"],
+        csig.where(F.col("__n") <= bucket_cap), ["table_id", "bucket"]
     ).select("q_id", "c_id")
     spill_members = (
-        csig.join(F.broadcast(over), ["table_id", "bucket"])
-        .select("c_id")
-        .distinct()
+        csig.where(F.col("__n") > bucket_cap).select("c_id").distinct()
     )
     spill = queries.select(F.col(id_col).alias("q_id")).crossJoin(spill_members)
     return (

@@ -483,34 +483,31 @@ def q_ann_lsh_buckets(spark, sf):
 
 
 def _o_ann_sig_cte() -> str:
-    """Shared oracle CTEs: dims -> 32 plane sums -> (vec_id, table_id,
-    bucket) signatures, mirroring banded_lsh_signatures."""
-    total = ANN_TABLES * ANN_PLANES
-    parts = ",\n         ".join(
-        f"CASE WHEN substring(md5('{q},' || cast(d - 1 as varchar)), 1, 1) IN {repr(_ODD_HEX)} "
-        f"THEN v::double ELSE -v::double END AS w{q}"
-        for q in range(total)
-    )
-    sums = ", ".join(f"sum(w{q}) AS s{q}" for q in range(total))
+    """Shared oracle CTEs: (vec_id, table_id, bucket) signatures,
+    mirroring banded_lsh_signatures — the ±1 plane matrix baked in as
+    literal lists (same hashlib/md5 parity), each plane sum an ORDERED
+    list_reduce left fold over d=0..63, bit-identical to Spark's
+    zip_with+aggregate fold."""
+    from .operators.similarity import plane_sign_value
+
+    def plane_sum(q: int) -> str:
+        ws = "[" + ", ".join(str(plane_sign_value(q, d)) for d in range(64)) + "]"
+        return (
+            f"list_reduce(list_transform(range(1, 65), "
+            f"i -> embedding[i]::double * ({ws})[i]), (x, y) -> x + y)"
+        )
+
     sig_rows = "\n  UNION ALL\n".join(
-        "  SELECT vec_id, {t} AS table_id, cast({b} as int) AS bucket FROM sums".format(
+        "  SELECT vec_id, {t} AS table_id, cast({b} as int) AS bucket FROM embeddings".format(
             t=t,
             b=" + ".join(
-                f"CASE WHEN s{t * ANN_PLANES + p} >= 0 THEN {1 << p} ELSE 0 END"
+                f"CASE WHEN {plane_sum(t * ANN_PLANES + p)} >= 0 THEN {1 << p} ELSE 0 END"
                 for p in range(ANN_PLANES)
             ),
         )
         for t in range(ANN_TABLES)
     )
     return f"""
-dims AS (
-  SELECT vec_id, d, embedding[d] AS v
-  FROM embeddings, generate_series(1, 64) t(d)),
-parts AS (
-  SELECT vec_id,
-         {parts}
-  FROM dims),
-sums AS (SELECT vec_id, {sums} FROM parts GROUP BY vec_id),
 sig AS (
 {sig_rows})
 """
@@ -535,13 +532,39 @@ def q_ann_lsh_topk(spark, sf):
     cand = banded_lsh_candidates(
         q, e, ANN_TABLES, ANN_PLANES, ANN_BUCKET_CAP
     )
-    qv = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv"))
-    cv = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("__cv"))
-    cos = _cos_spark(F.col("__qv"), F.col("__cv"))
+    # norms once per VECTOR (not per candidate pair) — the re-rank then
+    # folds only the dot product per pair
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    qv = e.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("__qv"),
+        norm.alias("__qn"),
+    )
+    cv = e.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("__cv"),
+        norm.alias("__cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__cv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     scored = (
         cand.join(qv, "q_id")
         .join(cv, "c_id")
-        .select("q_id", "c_id", F.round(cos, 4).alias("cos"))
+        .select(
+            "q_id", "c_id",
+            F.round(dot / (F.col("__qn") * F.col("__cn")), 4).alias("cos"),
+        )
     )
     w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return (
