@@ -117,12 +117,18 @@ def banded_lsh_signatures(
     ``rp_lsh_buckets`` signature.
 
     The ±1 plane matrix is a CONSTANT (B·P × dim), so it is baked into
-    the plan as literal arrays and each plane sum is one
-    ``zip_with``+``aggregate`` left fold over the embedding — per-row
-    column expressions, no explode, no groupBy shuffle, no per-row
-    hashing (the naive form computed B·P md5s per dimension per row).
-    The fold order is d=0..dim-1, which the oracle mirrors with an
-    ordered ``list_reduce`` — bit-identical double sums.
+    the plan — each plane's dim sign bits packed into ONE 64-bit mask
+    literal (bit d set ⇔ sign −1, extracted per element with
+    ``bit_get``) and each plane sum one indexed-``transform`` +
+    ``aggregate`` left fold over the embedding — per-row column
+    expressions, no explode, no groupBy shuffle, no per-row hashing
+    (the naive form computed B·P md5s per dimension per row). The mask
+    form exists for plan size: literal ±1 arrays put B·P·dim literal
+    nodes in the tree and Catalyst analysis dominated runtime at bench
+    scale (~2000-node tree, ~1.6 s per fresh plan); one mask per plane
+    is ~7× smaller with identical arithmetic (1.0 − 2.0·bit is exactly
+    ±1.0, same multiply, same d=0..dim−1 fold order, so sums stay
+    bit-identical to the oracle's ordered ``list_reduce``).
 
     This is the banding treatment minhash already has (dedup.py:78):
     a single 2^P-bucket table degrades toward all-pairs as the corpus
@@ -130,10 +136,21 @@ def banded_lsh_signatures(
     multiplies candidates ×(P+1) on top; B independent tables recover
     recall with candidate volume that stays proportional to bucket
     size, and compose with the bucket-size cap below."""
+    if dim > 64:
+        raise ValueError("sign masks pack at most 64 dims per plane")
+
     def plane_sum(q: int):
-        weights = F.array(*[F.lit(plane_sign_value(q, d)) for d in range(dim)])
+        mask = 0
+        for d in range(dim):
+            if plane_sign_value(q, d) < 0:
+                mask |= 1 << d
+        if mask >= 1 << 63:  # wrap to signed long; bit_get is position-exact
+            mask -= 1 << 64
+        sign = lambda d: F.lit(1.0) - 2.0 * F.bit_get(F.lit(mask), d).cast(
+            "double"
+        )
         return F.aggregate(
-            F.zip_with(F.col(vec_col), weights, lambda x, w: x.cast("double") * w),
+            F.transform(F.col(vec_col), lambda x, d: x.cast("double") * sign(d)),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
