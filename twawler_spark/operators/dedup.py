@@ -27,6 +27,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def spread_for_explode(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Pre-spread a small-file input before an explode-amplified stage.
+
+    The shingle/token explode and its per-element hashing run in the
+    SCAN's stage, so they inherit the scan's partitioning: a corpus
+    that arrives as one or two parquet files serializes all the hash
+    work on one or two cores no matter how wide the cluster is. When
+    the input has fewer partitions than the cluster's default
+    parallelism, hash-repartition by the document key (cheap: rows are
+    pre-explode, tens of bytes each vs ~50× that post-explode). At
+    warehouse scale the input split count far exceeds the core count,
+    so this is a no-op — no shuffle is added on the 100 TB path."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def shingles(text_col, k: int = 5):
     """Distinct k-gram word shingles as an array column."""
     toks = F.split(text_col, " ")
@@ -61,6 +80,7 @@ def minhash_signatures(
     over longs instead of 32-char hex strings. The same expression is
     portable SQL (DuckDB: ('0x'||substr(md5,..))::BIGINT), so the
     oracle computes identical signatures."""
+    df = spread_for_explode(df, id_col)
     toks = df.select(
         F.col(id_col), F.explode(shingles(F.col(text_col), shingle_k)).alias("__sh")
     ).where(F.col("__sh") != "")
@@ -118,6 +138,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     JVM-side: bit j of xxhash64(token) via shiftright+mask; the sum per
     bit decides the signature bit. All codegen, no UDF.
     """
+    df = spread_for_explode(df, id_col)
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__tok")
     ).where(F.col("__tok") != "")

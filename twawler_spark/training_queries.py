@@ -198,6 +198,9 @@ def _lsh_pairs(alld: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
     self-join — the discovery tier shared by dedup_minhash_lsh (as the
     registered result) and dedup_jaccard (as verification input)."""
+    from .operators.dedup import spread_for_explode
+
+    alld = spread_for_explode(alld, "doc_id")
     toks = alld.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
@@ -290,7 +293,9 @@ def _simhash_expr_spark(tok_col: str = "tok"):
 def q_dedup_simhash(spark, sf):
     """SimHash near-dup: 16-bit signature; histogram of hamming distance
     between each doc and its planted near-copy (most distances ≤ 2)."""
-    alld = _with_near_dups(_t(spark, sf, "documents"))
+    from .operators.dedup import spread_for_explode
+
+    alld = spread_for_explode(_with_near_dups(_t(spark, sf, "documents")), "doc_id")
     toks = alld.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).where(F.col("tok") != "")
