@@ -119,16 +119,18 @@ def banded_lsh_signatures(
     The ±1 plane matrix is a CONSTANT (B·P × dim), so it is baked into
     the plan — each plane's dim sign bits packed into ONE 64-bit mask
     literal (bit d set ⇔ sign −1, extracted per element with
-    ``bit_get``) and each plane sum one indexed-``transform`` +
-    ``aggregate`` left fold over the embedding — per-row column
+    ``bit_get``), and all B·P plane sums come out of one nested
+    higher-order expression over the mask array — per-row column
     expressions, no explode, no groupBy shuffle, no per-row hashing
     (the naive form computed B·P md5s per dimension per row). The mask
-    form exists for plan size: literal ±1 arrays put B·P·dim literal
-    nodes in the tree and Catalyst analysis dominated runtime at bench
-    scale (~2000-node tree, ~1.6 s per fresh plan); one mask per plane
-    is ~7× smaller with identical arithmetic (1.0 − 2.0·bit is exactly
-    ±1.0, same multiply, same d=0..dim−1 fold order, so sums stay
-    bit-identical to the oracle's ordered ``list_reduce``).
+    form exists for PLAN size, not data size: literal ±1 arrays put
+    B·P·dim literal nodes plus 2·B·P lambda functions in the tree and
+    Catalyst analysis dominated runtime (~2000-node tree, ~1.6 s per
+    fresh plan — constant in the data, so it amortizes at warehouse
+    scale but swamps small inputs); the nested-mask form is ~50 nodes
+    with identical arithmetic (1.0 − 2.0·bit is exactly ±1.0, same
+    multiply, same d=0..dim−1 fold order, so sums stay bit-identical
+    to the oracle's ordered ``list_reduce``).
 
     This is the banding treatment minhash already has (dedup.py:78):
     a single 2^P-bucket table degrades toward all-pairs as the corpus
@@ -139,28 +141,42 @@ def banded_lsh_signatures(
     if dim > 64:
         raise ValueError("sign masks pack at most 64 dims per plane")
 
-    def plane_sum(q: int):
+    def plane_mask(q: int) -> int:
         mask = 0
         for d in range(dim):
             if plane_sign_value(q, d) < 0:
                 mask |= 1 << d
         if mask >= 1 << 63:  # wrap to signed long; bit_get is position-exact
             mask -= 1 << 64
-        sign = lambda d: F.lit(1.0) - 2.0 * F.bit_get(F.lit(mask), d).cast(
-            "double"
-        )
-        return F.aggregate(
-            F.transform(F.col(vec_col), lambda x, d: x.cast("double") * sign(d)),
+        return mask
+
+    # ALL B·P plane sums from ONE nested higher-order expression — an
+    # outer transform over the mask-array literal, an inner
+    # transform+aggregate fold over the embedding (the inner lambda
+    # captures the outer's mask variable). Three HOF nodes total
+    # instead of 2 per plane; fresh-plan build drops ~1.4 s → ~0.2 s.
+    total = n_tables * n_planes
+    masks = F.array(*[F.lit(plane_mask(q)).cast("long") for q in range(total)])
+    sums = F.transform(
+        masks,
+        lambda m: F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, d: x.cast("double")
+                * (F.lit(1.0) - 2.0 * F.bit_get(m, d).cast("double")),
+            ),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
-
+        ),
+    )
+    base = df.select(F.col(id_col), sums.alias("__s"))
     tables = []
     for t in range(n_tables):
         bucket = None
         for p in range(n_planes):
             term = F.when(
-                plane_sum(t * n_planes + p) >= 0, F.lit(1 << p)
+                F.element_at(F.col("__s"), t * n_planes + p + 1) >= 0,
+                F.lit(1 << p),
             ).otherwise(F.lit(0))
             bucket = term if bucket is None else bucket + term
         tables.append(
@@ -168,7 +184,7 @@ def banded_lsh_signatures(
                 F.lit(t).alias("table_id"), bucket.cast("int").alias("bucket")
             )
         )
-    return df.select(
+    return base.select(
         F.col(id_col), F.explode(F.array(*tables)).alias("__tb")
     ).select(F.col(id_col), F.col("__tb.table_id"), F.col("__tb.bucket"))
 
@@ -192,6 +208,11 @@ def banded_lsh_candidates(
     silently drops; at a sane (B, P, cap) sizing the spill set is a
     vanishing fraction of the corpus. The bucket-size dim is tiny
     (<= B·2^P rows) and rides broadcasts."""
+    from .dedup import spread_for_explode
+
+    # plane sums run in the corpus scan's stage; a single-file corpus
+    # would serialize them on one core (no-op at warehouse scale)
+    corpus = spread_for_explode(corpus, id_col)
     csig = banded_lsh_signatures(corpus, n_tables, n_planes, id_col, vec_col
                                  ).withColumnRenamed(id_col, "c_id")
     qsig = banded_lsh_signatures(queries, n_tables, n_planes, id_col, vec_col

@@ -390,12 +390,36 @@ def q_dedup_embedding_cosine(spark, sf):
             "embedding"
         ),
     )
-    alle = base.unionByName(planted)
-    a, b = alle.alias("a"), alle.alias("b")
+    from .operators.dedup import spread_for_explode
+
+    # norm once per VECTOR (bit-identical: same sqrt-of-sum expression,
+    # just materialized pre-join), so each pair folds only the dot; the
+    # label block key has tiny cardinality, so the self-join must NOT
+    # shuffle on it — spread the probe side by vid and broadcast the
+    # block side instead (label-count-independent parallelism)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    alle = base.unionByName(planted).withColumn("__n", norm)
+    a = spread_for_explode(alle, "vid").alias("a")
+    b = F.broadcast(alle).alias("b")
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vid") < F.col("b.vid"))
     )
-    cos = _cos_spark(F.col("a.embedding"), F.col("b.embedding"))
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("a.__n") * F.col("b.__n"))
     return pairs.select(
         F.col("a.vid").alias("vec_a"),
         F.col("b.vid").alias("vec_b"),
@@ -429,7 +453,9 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= 0.999
 
 def q_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-5 neighbors for query vectors (vec_id<10)."""
-    e = _t(spark, sf, "embeddings")
+    from .operators.dedup import spread_for_explode
+
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -477,9 +503,10 @@ def q_ann_lsh_buckets(spark, sf):
     bucket populations with the oversized (spill-to-exact) flag — a
     single 256-bucket table degenerates toward all-pairs as the corpus
     grows; banding + the cap bound candidate volume under skew."""
+    from .operators.dedup import spread_for_explode
     from .operators.similarity import banded_lsh_signatures
 
-    e = _t(spark, sf, "embeddings")
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
     sig = banded_lsh_signatures(e, ANN_TABLES, ANN_PLANES)
     return sig.groupBy("table_id", "bucket").agg(
         F.count("*").alias("n_vectors"),
@@ -530,9 +557,10 @@ def q_ann_lsh_topk(spark, sf):
     """Full banded-LSH ANN pipeline: bounded candidates (shared small
     bucket in any table, plus queries × oversized-bucket members as the
     exact spill), cosine re-rank, top-5 per query (vec_id < 10)."""
+    from .operators.dedup import spread_for_explode
     from .operators.similarity import banded_lsh_candidates
 
-    e = _t(spark, sf, "embeddings")
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
     q = e.where(F.col("vec_id") < 10)
     cand = banded_lsh_candidates(
         q, e, ANN_TABLES, ANN_PLANES, ANN_BUCKET_CAP
