@@ -30,6 +30,21 @@ def _with_near_dups(d):
 
 # ------------------------------------------------------------------ dedup
 
+def test_spread_for_explode_widens_small_inputs_only(spark):
+    """A narrow (small-file) input is repartitioned up to the default
+    parallelism; an input already at/above it passes through unchanged
+    (the 100 TB no-op path). Row content is never altered."""
+    target = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1).withColumnRenamed("id", "doc_id")
+    spread = dedup.spread_for_explode(narrow, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r.doc_id for r in spread.collect()) == list(range(100))
+    wide = spark.range(100).repartition(target + 4, "id").withColumnRenamed(
+        "id", "doc_id"
+    )
+    assert dedup.spread_for_explode(wide, "doc_id") is wide
+
+
 def test_exact_dedup_keeps_min_id(spark):
     d = _docs(spark)
     dup = d.unionByName(
