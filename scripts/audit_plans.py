@@ -211,9 +211,14 @@ def main():
         f.write("  one-time repartition-by-parent); at runtime the edge side is an\n")
         f.write("  InMemoryTableScan with no Exchange above it — no per-level edge\n")
         f.write("  shuffle, no per-level broadcast of a corpus-derived table.\n")
-        f.write("- `ann_lsh_topk`: banded candidates — bucket sizes are a tiny dim\n")
-        f.write("  riding broadcasts; the only big shuffles key on (table, bucket)\n")
-        f.write("  with per-bucket population capped (spill-to-exact above the cap).\n")
+        f.write("- `ann_lsh_topk`: banded candidates — all B·P plane sums come\n")
+        f.write("  from one nested higher-order expression over per-plane sign-mask\n")
+        f.write("  literals (no explode, no groupBy, no per-row hashing); bucket\n")
+        f.write("  populations are a count window OVER the (table, bucket)\n")
+        f.write("  signature shuffle, so the small and spill branches share one\n")
+        f.write("  exchange (the ReusedExchange column); per-bucket population is\n")
+        f.write("  capped (spill-to-exact above the cap) and L2 norms are computed\n")
+        f.write("  once per vector before the re-rank.\n")
         f.write("- `crawl_round_*`: the driver-facing crawl round (real\n")
         f.write("  build_two_phase_plan + Arrow fetch stage); python stages are the\n")
         f.write("  sanctioned fetch UDFs, everything before the fetch is JVM-side.\n")
