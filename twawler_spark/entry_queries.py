@@ -441,7 +441,15 @@ WHERE rnk <= 3
 
 def q_j1_pair_selfjoin(spark, sf):
     """J1: self equi-join + pair group-count (exportquote.py:61-78)."""
-    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    from .operators.dedup import spread_for_explode
+
+    # the pair explosion runs in the probe scan's stage; spread a
+    # small-file input so it isn't serialized on the scan's 2-3
+    # partitions (no-op at warehouse scale)
+    li = spread_for_explode(
+        _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey"),
+        "l_orderkey",
+    )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
         b,
