@@ -132,6 +132,49 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
         assert r["cos"] <= bf_best[r["q_id"]] + 1e-9
 
 
+def test_ivf_assign_partitions_corpus_and_probe_bounds_reads(spark):
+    e = _emb(spark)
+    cents = similarity.ivf_centroids(e, centroid_mod=17)
+    n_cells = cents.count()
+    cells = similarity.ivf_assign(e, cents)
+    # every vector lands in exactly one existing cell
+    assert cells.count() == e.count()
+    assigned = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    cent_ids = {r["cid"] for r in cents.select("cid").collect()}
+    assert assigned <= cent_ids
+    # a centroid is its own nearest centroid (cos=1 with itself)
+    own = dict(cells.where(F.col("vec_id").isin(*cent_ids)).collect())
+    for cid in cent_ids:
+        assert own[cid] == cid, (cid, own[cid])
+    # probing n_probe cells touches at most the members of those cells
+    probes = similarity.ivf_probe_cells(
+        e.where(F.col("vec_id") < 5), cents, n_probe=2
+    )
+    per_q = probes.groupBy("q_id").count().collect()
+    assert all(r["count"] == min(2, n_cells) for r in per_q)
+
+
+def test_ivf_topk_retrieves_scaled_twin(spark):
+    e = _emb(spark)
+    twins = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+        "label",
+    )
+    corpus = e.unionByName(twins)
+    q = e.where(F.col("vec_id") < 10)
+    ap = similarity.ivf_topk(q, corpus, k=1, centroid_mod=17, n_probe=1)
+    top1 = {r["q_id"]: r["c_id"] for r in ap.collect()}
+    # argmax-cosine cell assignment is scale-invariant, so the 2x twin
+    # shares the query's cell; cos(x,2x)=1 -> rank 1 even at n_probe=1
+    for qid, cid in top1.items():
+        assert cid == qid + 100000, (qid, cid)
+    # and the approximate score never beats brute force
+    bf1 = {r["q_id"]: r["cos"] for r in similarity.brute_force_topk(q, corpus, k=1).collect()}
+    for r in similarity.ivf_topk(q, corpus, k=1, centroid_mod=17, n_probe=2).collect():
+        assert r["cos"] <= bf1[r["q_id"]] + 1e-9
+
+
 # -------------------------------------------------------------- multimodal
 
 def test_multimodal_metadata(spark):

@@ -262,3 +262,166 @@ def lsh_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def _vec_norm(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            vec_col,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    centroid_mod: int = 53,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cid, cvec, cnorm) — a deterministic coarse quantizer: every
+    ``centroid_mod``-th corpus vector is a centroid (k-means|| style
+    data-point initialization, reproducible with no training loop, so
+    the DuckDB oracle can derive the identical cell structure)."""
+    return corpus.where(F.pmod(F.col(id_col), F.lit(centroid_mod)) == 0).select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        _vec_norm(F.col(vec_col)).alias("cnorm"),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) — IVF cell assignment with NO shuffle.
+
+    The centroid set is collected into one sorted array row (C rows —
+    dimension-sized by construction) and broadcast; each corpus vector
+    folds over it once, keeping the argmax-cosine centroid (strict
+    ``>`` over ascending cid, so ties keep the lowest cid — mirroring
+    the oracle's ``ORDER BY cos DESC, cid ASC``). Assignment is
+    map-side work in the corpus scan's stage: at warehouse scale the
+    corpus is never reshuffled to pick cells, and writing the corpus
+    partitioned by ``cell`` turns later probes into partition pruning."""
+    from .dedup import spread_for_explode
+
+    cents = centroids.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "cvec", "cnorm"))
+        ).alias("__cents")
+    )
+    base = (
+        spread_for_explode(corpus, id_col)
+        .withColumn("__vn", _vec_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+    )
+
+    def sim(c):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c["cvec"],
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return dot / (F.col("__vn") * c["cnorm"])
+
+    best = F.aggregate(
+        F.col("__cents"),
+        F.struct(
+            F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("cos")
+        ),
+        lambda acc, c: F.when(
+            sim(c) > acc["cos"],
+            F.struct(c["cid"].alias("cid"), sim(c).alias("cos")),
+        ).otherwise(acc),
+    )
+    return base.select(F.col(id_col), best["cid"].alias("cell"))
+
+
+def ivf_probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(q_id, cell) — each query's ``n_probe`` nearest centroids (the
+    query side is small by contract, so a plain broadcast join +
+    window is the right shape here)."""
+    pairs = (
+        queries.withColumn("__qn", _vec_norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(centroids))
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col(vec_col), F.col("cvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sim = dot / (F.col("__qn") * F.col("cnorm"))
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cid").asc())
+    return (
+        pairs.withColumn("__sim", sim)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_probe)
+        .select(F.col(id_col).alias("q_id"), F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    centroid_mod: int = 53,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: map-side cell assignment, probe the
+    n_probe nearest cells per query, exact cosine re-rank inside the
+    probed cells (reads ~n_probe/C of the corpus; with cell-partitioned
+    storage that is partition pruning, the IVF scale path)."""
+    cents = ivf_centroids(corpus, centroid_mod, id_col, vec_col)
+    cells = ivf_assign(corpus, cents, id_col, vec_col)
+    probes = ivf_probe_cells(queries, cents, n_probe, id_col, vec_col)
+    cand = F.broadcast(probes).join(
+        cells.withColumnRenamed(id_col, "c_id"), "cell"
+    ).select("q_id", "c_id").where(F.col("q_id") != F.col("c_id"))
+    qv = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("__qv"),
+        _vec_norm(F.col(vec_col)).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("__cv"),
+        _vec_norm(F.col(vec_col)).alias("__cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__cv"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("__qn") * F.col("__cn"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = (
+        cand.join(qv, "q_id")
+        .join(cv, "c_id")
+        .select("q_id", "c_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)

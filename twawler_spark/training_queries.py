@@ -646,6 +646,81 @@ SELECT q_id, c_id, cos, rnk FROM (
 """
 
 
+IVF_CENTROID_MOD = 53  # every 53rd corpus vector is a centroid (10 cells at sf0.01)
+IVF_N_PROBE = 2        # cells probed per query
+
+
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN (the partition-pruning scale path, complementing the
+    banded-LSH path): deterministic coarse quantizer (every
+    ``IVF_CENTROID_MOD``-th vector is a centroid), map-side argmax-cosine
+    cell assignment with the centroid array broadcast as ONE collected
+    row (no shuffle of the corpus), each query probes its
+    ``IVF_N_PROBE`` nearest cells, exact cosine re-rank over only the
+    probed cells' members. At warehouse scale the corpus is written
+    partitioned by ``cell`` so a probe is partition pruning — the query
+    reads ~n_probe/C of the data instead of all of it."""
+    from .operators.dedup import spread_for_explode
+    from .operators.similarity import ivf_topk
+
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(
+        q, e, k=5, centroid_mod=IVF_CENTROID_MOD, n_probe=IVF_N_PROBE,
+        round_to=4,
+    ).select("q_id", "c_id", "cos", "rnk")
+
+
+def _o_cos(a: str, b: str, an: str, bn: str) -> str:
+    """Oracle cosine between two FLOAT[] columns with precomputed norms
+    — ordered list_reduce left fold, bit-identical to Spark's
+    zip_with+aggregate fold (same parity precedent as the LSH plane
+    sums)."""
+    return (
+        f"(list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> {a}[i]::double * {b}[i]::double), (x, y) -> x + y) "
+        f"/ ({an} * {bn}))"
+    )
+
+
+O_ANN_IVF_TOPK = f"""
+WITH vn AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y)) AS nrm
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm
+  FROM vn WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+assign AS (
+  SELECT vec_id AS c_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} DESC,
+                      c.cid ASC) AS rn
+    FROM vn v CROSS JOIN cents c) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS q_id, cid AS cell FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} DESC,
+                      c.cid ASC) AS rn
+    FROM vn v CROSS JOIN cents c WHERE v.vec_id < 10) WHERE rn <= {IVF_N_PROBE}),
+cand AS (
+  SELECT p.q_id, a.c_id FROM probes p JOIN assign a USING (cell)
+  WHERE p.q_id <> a.c_id),
+scored AS (
+  SELECT cand.q_id, cand.c_id,
+         round({_o_cos('q.embedding', 'c.embedding', 'q.nrm', 'c.nrm')}, 4) AS cos
+  FROM cand
+  JOIN vn q ON q.vec_id = cand.q_id
+  JOIN vn c ON c.vec_id = cand.c_id)
+SELECT q_id, c_id, cos, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
 # ----------------------------------------------------------- text analysis
 
 _STOPWORDS = ("the", "a", "value", "data", "table", "row")
