@@ -46,6 +46,8 @@ HEADLINE_QUERIES = (
     "dedup_jaccard",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_clusters",
     "text_quality",
     "crawl_round_docs",
     "graph_stats",

@@ -132,6 +132,23 @@ def test_lsh_topk_subset_of_brute_force_scores(spark):
         assert r["cos"] <= bf_best[r["q_id"]] + 1e-9
 
 
+def test_connected_components_path_and_forest(spark):
+    # a 64-node path (worst case for diameter-bound propagation: the
+    # star-contraction rounds must close it in O(log n), far under the
+    # max_iter guard), two disjoint triangles sharing no nodes, and a
+    # lone self-edge-free pair
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(63)]
+    edges += [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]
+    edges += [("s9", "s1"), ("s1", "s5")]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = dedup.connected_components(df, max_iter=12)
+    comp = {r["node"]: r["component"] for r in out.collect()}
+    assert all(comp[f"n{i:03d}"] == "n000" for i in range(64))
+    assert comp["t1"] == comp["t2"] == comp["t3"] == "t1"
+    assert comp["s9"] == comp["s1"] == comp["s5"] == "s1"
+    assert len(comp) == 64 + 3 + 3
+
+
 def test_ivf_assign_partitions_corpus_and_probe_bounds_reads(spark):
     e = _emb(spark)
     cents = similarity.ivf_centroids(e, centroid_mod=17)

@@ -269,3 +269,91 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node in ``edges`` — component is the
+    minimum node id reachable through the undirected pair graph.
+
+    This is the cluster-resolution step production dedup needs after
+    candidate discovery: LSH/simhash emit near-dup PAIRS; picking one
+    keeper per duplicate group requires the transitive closure.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    O(log n)-round formulation that survives web-scale graphs, unlike
+    naive label propagation whose round count is the graph diameter.
+    Each half-round is one shuffle: a window-min over the neighbor list
+    (no per-node set materialization, so high-degree nodes stream
+    through the min aggregate) followed by an edge rewrite + distinct.
+
+      large-star: every neighbor v > u re-attaches to m = min(N(u)+{u})
+      small-star: with edges oriented big->small, every neighbor and u
+                  itself attach to m = min(N(u)+{u})
+
+    Convergence is detected by an edge-multiset signature (count +
+    sum-of-hashes aggregate — a 1-row collect per round); at the fixed
+    point every non-minimum node points directly at its component
+    minimum. Lineage is truncated per round with localCheckpoint (on a
+    cluster, set a reliable checkpoint dir instead)."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        b = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        return (
+            b.withColumn("m", m)
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # precondition: u > v on every row (holds after large_star)
+        m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+        w = e.withColumn("m", m)
+        return (
+            w.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(w.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def signature(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64(F.col("u"), F.col("v")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    e = large_star(e).localCheckpoint(eager=True)
+    prev = signature(e)
+    for _ in range(max_iter):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        cur = signature(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    # fixed point: e holds (node -> component-min) for every non-root;
+    # roots are min-ids that only appear on the v side
+    nonroot = e.groupBy("u").agg(F.min("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("u"))
+        .distinct()
+        .join(nonroot.select("u"), "u", "left_anti")
+        .withColumn("component", F.col("u"))
+    )
+    return nonroot.unionByName(roots).select(F.col("u").alias("node"), "component")

@@ -40,6 +40,7 @@ QUERIES: dict[str, QueryFn] = {
     "s3_stream_crawl_admission": st.stream_crawl_admission,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
     "ann_ivf_topk": tq.q_ann_ivf_topk,
+    "dedup_clusters": tq.q_dedup_clusters,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -142,6 +143,7 @@ ORACLES: dict[str, str] = {
     "s3_stream_crawl_admission": st.O_STREAM_CRAWL_ADMISSION,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "ann_ivf_topk": tq.O_ANN_IVF_TOPK,
+    "dedup_clusters": tq.O_DEDUP_CLUSTERS,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,

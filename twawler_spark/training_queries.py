@@ -243,7 +243,11 @@ def q_dedup_minhash_lsh(spark, sf):
     return _lsh_pairs(_with_near_dups(_t(spark, sf, "documents")))
 
 
-def _o_minhash_bands() -> str:
+def _o_minhash_parts() -> tuple[str, str]:
+    """(CTE chain, band-join select) — split so composing oracles (e.g.
+    dedup_clusters' recursive closure) can splice the chain at the TOP
+    level of their own WITH (DuckDB does not resolve CTEs declared in a
+    nested WITH across the set-op branches of the outer query)."""
     # Kirsch-Mitzenmacher over one md5, matching minhash_signatures:
     # h1/h2 = 60-bit halves mod 2^59; h_k = (h1 + k*h2) mod 2^59
     M = 1 << 59
@@ -259,8 +263,7 @@ def _o_minhash_bands() -> str:
         f"ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
         for b in range(4)
     )
-    return f"""
-WITH docs AS ({_SQL_NEAR_DUPS}),
+    ctes = f"""docs AS ({_SQL_NEAR_DUPS}),
 toks AS (
   SELECT doc_id, unnest(list_distinct(
     list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
@@ -270,7 +273,14 @@ sigs AS (
   SELECT doc_id,
          {hs}
   FROM toks WHERE tok != '' GROUP BY doc_id),
-bands AS (SELECT doc_id, {bands} FROM sigs)
+bands AS (SELECT doc_id, {bands} FROM sigs)"""
+    return ctes, joins
+
+
+def _o_minhash_bands() -> str:
+    ctes, joins = _o_minhash_parts()
+    return f"""
+WITH {ctes}
 {joins}
 """
 
@@ -644,6 +654,51 @@ SELECT q_id, c_id, cos, rnk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rnk
   FROM scored) WHERE rnk <= 5
 """
+
+
+def q_dedup_clusters(spark, sf):
+    """Cluster resolution — the step production dedup needs AFTER pair
+    discovery: LSH emits near-dup pairs; keeping one doc per duplicate
+    group needs the transitive closure. Connected components via
+    alternating large-star/small-star (O(log n) shuffle rounds — see
+    operators/dedup.py:connected_components), then every document gets
+    (cluster_id = min reachable doc_id, keep = is-cluster-min);
+    singletons keep themselves."""
+    from .operators.dedup import connected_components
+
+    alld = _with_near_dups(_t(spark, sf, "documents"))
+    cc = connected_components(_lsh_pairs(alld))
+    return (
+        alld.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("keep", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+O_DEDUP_CLUSTERS = (
+    lambda parts: f"""
+WITH RECURSIVE {parts[0]},
+pairs AS (
+{parts[1]}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+comp AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(c.component, d.doc_id) AS keep
+FROM docs d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+)(_o_minhash_parts())
 
 
 IVF_CENTROID_MOD = 53  # every 53rd corpus vector is a centroid (10 cells at sf0.01)
