@@ -41,6 +41,8 @@ AUDIT = (
     "crawl_round_docs",
     "crawl_round_states",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_clusters",
     "silent_clusters",
     "word_daily_series",
     "curation_aliases",
@@ -219,6 +221,18 @@ def main():
         f.write("  exchange (the ReusedExchange column); per-bucket population is\n")
         f.write("  capped (spill-to-exact above the cap) and L2 norms are computed\n")
         f.write("  once per vector before the re-rank.\n")
+        f.write("- `ann_ivf_topk`: IVF — cell assignment is map-side (the centroid\n")
+        f.write("  set rides ONE broadcast collected row; the corpus scan stage\n")
+        f.write("  folds over it, no shuffle to pick cells); probes broadcast-join\n")
+        f.write("  cell members, and only probed-cell candidates reach the re-rank.\n")
+        f.write("  With the corpus written partitioned by cell, the probe becomes\n")
+        f.write("  partition pruning (reads n_probe/C of the data).\n")
+        f.write("- `dedup_clusters`: the audited plan is the FINAL round of the\n")
+        f.write("  star-contraction loop (prior rounds are localCheckpoint'd out of\n")
+        f.write("  the lineage); each half-round is one window-min exchange over the\n")
+        f.write("  edge set — O(log n) rounds total, no per-node adjacency\n")
+        f.write("  materialization, so skewed high-degree nodes stream through the\n")
+        f.write("  min aggregate.\n")
         f.write("- `crawl_round_*`: the driver-facing crawl round (real\n")
         f.write("  build_two_phase_plan + Arrow fetch stage); python stages are the\n")
         f.write("  sanctioned fetch UDFs, everything before the fetch is JVM-side.\n")
