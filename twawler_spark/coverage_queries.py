@@ -517,15 +517,10 @@ J8_THRESHOLD = 0.8
 J8_DOC_MOD = 250
 
 
-def q_j8_synchrotrap_full(spark, sf):
-    """J8 full semantics (findcommontweets.py:22-59): 600s windows
-    sliding by 300s; within a window, pairs of events from DIFFERENT
-    users whose bag-of-words Jaccard >= 0.8 are lockstep edges; a pair
-    is counted once — at the window where the earlier event falls in
-    the first half (created_at < mid_date). Texts attach to events via
-    doc_id = floor(event_id/4) % {J8_DOC_MOD}; BoW uses distinct word BIGRAMS
-    (the 31-word vocab makes unigram sets saturate — bigrams keep the
-    similarity discriminative, same set-Jaccard semantics)."""
+def _j8_lockstep_event_pairs(spark, sf):
+    """Distinct lockstep event pairs (user_a, user_b, event_a, event_b)
+    — the synchrotrap core shared by q_j8_synchrotrap_full (pair-count
+    rollup) and q_bot_tweets_per_user (per-user copied-tweet rollup)."""
     e = _t(spark, sf, "events").select(
         "event_id",
         "user_id",
@@ -569,11 +564,23 @@ def q_j8_synchrotrap_full(spark, sf):
         )
         .distinct()
     )
+    return pairs
+
+
+def q_j8_synchrotrap_full(spark, sf):
+    """J8 full semantics (findcommontweets.py:22-59): 600s windows
+    sliding by 300s; within a window, pairs of events from DIFFERENT
+    users whose bag-of-words Jaccard >= 0.8 are lockstep edges; a pair
+    is counted once — at the window where the earlier event falls in
+    the first half (created_at < mid_date). Texts attach to events via
+    doc_id = floor(event_id/4) % J8_DOC_MOD; BoW uses distinct word BIGRAMS
+    (the 31-word vocab makes unigram sets saturate — bigrams keep the
+    similarity discriminative, same set-Jaccard semantics)."""
+    pairs = _j8_lockstep_event_pairs(spark, sf)
     return pairs.groupBy("user_a", "user_b").agg(F.count("*").alias("n_lockstep"))
 
 
-O_J8_FULL = f"""
-WITH e AS (
+_O_J8_CTES = f"""e AS (
   SELECT event_id, user_id, cast(floor(epoch(ts)) as bigint) AS te,
          cast(floor(event_id / 4) as bigint) % {J8_DOC_MOD} AS doc_id
   FROM events),
@@ -597,7 +604,11 @@ pairs AS (
    AND a.user_id != b.user_id
   WHERE a.te < a.w * {J8_SLIDE} + {J8_SLIDE}
     AND len(list_intersect(a.bow, b.bow)) * 1.0
-        / len(list_distinct(list_concat(a.bow, b.bow))) >= {J8_THRESHOLD})
+        / len(list_distinct(list_concat(a.bow, b.bow))) >= {J8_THRESHOLD})"""
+
+
+O_J8_FULL = f"""
+WITH {_O_J8_CTES}
 SELECT user_a, user_b, count(*) AS n_lockstep FROM pairs GROUP BY 1, 2
 """
 
@@ -1986,4 +1997,340 @@ SELECT n_nodes, n_edges, n_recip, n_triangles, n_wedges,
              / sqrt((m * sxx - sx * sx) * 1.0 * (m * syy - sy * sy)), 4)
          AS assortativity
 FROM m1, m2, m3, m4, m5, m6
+"""
+
+
+# =====================================================================
+# Round-4b parity wave: the remaining thin analytics/curation programs
+# =====================================================================
+
+def q_user_creation_dates(spark, sf):
+    """allusercreationdates.py:36-44 — distribution of account creation
+    dates as a ZERO-FILLED daily series (the reference's while-loop
+    prints every day between min and max, including empty ones).
+    Creation date = first activity date per user (the synthetic tables
+    carry no profile collection); count = distinct users created that
+    day. Scale shape: one groupBy(user) + one groupBy(date); the
+    zero-fill is sequence+explode over the tiny [min,max] day span —
+    never a driver loop."""
+    e = _t(spark, sf, "events")
+    created = e.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("cdate")
+    )
+    per_day = created.groupBy("cdate").agg(
+        F.count("*").alias("n_users")
+    )
+    span = created.agg(
+        F.min("cdate").alias("lo"), F.max("cdate").alias("hi")
+    )
+    days = span.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("cdate")
+    )
+    return (
+        days.join(per_day, "cdate", "left")
+        .select(
+            F.col("cdate").cast("string").alias("cdate"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+O_USER_CREATION_DATES = """
+WITH created AS (
+  SELECT user_id, cast(min(ts) as date) AS cdate FROM events GROUP BY user_id),
+per_day AS (SELECT cdate, count(*) AS n_users FROM created GROUP BY cdate),
+span AS (SELECT min(cdate) AS lo, max(cdate) AS hi FROM created),
+days AS (SELECT unnest(generate_series(lo, hi, interval 1 day))::date AS cdate FROM span)
+SELECT cast(d.cdate as varchar) AS cdate, coalesce(p.n_users, 0) AS n_users
+FROM days d LEFT JOIN per_day p USING (cdate)
+"""
+
+
+USERSIM_PROBES = 15  # probe-user set, the reference runs on explicit user args
+
+
+def q_usersimilarity_frfo(spark, sf):
+    """usersimilarity.py:33-66 fr_fo_jaccard_similarity — for each
+    probe-user pair: common friends / friend-set Jaccard and common
+    followers / follower-set Jaccard. Friends(u) = distinct outgoing
+    follow targets (l_suppkey -> l_partkey, the s6 edge model);
+    followers(u) = distinct incoming sources. Jaccard is NULL when
+    both sets are empty (the reference returns NaN).
+
+    Scale shape: common counts come from an equi-join on the shared
+    endpoint grouped by pair — never a collect_set of a whole
+    adjacency; the probe-pair frame is a broadcast cross of the tiny
+    probe set."""
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+
+    def pair_stats(e, key, other):
+        # e: (user, nbr) restricted to probe users
+        mine = e.where(F.col("user") < USERSIM_PROBES)
+        sizes = mine.groupBy("user").agg(F.count("*").alias("n"))
+        a, b = mine.alias("a"), mine.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.nbr") == F.col("b.nbr"))
+                & (F.col("a.user") < F.col("b.user")),
+            )
+            .groupBy(
+                F.col("a.user").alias("user_a"), F.col("b.user").alias("user_b")
+            )
+            .agg(F.count("*").alias(f"common_{key}"))
+        )
+        return sizes, common
+
+    fr = edges.select(F.col("src").alias("user"), F.col("dst").alias("nbr"))
+    fo = edges.select(F.col("dst").alias("user"), F.col("src").alias("nbr"))
+    fr_sizes, fr_common = pair_stats(fr, "friends", None)
+    fo_sizes, fo_common = pair_stats(fo, "followers", None)
+
+    users = spark.range(USERSIM_PROBES).select(F.col("id").alias("user"))
+    a, b = users.alias("ua"), users.alias("ub")
+    pairs = a.crossJoin(b).where(F.col("ua.user") < F.col("ub.user")).select(
+        F.col("ua.user").alias("user_a"), F.col("ub.user").alias("user_b")
+    )
+
+    def attach(p, sizes, common, key):
+        p = (
+            p.join(
+                sizes.select(
+                    F.col("user").alias("user_a"), F.col("n").alias(f"__na_{key}")
+                ),
+                "user_a",
+                "left",
+            )
+            .join(
+                sizes.select(
+                    F.col("user").alias("user_b"), F.col("n").alias(f"__nb_{key}")
+                ),
+                "user_b",
+                "left",
+            )
+            .join(common, ["user_a", "user_b"], "left")
+        )
+        na = F.coalesce(F.col(f"__na_{key}"), F.lit(0))
+        nb = F.coalesce(F.col(f"__nb_{key}"), F.lit(0))
+        cm = F.coalesce(F.col(f"common_{key}"), F.lit(0))
+        un = na + nb - cm
+        return (
+            p.withColumn(f"common_{key}2", cm)
+            .withColumn(
+                f"{key}_jaccard",
+                F.round(cm / F.nullif(un.cast("double"), F.lit(0.0)), 4),
+            )
+            .drop(f"__na_{key}", f"__nb_{key}", f"common_{key}")
+            .withColumnRenamed(f"common_{key}2", f"common_{key}")
+        )
+
+    out = attach(pairs, fr_sizes, fr_common, "friends")
+    out = attach(out, fo_sizes, fo_common, "followers")
+    return out.select(
+        "user_a", "user_b",
+        "common_friends", "friends_jaccard",
+        "common_followers", "followers_jaccard",
+    )
+
+
+O_USERSIM_FRFO = f"""
+WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+fr AS (SELECT src AS u, dst AS nbr FROM edges WHERE src < {USERSIM_PROBES}),
+fo AS (SELECT dst AS u, src AS nbr FROM edges WHERE dst < {USERSIM_PROBES}),
+fr_sizes AS (SELECT u, count(*) AS n FROM fr GROUP BY u),
+fo_sizes AS (SELECT u, count(*) AS n FROM fo GROUP BY u),
+fr_common AS (
+  SELECT a.u AS user_a, b.u AS user_b, count(*) AS c
+  FROM fr a JOIN fr b ON a.nbr = b.nbr AND a.u < b.u GROUP BY 1, 2),
+fo_common AS (
+  SELECT a.u AS user_a, b.u AS user_b, count(*) AS c
+  FROM fo a JOIN fo b ON a.nbr = b.nbr AND a.u < b.u GROUP BY 1, 2),
+pairs AS (
+  SELECT a.range AS user_a, b.range AS user_b
+  FROM range(0, {USERSIM_PROBES}) a, range(0, {USERSIM_PROBES}) b
+  WHERE a.range < b.range)
+SELECT p.user_a, p.user_b,
+       coalesce(frc.c, 0) AS common_friends,
+       round(coalesce(frc.c, 0) / nullif(
+         (coalesce(fsa.n, 0) + coalesce(fsb.n, 0) - coalesce(frc.c, 0))::double, 0), 4)
+         AS friends_jaccard,
+       coalesce(foc.c, 0) AS common_followers,
+       round(coalesce(foc.c, 0) / nullif(
+         (coalesce(goa.n, 0) + coalesce(gob.n, 0) - coalesce(foc.c, 0))::double, 0), 4)
+         AS followers_jaccard
+FROM pairs p
+LEFT JOIN fr_sizes fsa ON fsa.u = p.user_a
+LEFT JOIN fr_sizes fsb ON fsb.u = p.user_b
+LEFT JOIN fr_common frc ON frc.user_a = p.user_a AND frc.user_b = p.user_b
+LEFT JOIN fo_sizes goa ON goa.u = p.user_a
+LEFT JOIN fo_sizes gob ON gob.u = p.user_b
+LEFT JOIN fo_common foc ON foc.user_a = p.user_a AND foc.user_b = p.user_b
+"""
+
+
+BOT_MIN_COPIED = 2  # bottweetsperuser -n analog: users with >= N copied tweets
+
+
+def q_bot_tweets_per_user(spark, sf):
+    """bottweetsperuser.py:38-51 — per-user count of DISTINCT copied
+    tweets, sourced from the synchrotrap detector's lockstep pairs
+    (the reference reads db.botsperweek, which findcommontweets.py
+    writes). A user's copied tweets are every event of theirs that
+    appears in any lockstep pair; users under the -n threshold are
+    dropped. Composition: reuses the j8 event-pair core, one
+    explode-free union + distinct + groupBy on top."""
+    pairs = _j8_lockstep_event_pairs(spark, sf)
+    per_user = (
+        pairs.select(
+            F.col("user_a").alias("user_id"), F.col("event_a").alias("tweet_id")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("user_b").alias("user_id"), F.col("event_b").alias("tweet_id")
+            )
+        )
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_copied"))
+    )
+    return per_user.where(F.col("n_copied") >= BOT_MIN_COPIED)
+
+
+O_BOT_TWEETS_PER_USER = f"""
+WITH {_O_J8_CTES},
+per_user AS (
+  SELECT user_id, count(*) AS n_copied FROM (
+    SELECT DISTINCT user_id, tweet_id FROM (
+      SELECT user_a AS user_id, event_a AS tweet_id FROM pairs
+      UNION ALL
+      SELECT user_b AS user_id, event_b AS tweet_id FROM pairs))
+  GROUP BY user_id)
+SELECT user_id, n_copied FROM per_user WHERE n_copied >= {BOT_MIN_COPIED}
+"""
+
+
+HASHTAG_MIN_LEN = 6  # hashtag analog: the corpus' long-word vocabulary
+
+
+def q_hashtag_export(spark, sf):
+    """hashtagexport.py (the mongo mapReduce 'hashtag_sum' view):
+    per-hashtag total usage across all tweets plus the distinct-author
+    count. Hashtag analog over the synthetic corpus: words of length >=
+    HASHTAG_MIN_LEN; total counts every occurrence (the mapReduce sums
+    per-tweet usage), authorship via doc_id % 150. One explode + one
+    groupBy — the mapReduce collapses to a single partial-aggregated
+    shuffle."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.pmod(F.col("doc_id"), F.lit(150)).alias("user_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("tag"),
+    ).where(F.length("tag") >= HASHTAG_MIN_LEN)
+    return toks.groupBy("tag").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+O_HASHTAG_EXPORT = f"""
+WITH toks AS (
+  SELECT doc_id % 150 AS user_id, unnest(string_split(text, ' ')) AS tag
+  FROM documents)
+SELECT tag, count(*) AS total, count(DISTINCT user_id) AS n_users
+FROM toks WHERE len(tag) >= {HASHTAG_MIN_LEN}
+GROUP BY tag
+"""
+
+
+EXPORT_PROBES = 25  # exportuser runs on an explicit user list
+
+
+def q_export_user(spark, sf):
+    """exportuser.py / curation/usertweets.py — the per-user export
+    view: profile-grade rollup for a probe-user list joining every
+    activity surface: event count + first/last activity + total value,
+    authored-doc count (doc_id % 150), out-degree (friends) and
+    in-degree (followers) on the follow graph. All sides aggregate
+    BEFORE the join (partial aggs on each table, then broadcast-size
+    joins on the tiny probe frame) — the export never walks raw rows
+    per user like the reference's cursor loop."""
+    e = _t(spark, sf, "events")
+    d = _t(spark, sf, "documents")
+    li = _t(spark, sf, "lineitem")
+    probes = spark.range(EXPORT_PROBES).select(F.col("id").alias("user_id"))
+    ev = e.where(F.col("user_id") < EXPORT_PROBES).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("first_seen_e"),
+        F.unix_timestamp(F.max("ts")).alias("last_seen_e"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    docs = (
+        d.select(F.pmod(F.col("doc_id"), F.lit(150)).alias("user_id"))
+        .where(F.col("user_id") < EXPORT_PROBES)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    outd = (
+        edges.where(F.col("src") < EXPORT_PROBES)
+        .groupBy(F.col("src").alias("user_id"))
+        .agg(F.count("*").alias("n_friends"))
+    )
+    ind = (
+        edges.where(F.col("dst") < EXPORT_PROBES)
+        .groupBy(F.col("dst").alias("user_id"))
+        .agg(F.count("*").alias("n_followers"))
+    )
+    out = (
+        probes.join(ev, "user_id", "left")
+        .join(docs, "user_id", "left")
+        .join(outd, "user_id", "left")
+        .join(ind, "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        "first_seen_e",
+        "last_seen_e",
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        F.coalesce("n_friends", F.lit(0)).alias("n_friends"),
+        F.coalesce("n_followers", F.lit(0)).alias("n_followers"),
+    )
+
+
+O_EXPORT_USER = f"""
+WITH probes AS (SELECT range AS user_id FROM range(0, {EXPORT_PROBES})),
+ev AS (
+  SELECT user_id, count(*) AS n_events,
+         cast(floor(epoch(min(ts))) as bigint) AS first_seen_e,
+         cast(floor(epoch(max(ts))) as bigint) AS last_seen_e,
+         round(sum(value), 2) AS total_value
+  FROM events WHERE user_id < {EXPORT_PROBES} GROUP BY user_id),
+docs AS (
+  SELECT doc_id % 150 AS user_id, count(*) AS n_docs
+  FROM documents WHERE doc_id % 150 < {EXPORT_PROBES} GROUP BY 1),
+edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+outd AS (
+  SELECT src AS user_id, count(*) AS n_friends
+  FROM edges WHERE src < {EXPORT_PROBES} GROUP BY 1),
+ind AS (
+  SELECT dst AS user_id, count(*) AS n_followers
+  FROM edges WHERE dst < {EXPORT_PROBES} GROUP BY 1)
+SELECT p.user_id,
+       coalesce(ev.n_events, 0) AS n_events,
+       ev.first_seen_e, ev.last_seen_e,
+       coalesce(ev.total_value, 0.0) AS total_value,
+       coalesce(docs.n_docs, 0) AS n_docs,
+       coalesce(outd.n_friends, 0) AS n_friends,
+       coalesce(ind.n_followers, 0) AS n_followers
+FROM probes p
+LEFT JOIN ev USING (user_id)
+LEFT JOIN docs USING (user_id)
+LEFT JOIN outd USING (user_id)
+LEFT JOIN ind USING (user_id)
 """

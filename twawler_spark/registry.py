@@ -41,6 +41,11 @@ QUERIES: dict[str, QueryFn] = {
     "ann_lsh_topk": tq.q_ann_lsh_topk,
     "ann_ivf_topk": tq.q_ann_ivf_topk,
     "dedup_clusters": tq.q_dedup_clusters,
+    "user_creation_dates": cq.q_user_creation_dates,
+    "usersimilarity_frfo": cq.q_usersimilarity_frfo,
+    "bot_tweets_per_user": cq.q_bot_tweets_per_user,
+    "hashtag_export": cq.q_hashtag_export,
+    "export_user": cq.q_export_user,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -144,6 +149,11 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "ann_ivf_topk": tq.O_ANN_IVF_TOPK,
     "dedup_clusters": tq.O_DEDUP_CLUSTERS,
+    "user_creation_dates": cq.O_USER_CREATION_DATES,
+    "usersimilarity_frfo": cq.O_USERSIM_FRFO,
+    "bot_tweets_per_user": cq.O_BOT_TWEETS_PER_USER,
+    "hashtag_export": cq.O_HASHTAG_EXPORT,
+    "export_user": cq.O_EXPORT_USER,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
