@@ -24,12 +24,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 10
-    # new queries and 4 reworked queries lead, then the 33 queries whose
-    # newest driver rows are from r1/r2, then 3 r3-green sentinels (the
-    # remaining sentinels overflow past the window; all r3-green). The
-    # r3-verified queries sit past the window and rotate back in r5+; every
-    # query stays locally verified each round via scripts/check_oracles.py.
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 17
+    # new queries (10 planned + ann_ivf_topk, dedup_clusters, and the 5-query
+    # parity wave) and 4 reworked queries lead, then the r1/r2-stale band; 29
+    # of those 33 fit in the window, the last 4 (j4, j6, viz_degree,
+    # a8_log_buckets) plus the r3-green sentinels overflow and rotate to the
+    # front in r5. Every query is locally verified each round via
+    # scripts/check_oracles.py regardless of window position.
     #
     # Band 0 — new in round 4 (crawl round itself + ANN topk + findsilent,
     # word series, aliases)
