@@ -149,6 +149,34 @@ def test_connected_components_path_and_forest(spark):
     assert len(comp) == 64 + 3 + 3
 
 
+def test_connected_components_skew_hub(spark):
+    # one hub with 50k spokes: the window-min half-rounds must stream
+    # the high-degree neighbor list through the aggregate (no per-node
+    # set materialization) and still close in O(log n) rounds
+    hub = spark.range(1, 50001).select(
+        F.lit("hub").alias("doc_a"),
+        F.concat(F.lit("s"), F.col("id")).alias("doc_b"),
+    )
+    out = dedup.connected_components(hub, max_iter=8)
+    assert out.count() == 50001
+    # component min is lexicographic: "hub" < "s1"
+    assert out.where(F.col("component") != "hub").count() == 0
+
+
+def test_ivf_cell_partitioned_corpus_prunes(spark, tmp_path):
+    # the IVF scale path: corpus written partitioned by cell -> probing
+    # a cell is partition pruning, visible as PartitionFilters in the
+    # scan (reads n_probe/C of the data instead of all of it)
+    e = _emb(spark)
+    cents = similarity.ivf_centroids(e, centroid_mod=17)
+    cells = similarity.ivf_assign(e, cents)
+    path = str(tmp_path / "corpus_by_cell")
+    e.join(cells, "vec_id").write.partitionBy("cell").parquet(path)
+    probed = spark.read.parquet(path).where(F.col("cell") == 0)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan, plan[:800]
+
+
 def test_ivf_assign_partitions_corpus_and_probe_bounds_reads(spark):
     e = _emb(spark)
     cents = similarity.ivf_centroids(e, centroid_mod=17)

@@ -71,3 +71,22 @@ def test_stateful_checkpoint_stream(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_near_dup_finds_every_planted_variant(spark):
+    """Every streamed mutated doc shares >= 1 LSH band with its own
+    original (drop-first-token keeps most 5-gram shingles), so the
+    stream-static band join must surface the (X_nd, X) pair for all
+    docs long enough to have stable shingles."""
+    sf_dir = SF
+    from pyspark.sql import functions as F
+
+    from twawler_spark.streaming.ingest import stream_near_dup
+
+    pairs = stream_near_dup(spark, sf_dir)
+    self_pairs = pairs.where(
+        F.col("nd_doc") == F.concat(F.col("orig_doc"), F.lit("_nd"))
+    ).count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # at the fixture scale every planted pair collides in >= 1 band
+    assert self_pairs == n_docs, (self_pairs, n_docs)

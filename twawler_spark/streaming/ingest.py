@@ -145,3 +145,136 @@ adm AS (SELECT kid FROM cand WHERE kid NOT IN (SELECT kid FROM seen))
 SELECT 'h' || cast(kid % 20 as varchar) AS host, count(*) AS n_admitted
 FROM adm GROUP BY 1
 """
+
+
+def _row_minhash_bands(text_col):
+    """4 LSH band keys per ROW as a fully streamable expression — the
+    shingle→minhash→band tier with NO explode/groupBy: distinct 5-gram
+    shingles via transform+slice, each Kirsch-Mitzenmacher hash as an
+    array_min over a transform fold (same md5-split/expand arithmetic
+    as operators/dedup.minhash_signatures, so row-wise and
+    aggregate-wise signatures are bit-identical). Returns an array of
+    (band_idx, band_val) structs."""
+    M = 1 << 59
+    toks = F.split(text_col, " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+    sh = F.filter(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+        ),
+        lambda t: t != "",
+    )
+
+    def h(k):
+        def km(tok):
+            m = F.md5(tok)
+            h1 = F.pmod(F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(M))
+            h2 = F.pmod(F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), F.lit(M))
+            return F.pmod(h1 + k * h2, F.lit(M))
+
+        return F.array_min(F.transform(sh, km))
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(
+                    h(2 * b).cast("string"), F.lit("|"), h(2 * b + 1).cast("string")
+                ).alias("band_val"),
+            )
+            for b in range(4)
+        ]
+    )
+
+
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming content near-dup detection: mutated document variants
+    stream in (first token dropped, the planted near-dup family) and
+    are checked against the STATIC ingested corpus via the minhash-LSH
+    band join — the content-tier twin of stream_crawl_admission's
+    url-hash tier.
+
+    Stream side: per-row band keys from _row_minhash_bands (stateless
+    HOFs — no explode-aggregate on the stream, so no watermark needed),
+    then a stateless explode to long form. Static side: the corpus'
+    band table (batch groupBy minhash — same values). Stream-static
+    INNER join on (band_idx, band_val) surfaces candidate near-dup
+    pairs; stateful dropDuplicates collapses multi-band collisions.
+    Append mode throughout — at production scale the static side is the
+    bucketed signature store and the stream is Kafka."""
+    from ..training_queries import _lsh_pairs  # noqa: F401 (parity twin)
+    from ..training_queries import _minhash_cols, _shingles_spark
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    name = f"stream_out_{next(_counter)}"
+    nd = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_nd")).alias("nd_doc"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+        .select("nd_doc", F.explode(_row_minhash_bands(F.col("text"))).alias("b"))
+        .select("nd_doc", "b.band_idx", "b.band_val")
+    )
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("orig_doc"), "text")
+    )
+    toks = corpus.select(
+        "orig_doc", F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sigs = toks.groupBy("orig_doc").agg(*_minhash_cols())
+    static_bands = sigs.select(
+        "orig_doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.concat(
+                            F.col(f"h{2*b}").cast("string"),
+                            F.lit("|"),
+                            F.col(f"h{2*b+1}").cast("string"),
+                        ).alias("band_val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("orig_doc", "b.band_idx", "b.band_val")
+    matched = (
+        nd.join(F.broadcast(static_bands), ["band_idx", "band_val"])
+        .select("nd_doc", "orig_doc")
+        .dropDuplicates(["nd_doc", "orig_doc"])
+    )
+    q = (
+        matched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _o_stream_near_dup() -> str:
+    from ..training_queries import _o_minhash_parts
+
+    ctes, _ = _o_minhash_parts()
+    joins = "\nUNION\n".join(
+        f"SELECT y.doc_id AS nd_doc, x.doc_id AS orig_doc FROM bands x "
+        f"JOIN bands y ON x.band{b} = y.band{b} "
+        f"AND x.doc_id NOT LIKE '%\\_nd' ESCAPE '\\' "
+        f"AND y.doc_id LIKE '%\\_nd' ESCAPE '\\'"
+        for b in range(4)
+    )
+    return f"""
+WITH {ctes}
+{joins}
+"""
+
+
+O_STREAM_NEAR_DUP = _o_stream_near_dup()
