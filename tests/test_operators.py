@@ -366,6 +366,39 @@ def test_bmp_decode_property():
     check()
 
 
+def test_wav_decode_property():
+    # pure-function property check, no Spark: arbitrary PCM16 channel
+    # contents roundtrip through the RIFF writer/parser with exact
+    # integer mean (floor toward -inf matches numpy int64 //) and peak
+    import numpy as np
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        nch=st.integers(min_value=1, max_value=2),
+        samples=st.lists(
+            st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+    )
+    def check(nch, samples, rate):
+        chans = [samples, [(-s) % 1000 for s in samples]][:nch]
+        buf = multimodal.make_wav(rate, chans)
+        got = multimodal.decode_wav_bytes(buf)
+        n = len(samples)
+        want = (nch, rate, n, n * 1000 // rate)
+        assert got[:4] == want
+        for c in range(2):
+            if c < nch:
+                arr = np.asarray(chans[c], dtype=np.int64)
+                assert got[4 + 2 * c] == int(arr.sum()) // n
+                assert got[5 + 2 * c] == int(np.abs(arr).max())
+            else:
+                assert got[4 + 2 * c : 6 + 2 * c] == (0, 0)
+
+    check()
+
+
 def test_banded_lsh_candidates_bounded_under_skew(spark):
     """Skewed corpus (one hot region: many copies of the same vector)
     must NOT degenerate the bucket join quadratically: hot buckets are

@@ -228,3 +228,123 @@ def frame_sample(meta: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
         ).alias("frame_ms"),
     )
+
+
+def make_wav(sample_rate: int, channels: list[list[int]]) -> bytes:
+    """Uncompressed PCM16 WAV from bytes alone (RIFF + fmt + data
+    chunks, interleaved little-endian int16 frames) — the audio twin of
+    make_bmp: a REAL audio file with no codec library."""
+    import struct
+
+    import numpy as np
+
+    nch = len(channels)
+    frames = np.stack(
+        [np.asarray(c, dtype=np.int16) for c in channels], axis=1
+    )  # (n_samples, nch) interleave
+    data = frames.tobytes()
+    byte_rate = sample_rate * nch * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, nch, sample_rate, byte_rate, nch * 2, 16)
+    hdr = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return hdr + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def decode_wav_bytes(buf: bytes):
+    """Pure decoder for one PCM16 WAV: walks the RIFF chunk list,
+    validates the fmt chunk (PCM, 16-bit), de-interleaves channels in
+    numpy. Returns (n_channels, sample_rate, n_samples, duration_ms,
+    mean_c0, peak_c0, mean_c1, peak_c1) — means are exact integer
+    divisions; mono files report 0 for the second channel."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, nch, rate, data = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, nch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported, got tag={tag} bits={bits}")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if nch is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    frames = np.frombuffer(data, dtype="<i2").reshape(-1, nch).astype(np.int64)
+    n = frames.shape[0]
+    dur_ms = n * 1000 // rate
+
+    def stats(c):
+        if c >= nch:
+            return 0, 0
+        col = frames[:, c]
+        return int(col.sum()) // n, int(np.abs(col).max())
+
+    m0, p0 = stats(0)
+    m1, p1 = stats(1)
+    return nch, rate, n, dur_ms, m0, p0, m1, p1
+
+
+AUDIO_SCHEMA = (
+    "media_ref string, n_channels int, sample_rate int, n_samples long, "
+    "duration_ms long, mean_c0 long, peak_c0 long, mean_c1 long, peak_c1 long"
+)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """Real PCM decode over the binary audio column — RIFF chunk walk,
+    fmt validation, numpy channel de-interleave and per-channel
+    mean/peak reduction inside Arrow-batched mapInPandas. Replaces the
+    metadata-only audio stub: the synthetic payloads are genuine WAV
+    files, so this exercises the same byte-level work an ffmpeg/soundfile
+    decode would."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf["payload"]):
+                rows.append((ref, *decode_wav_bytes(bytes(buf))))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "n_channels", "sample_rate", "n_samples",
+                    "duration_ms", "mean_c0", "peak_c0", "mean_c1", "peak_c1",
+                ],
+            )
+            yield out.astype(
+                {"n_channels": "int32", "sample_rate": "int32",
+                 "n_samples": "int64", "duration_ms": "int64",
+                 "mean_c0": "int64", "peak_c0": "int64",
+                 "mean_c1": "int64", "peak_c1": "int64"}
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def attach_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-WAV payload per row: channel count, length and
+    ramp amplitudes all derive from the id (odd ids are stereo,
+    exercising de-interleave), so an oracle predicts every decoded stat
+    from id arithmetic alone. Channel c sample i = base_c + i (a ramp —
+    sums and peaks stay exact integers)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                n = 50 + i % 64
+                chans = [[(i % 500) + s for s in range(n)]]
+                if i % 2 == 1:
+                    chans.append([(i * 17 % 500) + s for s in range(n)])
+                payloads.append(make_wav(8000, chans))
+            yield pd.DataFrame(
+                {"media_ref": ids.astype(str), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="media_ref string, payload binary")

@@ -40,6 +40,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_outlinks": crq.q_crawl_round_outlinks,
     "s3_stream_crawl_admission": st.stream_crawl_admission,
     "s3_stream_near_dup": st.stream_near_dup,
+    "multimodal_audio": tq.q_multimodal_audio,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
     "ann_ivf_topk": tq.q_ann_ivf_topk,
     "dedup_clusters": tq.q_dedup_clusters,
@@ -149,6 +150,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_outlinks": crq.O_CRAWL_ROUND_OUTLINKS,
     "s3_stream_crawl_admission": st.O_STREAM_CRAWL_ADMISSION,
     "s3_stream_near_dup": st.O_STREAM_NEAR_DUP,
+    "multimodal_audio": tq.O_MULTIMODAL_AUDIO,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
     "ann_ivf_topk": tq.O_ANN_IVF_TOPK,
     "dedup_clusters": tq.O_DEDUP_CLUSTERS,

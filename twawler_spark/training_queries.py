@@ -956,6 +956,49 @@ def q_multimodal_decode(spark, sf):
     )
 
 
+def q_multimodal_audio(spark, sf):
+    """Real PCM audio decode over a binary media column: each document
+    gets a genuine PCM16 WAV payload (channel count / length / ramp
+    amplitudes derived from doc_id; odd ids are stereo, exercising the
+    numpy de-interleave), and the decoder walks the RIFF chunk list,
+    validates fmt, and reduces per-channel mean/peak in Arrow-batched
+    mapInPandas (operators/multimodal.py:decode_audio). The oracle
+    predicts every decoded stat from doc_id arithmetic — a chunk-walk
+    or interleave slip fails the hash."""
+    from .operators.multimodal import attach_wav_media, decode_audio
+
+    d = _t(spark, sf, "documents")
+    return decode_audio(attach_wav_media(d, "doc_id")).select(
+        F.col("media_ref").cast("bigint").alias("doc_id"),
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "mean_c0",
+        "peak_c0",
+        "mean_c1",
+        "peak_c1",
+    )
+
+
+O_MULTIMODAL_AUDIO = """
+WITH p AS (
+  SELECT doc_id,
+         cast(1 + doc_id % 2 as int) AS n_channels,
+         50 + doc_id % 64 AS n
+  FROM documents)
+SELECT doc_id, n_channels, cast(8000 as int) AS sample_rate,
+       n AS n_samples, n * 1000 // 8000 AS duration_ms,
+       (n * (doc_id % 500) + n * (n - 1) // 2) // n AS mean_c0,
+       doc_id % 500 + n - 1 AS peak_c0,
+       CASE WHEN n_channels = 2
+            THEN (n * (doc_id * 17 % 500) + n * (n - 1) // 2) // n
+            ELSE 0 END AS mean_c1,
+       CASE WHEN n_channels = 2 THEN doc_id * 17 % 500 + n - 1 ELSE 0 END AS peak_c1
+FROM p
+"""
+
+
 O_MULTIMODAL_DECODE = """
 SELECT doc_id,
        cast(5 + doc_id % 16 as int) AS width,
