@@ -1268,13 +1268,15 @@ def _uv_fam_dst(mult: int):
 
 def q_user_vector_wide(spark, sf):
     """vectorize.py's wide feature family extended toward the reference's
-    ~2000-column vector — 160 features per user (161 output columns):
+    ~2000-column vector — 371 features per user (372 output columns):
 
       * 16 base features (activity/tempo/type/value);
       * last-month day×hour usage grid (stats.py:203-218
         fill_lastmonth_usage): 24 hourly + 31 daily counts;
       * full-history hour-of-day (24) and day-of-week (7+1) counters
-        (stats.py usage_times_stats hcnt/dcnt);
+        (stats.py usage_times_stats hcnt/dcnt), the full hour×day-of-week
+        usage heatmap (168 cells, stats.py fill_usage), and
+        month-of-year (12) + day-of-month (31) seasonality counters;
       * inter-event gap log2-histogram (12 buckets) + avg/max gap
         (stats.py time_between_any interval quanta);
       * the 4 interaction families mention/quote/retweet/reply
@@ -1337,6 +1339,28 @@ def q_user_vector_wide(spark, sf):
     for i in range(1, 8):  # Spark dayofweek: 1=Sunday .. 7=Saturday
         grid.append(
             F.sum(F.when(F.dayofweek("ts") == i, 1).otherwise(0)).alias(f"dw{i}")
+        )
+    # full hour×day-of-week interaction grid (the reference's usage
+    # heatmap, stats.py fill_usage heat cells) — 168 counters
+    for i in range(1, 8):
+        for h in range(24):
+            grid.append(
+                F.sum(
+                    F.when(
+                        (F.dayofweek("ts") == i) & (F.hour("ts") == h), 1
+                    ).otherwise(0)
+                ).alias(f"hd{i}_{h:02d}")
+            )
+    # month-of-year + day-of-month counters (seasonality families)
+    for m in range(1, 13):
+        grid.append(
+            F.sum(F.when(F.month("ts") == m, 1).otherwise(0)).alias(f"mo{m:02d}")
+        )
+    for dm in range(1, 32):
+        grid.append(
+            F.sum(
+                F.when(F.dayofmonth("ts") == dm, 1).otherwise(0)
+            ).alias(f"dom{dm:02d}")
         )
     # inter-event gap log2 histogram + avg/max (time_between_any quanta)
     gap_bucket = F.least(
@@ -1538,6 +1562,20 @@ def _uv_grid_sql() -> str:
     for i in range(1, 8):  # DuckDB dayofweek: 0=Sunday — shift to Spark's 1..7
         cols.append(
             f"cast(sum(CASE WHEN dayofweek(ts) + 1 = {i} THEN 1 ELSE 0 END) as bigint) AS dw{i}"
+        )
+    for i in range(1, 8):
+        for h in range(24):
+            cols.append(
+                f"cast(sum(CASE WHEN dayofweek(ts) + 1 = {i} AND hour(ts) = {h}"
+                f" THEN 1 ELSE 0 END) as bigint) AS hd{i}_{h:02d}"
+            )
+    for m in range(1, 13):
+        cols.append(
+            f"cast(sum(CASE WHEN month(ts) = {m} THEN 1 ELSE 0 END) as bigint) AS mo{m:02d}"
+        )
+    for dm in range(1, 32):
+        cols.append(
+            f"cast(sum(CASE WHEN day(ts) = {dm} THEN 1 ELSE 0 END) as bigint) AS dom{dm:02d}"
         )
     bucket = f"least(cast(floor(log2(gap + 1)) as bigint), {UV_GAP_BUCKETS - 1})"
     for g in range(UV_GAP_BUCKETS):
