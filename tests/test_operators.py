@@ -149,6 +149,29 @@ def test_connected_components_path_and_forest(spark):
     assert len(comp) == 64 + 3 + 3
 
 
+def test_multi_source_bfs_exact_distances(spark):
+    from twawler_spark.operators.graph import multi_source_bfs
+
+    # directed path 0->1->...->9 plus a shortcut 0->5: distances from 0
+    # must take the min (d(5)=1, d(6)=2, ...), and seed 7 reaches only
+    # the tail
+    edges = [(i, i + 1) for i in range(9)] + [(0, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (7,)], ["seed"])
+    dist = {
+        (r["seed"], r["node"]): r["d"]
+        for r in multi_source_bfs(seeds, e, max_depth=12).collect()
+    }
+    assert dist[(0, 4)] == 4 and dist[(0, 5)] == 1 and dist[(0, 9)] == 5
+    assert dist[(7, 9)] == 2 and (7, 0) not in dist
+    # depth cap truncates: with max_depth=2, node 9 is unreached from 0
+    dist2 = {
+        (r["seed"], r["node"])
+        for r in multi_source_bfs(seeds, e, max_depth=2).collect()
+    }
+    assert (0, 9) not in dist2 and (0, 6) in dist2
+
+
 def test_connected_components_skew_hub(spark):
     # one hub with 50k spokes: the window-min half-rounds must stream
     # the high-degree neighbor list through the aggregate (no per-node

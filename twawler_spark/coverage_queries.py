@@ -2334,3 +2334,53 @@ LEFT JOIN docs USING (user_id)
 LEFT JOIN outd USING (user_id)
 LEFT JOIN ind USING (user_id)
 """
+
+
+BFS_SEEDS = (1, 2, 3, 4, 5)
+BFS_CAP = 12
+
+
+def q_graph_bfs_ecc(spark, sf):
+    """networkstatistics.py:76-81 radius/diameter, the honest
+    big-graph form: exact BFS eccentricities from a deterministic
+    seed sample over the directed mention graph (igraph's radius() /
+    diameter() are all-pairs BFS — quadratic work no 10^9-edge graph
+    affords; sampled-source eccentricities are the standard bound, and
+    the operator underneath, operators/graph.py:multi_source_bfs, IS
+    the level-synchronous expansion an exact sweep would repeat). All
+    seeds expand in one BFS (seed is a column, not a loop). Output per
+    seed: eccentricity within the depth cap + nodes reached; max(ecc)
+    lower-bounds the diameter, min over reach-all seeds upper-bounds
+    the radius. Girth stays omitted (shortest-cycle needs per-node BFS
+    — documented, not pretended)."""
+    from .operators.graph import multi_source_bfs
+
+    e = _t(spark, sf, "events")
+    dst = 1 + F.pmod(F.col("event_id") * 7, F.lit(149))
+    edges = (
+        e.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "seed bigint")
+    dist = multi_source_bfs(seeds, edges, BFS_CAP)
+    return dist.groupBy("seed").agg(
+        F.max("d").alias("eccentricity"),
+        F.count("*").alias("n_reached"),
+    )
+
+
+O_GRAPH_BFS_ECC = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id != 1 + (event_id * 7) % 149),
+seeds AS (SELECT unnest([{", ".join(str(s) for s in BFS_SEEDS)}]) AS seed),
+walk(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < {BFS_CAP}),
+dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT seed, max(d) AS eccentricity, count(*) AS n_reached
+FROM dist GROUP BY seed
+"""

@@ -58,3 +58,44 @@ def reply_closure(
     # union no longer references the partitioned edge cache
     edges_p.unpersist()
     return out
+
+
+def multi_source_bfs(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """(seed, node, d) — min-distance BFS from every seed at once.
+
+    Level-synchronous frontier expansion (the Pregel shape igraph's
+    radius/diameter hides behind C): the edge table is hash-partitioned
+    on ``src`` once and persisted, each level joins only the shrinking
+    frontier against it, first visits are claimed via an anti-join on
+    the accumulated distance table, and both frames are eagerly
+    localCheckpoint'ed so the lineage stays flat. All K sources expand
+    in the SAME joins — seed is just a column, so sampling K sources
+    for eccentricity bounds costs one BFS, not K.
+
+    Terminates when a level drains or at ``max_depth`` (callers doing
+    diameter/radius estimation pick the cap; unreachable nodes are
+    simply absent)."""
+    dist = seeds.select(
+        F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("d")
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    edges_p = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges_p, frontier["node"] == edges_p["src"])
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(d))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    edges_p.unpersist()
+    return dist

@@ -53,6 +53,7 @@ QUERIES: dict[str, QueryFn] = {
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
     "graph_stats": cq.q_graph_stats,
+    "graph_bfs_ecc": cq.q_graph_bfs_ecc,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
     "ann_lsh_buckets": tq.q_ann_lsh_buckets,
@@ -163,6 +164,7 @@ ORACLES: dict[str, str] = {
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
     "graph_stats": cq.O_GRAPH_STATS,
+    "graph_bfs_ecc": cq.O_GRAPH_BFS_ECC,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,
