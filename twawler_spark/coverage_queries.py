@@ -2384,3 +2384,112 @@ dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT seed, max(d) AS eccentricity, count(*) AS n_reached
 FROM dist GROUP BY seed
 """
+
+
+PURGE_IDS = (3, 7, 11)
+
+
+def q_curation_purge(spark, sf):
+    """purgeid.py:20-38 del_userid — the GDPR-style cascade: one user
+    set removed from EVERY surface, reporting per-surface deleted +
+    surviving counts (the reference prints deleted_count per
+    collection; the delete itself is an anti-join write in this
+    engine's snapshot model, so the counts ARE the operation's audit
+    row). Each surface is one scan with a conditional aggregate —
+    no per-user loop, no repeated table passes."""
+    e = _t(spark, sf, "events")
+    d = _t(spark, sf, "documents")
+    li = _t(spark, sf, "lineitem")
+    ids = list(PURGE_IDS)
+
+    def counts(df, cond, surface):
+        return df.agg(
+            F.lit(surface).alias("surface"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_deleted"),
+            F.sum(F.when(cond, 0).otherwise(1)).alias("n_remaining"),
+        )
+
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    members = li.select(
+        F.pmod(F.col("l_partkey"), F.lit(120)).alias("list_id"),
+        F.col("l_suppkey").alias("user_id"),
+    ).dropDuplicates(["list_id", "user_id"])
+    out = (
+        counts(e, F.col("user_id").isin(ids), "tweets")
+        .unionByName(counts(edges, F.col("src").isin(ids), "follow_out"))
+        .unionByName(counts(edges, F.col("dst").isin(ids), "follow_in"))
+        .unionByName(
+            counts(d, F.pmod(F.col("doc_id"), F.lit(150)).isin(ids), "documents")
+        )
+        .unionByName(counts(members, F.col("user_id").isin(ids), "listmembers"))
+    )
+    return out
+
+
+def _o_curation_purge() -> str:
+    ids = ", ".join(str(i) for i in PURGE_IDS)
+    return f"""
+WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+members AS (SELECT DISTINCT l_partkey % 120 AS list_id, l_suppkey AS user_id FROM lineitem)
+SELECT 'tweets' AS surface,
+       sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END) AS n_deleted,
+       sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) AS n_remaining
+FROM events
+UNION ALL
+SELECT 'follow_out',
+       sum(CASE WHEN src IN ({ids}) THEN 1 ELSE 0 END),
+       sum(CASE WHEN src IN ({ids}) THEN 0 ELSE 1 END) FROM edges
+UNION ALL
+SELECT 'follow_in',
+       sum(CASE WHEN dst IN ({ids}) THEN 1 ELSE 0 END),
+       sum(CASE WHEN dst IN ({ids}) THEN 0 ELSE 1 END) FROM edges
+UNION ALL
+SELECT 'documents',
+       sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 1 ELSE 0 END),
+       sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 0 ELSE 1 END) FROM documents
+UNION ALL
+SELECT 'listmembers',
+       sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END),
+       sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) FROM members
+"""
+
+
+O_CURATION_PURGE = _o_curation_purge()
+
+RT_TARGET = 5  # retweetersbydate runs on one target user
+
+
+def q_retweeters_by_date(spark, sf):
+    """retweetersbydate.py:33-55 — for one target user, the creation
+    dates of their distinct retweeters (each retweeter counted once, at
+    their own creation date — the reference skips a retweeter's date
+    after the first RT seen). Retweets are the UV retweet family
+    (event_type='purchase', target = 1+(event_id*13)%149); creation
+    date = first activity date, as in user_creation_dates."""
+    e = _t(spark, sf, "events")
+    rt_dst = 1 + F.pmod(F.col("event_id") * 13, F.lit(149))
+    retweeters = (
+        e.where((F.col("event_type") == "purchase") & (rt_dst == RT_TARGET))
+        .select("user_id")
+        .distinct()
+    )
+    created = e.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("cdate"))
+    return (
+        retweeters.join(created, "user_id")
+        .groupBy(F.col("cdate").cast("string").alias("cdate"))
+        .agg(F.count("*").alias("n_retweeters"))
+    )
+
+
+O_RETWEETERS_BY_DATE = f"""
+WITH retweeters AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND 1 + (event_id * 13) % 149 = {RT_TARGET}),
+created AS (
+  SELECT user_id, cast(min(ts) as date) AS cdate FROM events GROUP BY user_id)
+SELECT cast(cdate as varchar) AS cdate, count(*) AS n_retweeters
+FROM retweeters JOIN created USING (user_id)
+GROUP BY cdate
+"""

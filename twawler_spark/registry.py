@@ -24,13 +24,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 17
-    # new queries (10 planned + ann_ivf_topk, dedup_clusters, and the 5-query
-    # parity wave) and 4 reworked queries lead, then the r1/r2-stale band; 29
-    # of those 33 fit in the window, the last 4 (j4, j6, viz_degree,
-    # a8_log_buckets) plus the r3-green sentinels overflow and rotate to the
-    # front in r5. Every query is locally verified each round via
-    # scripts/check_oracles.py regardless of window position.
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 22
+    # queries new in r4 (none has any driver row yet) and 4 r4-reworked
+    # queries lead, then the r1/r2-stale band; 24 of those 33 fit in the
+    # window, the overflow (f_scalar_suite onward) plus the r3-green
+    # sentinels rotate to the front in r5. Every query is locally verified
+    # each round via scripts/check_oracles.py regardless of window position.
     #
     # Band 0 — new in round 4 (crawl round itself + ANN topk + findsilent,
     # word series, aliases)
@@ -49,6 +48,8 @@ QUERIES: dict[str, QueryFn] = {
     "bot_tweets_per_user": cq.q_bot_tweets_per_user,
     "hashtag_export": cq.q_hashtag_export,
     "export_user": cq.q_export_user,
+    "curation_purge": cq.q_curation_purge,
+    "retweeters_by_date": cq.q_retweeters_by_date,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -160,6 +161,8 @@ ORACLES: dict[str, str] = {
     "bot_tweets_per_user": cq.O_BOT_TWEETS_PER_USER,
     "hashtag_export": cq.O_HASHTAG_EXPORT,
     "export_user": cq.O_EXPORT_USER,
+    "curation_purge": cq.O_CURATION_PURGE,
+    "retweeters_by_date": cq.O_RETWEETERS_BY_DATE,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
