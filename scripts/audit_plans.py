@@ -46,6 +46,7 @@ AUDIT = (
     "silent_clusters",
     "word_daily_series",
     "curation_aliases",
+    "graph_bfs_ecc",
 )
 
 
@@ -233,6 +234,10 @@ def main():
         f.write("  edge set — O(log n) rounds total, no per-node adjacency\n")
         f.write("  materialization, so skewed high-degree nodes stream through the\n")
         f.write("  min aggregate.\n")
+        f.write("- `graph_bfs_ecc`: the audited plan is the FINAL BFS level's\n")
+        f.write("  aggregate (prior levels are checkpointed out of the lineage,\n")
+        f.write("  like dedup_clusters); per level only the shrinking frontier\n")
+        f.write("  shuffles — the edge side is a persisted hash-partitioned scan.\n")
         f.write("- `crawl_round_*`: the driver-facing crawl round (real\n")
         f.write("  build_two_phase_plan + Arrow fetch stage); python stages are the\n")
         f.write("  sanctioned fetch UDFs, everything before the fetch is JVM-side.\n")
