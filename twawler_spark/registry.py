@@ -24,10 +24,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
     # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 22
+    # dict against their DuckDB oracles each round. Round-4 rotation: the 25
     # queries new in r4 (none has any driver row yet) and 4 r4-reworked
-    # queries lead, then the r1/r2-stale band; 24 of those 33 fit in the
-    # window, the overflow (f_scalar_suite onward) plus the r3-green
+    # queries lead, then the r1/r2-stale band; 21 of those 33 fit in the
+    # window, the overflow (w5_running_max onward) plus the r3-green
     # sentinels rotate to the front in r5. Every query is locally verified
     # each round via scripts/check_oracles.py regardless of window position.
     #
@@ -50,6 +50,9 @@ QUERIES: dict[str, QueryFn] = {
     "export_user": cq.q_export_user,
     "curation_purge": cq.q_curation_purge,
     "retweeters_by_date": cq.q_retweeters_by_date,
+    "training_funnel": tq.q_training_funnel,
+    "train_split": tq.q_train_split,
+    "token_budget_select": tq.q_token_budget_select,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -163,6 +166,9 @@ ORACLES: dict[str, str] = {
     "export_user": cq.O_EXPORT_USER,
     "curation_purge": cq.O_CURATION_PURGE,
     "retweeters_by_date": cq.O_RETWEETERS_BY_DATE,
+    "training_funnel": tq.O_TRAINING_FUNNEL,
+    "train_split": tq.O_TRAIN_SPLIT,
+    "token_budget_select": tq.O_TOKEN_BUDGET,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,

@@ -1009,3 +1009,173 @@ SELECT doc_id,
        54 + ((3 * (5 + doc_id % 16) + 3) // 4 * 4) * (4 + doc_id % 8) AS n_bytes
 FROM documents
 """
+
+
+# ------------------------------------------- pipeline compositions
+
+FUNNEL_QUALITY_MIN = 0.5
+SPLIT_TRAIN_PCT = 90
+TOKEN_BUDGET = 40000
+
+
+def _quality_score(toks):
+    """The text_quality score as a reusable column expression (rounded
+    to 4 — the rounding is the cross-engine float contract)."""
+    n_toks = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) / F.greatest(
+        n_toks, F.lit(1)
+    )
+    diversity = n_uniq / F.greatest(n_toks, F.lit(1))
+    return F.round(
+        F.least(n_toks / F.lit(50.0), F.lit(1.0)) * 0.4
+        + diversity * 0.4
+        + (1 - stop_ratio) * 0.2,
+        4,
+    )
+
+
+_SQL_QUALITY = """round(
+  least(len(string_split(text, ' ')) / 50.0, 1.0) * 0.4
+  + len(list_distinct(string_split(text, ' '))) * 1.0
+      / greatest(len(string_split(text, ' ')), 1) * 0.4
+  + (1 - len(list_filter(string_split(text, ' '), x -> x IN {stop})) * 1.0
+      / greatest(len(string_split(text, ' ')), 1)) * 0.2, 4)"""
+
+
+def q_training_funnel(spark, sf):
+    """The curation pipeline as ONE composed query with per-stage
+    funnel counts — the shape a 100 TB training-data build actually
+    runs (each stage a column flag over one scan; exact-dedup survivor
+    via a window over the fingerprint, so the funnel never rescans):
+    n_in -> lang-ID pass -> quality >= 0.5 -> exact-dedup keeper."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    pred_en = (hits / F.greatest(F.size(toks), F.lit(1))) >= 0.08
+    qual = _quality_score(toks) >= FUNNEL_QUALITY_MIN
+    staged = d.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        pred_en.alias("lang_ok"),
+        (pred_en & qual).alias("qual_ok"),
+        F.md5(F.lower(F.col("text"))).alias("fp"),
+    )
+    w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    keep = (
+        staged.where(F.col("qual_ok"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id")
+        .withColumn("kept", F.lit(True))
+    )
+    return (
+        staged.join(keep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_in"),
+            F.sum(F.when(F.col("lang_ok"), 1).otherwise(0)).alias("n_lang"),
+            F.sum(F.when(F.col("qual_ok"), 1).otherwise(0)).alias("n_quality"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_unique"),
+        )
+    )
+
+
+O_TRAINING_FUNNEL = f"""
+WITH staged AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x IN {repr(_STOPWORDS)})) * 1.0
+           / greatest(len(string_split(text, ' ')), 1) >= 0.08 AS lang_ok,
+         {_SQL_QUALITY.format(stop=repr(_STOPWORDS))} >= {FUNNEL_QUALITY_MIN} AS qual_ok,
+         md5(lower(text)) AS fp
+  FROM documents),
+staged2 AS (SELECT *, lang_ok AND qual_ok AS both_ok FROM staged),
+keep AS (
+  SELECT doc_id, true AS kept FROM (
+    SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
+    FROM staged2 WHERE both_ok) WHERE rn = 1)
+SELECT source, count(*) AS n_in,
+       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang,
+       sum(CASE WHEN both_ok THEN 1 ELSE 0 END) AS n_quality,
+       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_unique
+FROM staged2 LEFT JOIN keep USING (doc_id)
+GROUP BY source
+"""
+
+
+def q_train_split(spark, sf):
+    """Deterministic stratified train/val split — hash-mod assignment
+    (portable md5 arithmetic, so re-runs and both engines agree; no
+    RNG, no sampleBy non-determinism). Output: per (lang, split) doc
+    and token counts — the audit row a split materialization emits."""
+    d = _t(spark, sf, "documents")
+    h = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("doc_id").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(100),
+    )
+    split = F.when(h < SPLIT_TRAIN_PCT, "train").otherwise("val")
+    return d.select(
+        "lang", split.alias("split"), F.size(F.split(F.col("text"), " ")).alias("nt")
+    ).groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+
+
+O_TRAIN_SPLIT = f"""
+SELECT lang,
+       CASE WHEN ('0x' || substring(md5('s:' || cast(doc_id as varchar)), 1, 15))::BIGINT
+                 % 100 < {SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'val' END AS split,
+       count(*) AS n_docs,
+       cast(sum(len(string_split(text, ' '))) as bigint) AS n_tokens
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_token_budget_select(spark, sf):
+    """Greedy quality-ranked token budgeting: rank the corpus by
+    (quality desc, doc_id asc), take documents while the running token
+    total fits TOKEN_BUDGET — the 'best N tokens' selection a dataset
+    build makes against a compute budget. One global window cumsum;
+    at warehouse scale the same plan runs per-stratum (partitionBy
+    replaces the global ordering). Output: per-lang selected counts."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        "lang",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("nt"),
+        _quality_score(toks).alias("q"),
+    )
+    w = W.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sel = scored.withColumn("cum", F.sum("nt").over(w)).where(
+        F.col("cum") <= TOKEN_BUDGET
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("nt").alias("tokens_selected"),
+        F.round(F.min("q"), 4).alias("min_quality"),
+    )
+
+
+O_TOKEN_BUDGET = f"""
+WITH scored AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS nt,
+         {_SQL_QUALITY.format(stop=repr(_STOPWORDS))} AS q
+  FROM documents),
+sel AS (
+  SELECT * FROM (
+    SELECT *, sum(nt) OVER (ORDER BY q DESC, doc_id ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM scored) WHERE cum <= {TOKEN_BUDGET})
+SELECT lang, count(*) AS n_selected,
+       cast(sum(nt) as bigint) AS tokens_selected,
+       round(min(q), 4) AS min_quality
+FROM sel GROUP BY lang
+"""
