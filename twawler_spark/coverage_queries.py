@@ -2493,3 +2493,50 @@ SELECT cast(cdate as varchar) AS cdate, count(*) AS n_retweeters
 FROM retweeters JOIN created USING (user_id)
 GROUP BY cdate
 """
+
+
+def q_graph_girth_sampled(spark, sf):
+    """networkstatistics.py:79-80 girth, sampled-source form: the
+    shortest directed cycle THROUGH each seed is min over back-edges
+    (u -> seed) of dist(seed, u) + 1, with dist from the same
+    multi-source BFS graph_bfs_ecc uses (one BFS for all seeds — the
+    per-node sweep igraph hides is quadratic at corpus scale, so the
+    sampled bound is the honest big-graph form). min over seeds
+    upper-bounds the global girth. Seeds with no cycle emit no row."""
+    from .operators.graph import multi_source_bfs
+
+    e = _t(spark, sf, "events")
+    dst = 1 + F.pmod(F.col("event_id") * 7, F.lit(149))
+    edges = (
+        e.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "seed bigint")
+    dist = multi_source_bfs(seeds, edges, BFS_CAP)
+    back = edges.select(F.col("src").alias("node"), F.col("dst").alias("back_to"))
+    return (
+        dist.join(
+            back,
+            (dist["node"] == back["node"]) & (dist["seed"] == back["back_to"]),
+        )
+        .groupBy("seed")
+        .agg(F.min(F.col("d") + 1).alias("girth_through_seed"))
+    )
+
+
+O_GRAPH_GIRTH = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id != 1 + (event_id * 7) % 149),
+seeds AS (SELECT unnest([{", ".join(str(s) for s in BFS_SEEDS)}]) AS seed),
+walk(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < {BFS_CAP}),
+dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT seed, min(d + 1) AS girth_through_seed
+FROM dist JOIN edges e ON e.src = dist.node AND e.dst = dist.seed
+GROUP BY seed
+"""
