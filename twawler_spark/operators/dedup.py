@@ -337,10 +337,13 @@ def connected_components(
         ).collect()[0]
         return row["n"], row["h"]
 
-    e = large_star(e).localCheckpoint(eager=True)
+    # lazy checkpoint + signature: the signature aggregate is the action
+    # that materializes each round's checkpoint — one job per round, not
+    # two (checkpoint job + signature job)
+    e = large_star(e).localCheckpoint(eager=False)
     prev = signature(e)
     for _ in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = signature(e)
         if cur == prev:
             break
