@@ -149,6 +149,30 @@ def test_connected_components_path_and_forest(spark):
     assert len(comp) == 64 + 3 + 3
 
 
+def test_pq_adc_retrieves_exact_twin(spark):
+    e = _emb(spark)
+    twins = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = e.unionByName(twins)
+    q = e.where(F.col("vec_id") < 10)
+    top = similarity.pq_adc_topk(q, corpus, k=1, codeword_mod=17)
+    # an identical copy has the query's own argmin codes, so its ADC is
+    # the minimal achievable (the query's quantization distance) ->
+    # rank 1 on this deterministic fixture
+    for r in top.collect():
+        assert r["c_id"] == r["q_id"] + 100000, (r["q_id"], r["c_id"])
+    # and every code is a valid codeword id
+    cbs = similarity.pq_codebooks(corpus, codeword_mod=17)
+    codes = similarity.pq_encode(corpus, cbs)
+    cw_ids = {r["cw_id"] for r in cbs.select("cw_id").distinct().collect()}
+    got = {r["code"] for r in codes.select("code").distinct().collect()}
+    assert got <= cw_ids
+    # exactly m codes per vector
+    per_vec = codes.groupBy("vec_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_vec] == [8]
+
+
 def test_multi_source_bfs_exact_distances(spark):
     from twawler_spark.operators.graph import multi_source_bfs
 

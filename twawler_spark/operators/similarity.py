@@ -425,3 +425,129 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("c_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+
+def pq_subvectors(
+    df: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, sub) — the vector split into ``m`` contiguous ``d_sub``-dim
+    subvectors, long form (one explode, stays in the scan's stage)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(mi).alias("m"),
+                        F.slice(F.col(vec_col), mi * d_sub + 1, d_sub).alias("sub"),
+                    )
+                    for mi in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
+
+
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double"))
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    codeword_mod: int = 29,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(m, cw_id, cw) — a deterministic per-subspace codebook: the
+    subvectors of every ``codeword_mod``-th corpus vector (data-derived
+    like the IVF quantizer, reproducible with no k-means loop so the
+    oracle derives the identical codebooks)."""
+    base = corpus.where(F.pmod(F.col(id_col), F.lit(codeword_mod)) == 0)
+    return pq_subvectors(base, m, d_sub, id_col, vec_col).select(
+        "m", F.col(id_col).alias("cw_id"), F.col("sub").alias("cw")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, code) — each subvector's nearest codeword (argmin squared
+    L2, ties to the lowest cw_id). The codebook rides a broadcast; the
+    corpus is never shuffled to encode — at warehouse scale the 8-byte
+    codes replace the raw vectors in the hot path (the PQ compression
+    contract: ~32x smaller scan for candidate scoring)."""
+    subs = pq_subvectors(corpus, m, d_sub, id_col, vec_col)
+    pairs = subs.join(F.broadcast(codebooks), "m")
+    w = Window.partitionBy(id_col, "m").orderBy(
+        F.col("__d").asc(), F.col("cw_id").asc()
+    )
+    return (
+        pairs.withColumn("__d", _sq_l2(F.col("sub"), F.col("cw")))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), "m", F.col("cw_id").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    codeword_mod: int = 29,
+    m: int = 8,
+    d_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: queries score CODES, not vectors.
+
+    The query side precomputes its distance table (query-subvector ×
+    codeword — Q·m·K tiny rows, broadcast); each corpus code row joins
+    its table entry and the per-(q, c) sum of m lookups approximates
+    the true squared L2. One shuffle on (q_id, c_id) for the sum — the
+    corpus contributes only its 8-byte codes, never raw floats: the PQ
+    scan shape that makes billion-vector rescoring affordable."""
+    cbs = pq_codebooks(corpus, codeword_mod, m, d_sub, id_col, vec_col)
+    codes = pq_encode(corpus, cbs, m, d_sub, id_col, vec_col).select(
+        F.col(id_col).alias("c_id"), "m", "code"
+    )
+    qsubs = pq_subvectors(queries, m, d_sub, id_col, vec_col).select(
+        F.col(id_col).alias("q_id"), "m", "sub"
+    )
+    dq = qsubs.join(F.broadcast(cbs), "m").select(
+        "q_id", "m", F.col("cw_id").alias("code"),
+        _sq_l2(F.col("sub"), F.col("cw")).alias("__d"),
+    )
+    scored = (
+        codes.join(F.broadcast(dq), ["m", "code"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("__d").alias("adc"))
+    )
+    adc = F.round(F.col("adc"), round_to) if round_to is not None else F.col("adc")
+    w = Window.partitionBy("q_id").orderBy(F.col("adc2").asc(), F.col("c_id").asc())
+    return (
+        scored.select("q_id", "c_id", adc.alias("adc2"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("q_id", "c_id", F.col("adc2").alias("adc"), "rnk")
+    )

@@ -1179,3 +1179,69 @@ SELECT lang, count(*) AS n_selected,
        round(min(q), 4) AS min_quality
 FROM sel GROUP BY lang
 """
+
+
+# --------------------------------------------------------------- PQ ANN
+
+PQ_M = 8            # subspaces
+PQ_DSUB = 8         # dims per subspace (8 x 8 = 64)
+PQ_CW_MOD = 29      # every 29th corpus vector contributes codewords
+
+
+def q_ann_pq_topk(spark, sf):
+    """Product-quantization ADC top-k — the third ANN tier beside
+    banded LSH (ad-hoc queries) and IVF (layout-aware probes): the
+    corpus is compressed to M=8 one-byte-ish codes (deterministic
+    data-derived codebooks, no k-means loop, so the oracle rebuilds
+    them exactly); a query precomputes its distance table against the
+    tiny codebook and scores candidates by summing M table lookups —
+    the corpus side of the scan carries CODES, not floats
+    (operators/similarity.py:pq_adc_topk). At 10^9+ vectors this is
+    what makes exhaustive re-scoring affordable: ~32x less data moves
+    than a raw-vector scan, and the codebook/table side always rides
+    broadcasts."""
+    from .operators.dedup import spread_for_explode
+    from .operators.similarity import pq_adc_topk
+
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
+    q = e.where(F.col("vec_id") < 10)
+    return pq_adc_topk(
+        q, e, k=5, codeword_mod=PQ_CW_MOD, m=PQ_M, d_sub=PQ_DSUB, round_to=4
+    )
+
+
+def _o_ann_pq() -> str:
+    sub_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {mi} AS m, embedding[{mi * PQ_DSUB + 1}:{(mi + 1) * PQ_DSUB}] AS sub FROM embeddings"
+        for mi in range(PQ_M)
+    )
+    dist = (
+        f"list_reduce(list_transform(range(1, {PQ_DSUB + 1}), "
+        f"i -> (s.sub[i]::double - c.cw[i]::double) * (s.sub[i]::double - c.cw[i]::double)), "
+        f"(x, y) -> x + y)"
+    )
+    return f"""
+WITH subs AS (
+  {sub_rows}),
+cbs AS (SELECT m, vec_id AS cw_id, sub AS cw FROM subs WHERE vec_id % {PQ_CW_MOD} = 0),
+enc AS (
+  SELECT vec_id AS c_id, m, cw_id AS code FROM (
+    SELECT s.vec_id, s.m, c.cw_id,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {dist} ASC, c.cw_id ASC) AS rn
+    FROM subs s JOIN cbs c USING (m)) WHERE rn = 1),
+dq AS (
+  SELECT s.vec_id AS q_id, s.m, c.cw_id AS code, {dist} AS d
+  FROM subs s JOIN cbs c USING (m) WHERE s.vec_id < 10),
+scored AS (
+  SELECT dq.q_id, enc.c_id, round(sum(dq.d), 4) AS adc
+  FROM enc JOIN dq ON enc.m = dq.m AND enc.code = dq.code
+  WHERE dq.q_id != enc.c_id
+  GROUP BY 1, 2)
+SELECT q_id, c_id, adc, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, c_id ASC) AS rnk
+  FROM scored) WHERE rnk <= 5
+"""
+
+
+O_ANN_PQ_TOPK = _o_ann_pq()
