@@ -1245,3 +1245,122 @@ SELECT q_id, c_id, adc, rnk FROM (
 
 
 O_ANN_PQ_TOPK = _o_ann_pq()
+
+
+# -------------------------------------------------- corpus statistics
+
+def q_tfidf_top_terms(spark, sf):
+    """TF-IDF per (doc, term) with top-3 terms per probe doc
+    (doc_id < 20): tf = in-doc occurrences, idf = ln(N/df) over
+    document frequency. Two aggregations (term-in-doc counts reused
+    for both tf and df) + a broadcast 1-row corpus count; the per-doc
+    rank windows only the probe slice."""
+    d = _t(spark, sf, "documents")
+    words = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.where(F.col("doc_id") < 20)
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
+
+
+O_TFIDF = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words WHERE term != ''
+  GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 20)
+SELECT doc_id, term, tfidf, rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored) WHERE rnk <= 3
+"""
+
+
+def q_word_pmi(spark, sf):
+    """Pointwise mutual information over within-document word
+    co-occurrence: pmi(a,b) = ln(c_ab * N / (c_a * c_b)) over document
+    frequencies, top-20 pairs (pmi desc, pair asc). The pair explosion
+    is bounded by per-doc DISTINCT vocabulary (the classic trick that
+    keeps co-occurrence quadratic in vocab-per-doc, not doc length)."""
+    d = _t(spark, sf, "documents")
+    vocab = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " "))
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    a, b = vocab.alias("a"), vocab.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count("*").alias("c_ab"))
+    )
+    cw = vocab.groupBy("w").agg(F.count("*").alias("c"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        pairs.join(F.broadcast(cw.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
+        .join(F.broadcast(cw.select(F.col("w").alias("w2"), F.col("c").alias("c2"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", "c_ab",
+            F.round(
+                F.log(F.col("c_ab") * F.col("n_docs") / (F.col("c1") * F.col("c2"))), 4
+            ).alias("pmi"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(20)
+    )
+
+
+O_WORD_PMI = """
+WITH vocab AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+  FROM documents),
+vocab2 AS (SELECT doc_id, w FROM vocab WHERE w != ''),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
+  FROM vocab2 a JOIN vocab2 b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2),
+cw AS (SELECT w, count(*) AS c FROM vocab2 GROUP BY w),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT w1, w2, c_ab,
+       round(ln(c_ab * n.n_docs / (c1.c * c2.c)), 4) AS pmi
+FROM pairs
+JOIN cw c1 ON c1.w = pairs.w1
+JOIN cw c2 ON c2.w = pairs.w2
+CROSS JOIN n
+ORDER BY pmi DESC, w1 ASC, w2 ASC
+LIMIT 20
+"""
