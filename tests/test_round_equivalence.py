@@ -16,7 +16,12 @@ from twawler_spark.plans.round import bootstrap, run_rounds
 
 from .conftest import N_HOSTS
 
-N_ROUNDS = 3
+# 5 rounds: the matched run crosses the round-4 compaction boundary
+# (COMPACT_EVERY=4 — ordering/seen/span/state equality must survive the
+# snapshot rewrite + history expiry) AND the TTL revival horizon
+# (REVIVE_TTL_ROUNDS=3 — suspended/protected rows set in early rounds
+# revive inside the compared window)
+N_ROUNDS = 5
 
 
 @pytest.fixture(scope="module")
