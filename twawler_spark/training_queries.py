@@ -1137,12 +1137,23 @@ FROM documents GROUP BY 1, 2
 
 
 def q_token_budget_select(spark, sf):
-    """Greedy quality-ranked token budgeting: rank the corpus by
-    (quality desc, doc_id asc), take documents while the running token
-    total fits TOKEN_BUDGET — the 'best N tokens' selection a dataset
-    build makes against a compute budget. One global window cumsum;
-    at warehouse scale the same plan runs per-stratum (partitionBy
-    replaces the global ordering). Output: per-lang selected counts."""
+    """Greedy quality-ranked token budgeting: take documents in
+    (quality desc, doc_id asc) order while the running token total fits
+    TOKEN_BUDGET — the 'best N tokens' selection a dataset build makes
+    against a compute budget.
+
+    The naive plan is one GLOBAL window cumsum — a single-partition
+    sort that dies at corpus scale. This is the scalable equivalent:
+    quality is rounded to 4 decimals, so `round(q·10⁴)` is an exact
+    integer bucket and (q desc, doc_id asc) ≡ (bucket desc, doc_id
+    asc). Per-bucket token totals aggregate distributed; the running
+    total over BUCKETS is a window over ≤10⁴ rows (broadcastable);
+    the per-doc cumsum then windows WITHIN each candidate bucket
+    (partitionBy bucket — distributed across buckets, never a global
+    sort; docs in sub-boundary buckets all pass their filter, only the
+    boundary bucket actually truncates). The DuckDB oracle
+    is the naive global-window spec — the hash match proves the
+    bucketed plan computes exactly the spec."""
     d = _t(spark, sf, "documents")
     toks = F.split(F.col("text"), " ")
     scored = d.select(
@@ -1150,12 +1161,22 @@ def q_token_budget_select(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(toks).alias("nt"),
         _quality_score(toks).alias("q"),
+    ).withColumn("b", F.round(F.col("q") * 10000).cast("long"))
+    bsums = scored.groupBy("b").agg(F.sum("nt").alias("bt"))
+    wb = W.orderBy(F.col("b").desc()).rowsBetween(W.unboundedPreceding, W.currentRow)
+    bcum = bsums.withColumn("cum", F.sum("bt").over(wb)).select(
+        "b", (F.col("cum") - F.col("bt")).alias("before")
     )
-    w = W.orderBy(F.col("q").desc(), F.col("doc_id").asc()).rowsBetween(
+    # full buckets: before + bt <= budget  <=>  every doc in them fits;
+    # boundary bucket: before < budget < before + bt
+    joined = scored.join(F.broadcast(bcum), "b")
+    wdoc = W.partitionBy("b").orderBy(F.col("doc_id").asc()).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    sel = scored.withColumn("cum", F.sum("nt").over(w)).where(
-        F.col("cum") <= TOKEN_BUDGET
+    sel = (
+        joined.where(F.col("before") < TOKEN_BUDGET)
+        .withColumn("cum", F.col("before") + F.sum("nt").over(wdoc))
+        .where(F.col("cum") <= TOKEN_BUDGET)
     )
     return sel.groupBy("lang").agg(
         F.count("*").alias("n_selected"),
