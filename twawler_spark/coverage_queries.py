@@ -2540,3 +2540,129 @@ SELECT seed, min(d + 1) AS girth_through_seed
 FROM dist JOIN edges e ON e.src = dist.node AND e.dst = dist.seed
 GROUP BY seed
 """
+
+
+def q_common_words(spark, sf):
+    """common_words.py:31-45 — aggregate per-user word counters into
+    corpus-wide counts (the reference sums uservectors'
+    most_common_words; here the counters come straight from the docs —
+    one explode + one groupBy, stopwords dropped as the vectorizer
+    does). Output: (word, total, n_users)."""
+    from .training_queries import _STOPWORDS
+
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.pmod(F.col("doc_id"), F.lit(150)).alias("user_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("word"),
+    ).where((F.col("word") != "") & ~F.col("word").isin(*_STOPWORDS))
+    return toks.groupBy("word").agg(
+        F.count("*").alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def _o_common_words() -> str:
+    from .training_queries import _STOPWORDS
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 150 AS user_id, unnest(string_split(text, ' ')) AS word
+  FROM documents)
+SELECT word, count(*) AS total, count(DISTINCT user_id) AS n_users
+FROM toks WHERE word != '' AND word NOT IN {repr(_STOPWORDS)}
+GROUP BY word
+"""
+
+
+O_COMMON_WORDS = _o_common_words()
+
+
+def q_find_quoted(spark, sf):
+    """findquoted.py:20-45 — regex-extract quote-target status URLs
+    from tweet-attached links and roll up the most-quoted users. The
+    synthetic link per 'view' event is a twitter status URL derived
+    from the event (quoted user u{event_id%150}, status id
+    event_id*31%100000); the regex match is the reference's
+    quote_pattern applied with regexp_extract. Output per quoted user:
+    quote count + distinct quoters."""
+    e = _t(spark, sf, "events")
+    url = F.concat(
+        F.lit("https://twitter.com/u"),
+        F.pmod(F.col("event_id"), F.lit(150)).cast("string"),
+        F.lit("/status/"),
+        F.pmod(F.col("event_id") * 31, F.lit(100000)).cast("string"),
+    )
+    pat = r"^https://twitter.com/([^/]*)/status/([0-9]*)$"
+    links = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("quoter"),
+        F.regexp_extract(url, pat, 1).alias("quoted_user"),
+        F.regexp_extract(url, pat, 2).alias("quoted_id"),
+    ).where(F.col("quoted_user") != "")
+    return links.groupBy("quoted_user").agg(
+        F.count("*").alias("n_quotes"),
+        F.countDistinct("quoter").alias("n_quoters"),
+    )
+
+
+O_FIND_QUOTED = """
+WITH links AS (
+  SELECT user_id AS quoter,
+         regexp_extract('https://twitter.com/u' || cast(event_id % 150 as varchar)
+                        || '/status/' || cast(event_id * 31 % 100000 as varchar),
+                        '^https://twitter.com/([^/]*)/status/([0-9]*)$', 1) AS quoted_user
+  FROM events WHERE event_type = 'view')
+SELECT quoted_user, count(*) AS n_quotes, count(DISTINCT quoter) AS n_quoters
+FROM links WHERE quoted_user != ''
+GROUP BY quoted_user
+"""
+
+
+def q_count_unique_users(spark, sf):
+    """count-unique-users.py — samples-per-user histogram over the
+    versioned users surface (the mongo $group by id): how many user
+    ids have k userinfo samples. One groupBy(id) + one groupBy(k)."""
+    v = _user_versions(spark, sf)
+    per_id = v.groupBy("id").agg(F.count(F.lit(1)).alias("n_samples"))
+    return per_id.groupBy("n_samples").agg(F.count("*").alias("n_users"))
+
+
+O_COUNT_UNIQUE_USERS = f"""
+WITH v AS ({_SQL_USER_VERSIONS}),
+per_id AS (SELECT id, count(*) AS n_samples FROM v GROUP BY id)
+SELECT n_samples, count(*) AS n_users FROM per_id GROUP BY n_samples
+"""
+
+
+def q_list_followers_export(spark, sf):
+    """listfollowers.py / listmembers.py export family representative:
+    per list, member count + follower-count rollups over the members'
+    in-degree on the follow graph. Members and degrees aggregate
+    BEFORE the join (the export never walks members per list)."""
+    members = _listmembers(spark, sf)
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    ind = edges.groupBy(F.col("dst").alias("user_id")).agg(
+        F.count("*").alias("n_followers")
+    )
+    m = members.join(ind, "user_id", "left").select(
+        "list_id", F.coalesce("n_followers", F.lit(0)).alias("nf")
+    )
+    return m.groupBy("list_id").agg(
+        F.count("*").alias("n_members"),
+        F.sum("nf").alias("total_followers"),
+        F.max("nf").alias("max_followers"),
+    )
+
+
+O_LIST_FOLLOWERS = f"""
+WITH members AS ({_SQL_LISTMEMBERS}),
+edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+ind AS (SELECT dst AS user_id, count(*) AS n_followers FROM edges GROUP BY dst)
+SELECT list_id, count(*) AS n_members,
+       cast(sum(coalesce(n_followers, 0)) as bigint) AS total_followers,
+       cast(max(coalesce(n_followers, 0)) as bigint) AS max_followers
+FROM members LEFT JOIN ind USING (user_id)
+GROUP BY list_id
+"""
