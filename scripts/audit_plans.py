@@ -47,6 +47,9 @@ AUDIT = (
     "word_daily_series",
     "curation_aliases",
     "graph_bfs_ecc",
+    "ann_pq_topk",
+    "training_funnel",
+    "token_budget_select",
 )
 
 
@@ -234,6 +237,15 @@ def main():
         f.write("  edge set — O(log n) rounds total, no per-node adjacency\n")
         f.write("  materialization, so skewed high-degree nodes stream through the\n")
         f.write("  min aggregate.\n")
+        f.write("- `ann_pq_topk`: codebook + query distance-table both ride\n")
+        f.write("  broadcasts; the corpus side reaches the scoring join carrying\n")
+        f.write("  only (id, m, code); one shuffle on (q_id, c_id) for the\n")
+        f.write("  M-lookup sum.\n")
+        f.write("- `token_budget_select`: NO global window — per-bucket token\n")
+        f.write("  totals aggregate distributed, the bucket running total is a\n")
+        f.write("  window over the <=10^4-row bucket dim, and per-doc cumsums\n")
+        f.write("  window WITHIN buckets (partitionBy b). The oracle is the naive\n")
+        f.write("  global-window spec; the hash match proves plan equivalence.\n")
         f.write("- `graph_bfs_ecc`: the audited plan is the FINAL BFS level's\n")
         f.write("  aggregate (prior levels are checkpointed out of the lineage,\n")
         f.write("  like dedup_clusters); per level only the shrinking frontier\n")
