@@ -2666,3 +2666,95 @@ SELECT list_id, count(*) AS n_members,
 FROM members LEFT JOIN ind USING (user_id)
 GROUP BY list_id
 """
+
+
+def q_fix_truncated(spark, sf):
+    """fixtruncated.py:25-60 — repair truncated tweets from the full
+    store and mark the unrecoverable ones deleted (the reference's
+    statuses_lookup batch refetch; codes 144/34 -> deleted). Fixture:
+    every 3rd doc arrives truncated (first half + '…'); the full store
+    is missing every 9th doc, so those repairs miss. The repair is ONE
+    left join on doc_id — never a per-tweet refetch loop; output per
+    truncated doc: repaired/deleted flags + recovered length."""
+    d = _t(spark, sf, "documents")
+    truncated = d.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, F.floor(F.col("n_chars") / 2).cast("int")),
+            F.lit("…"),
+        ).alias("text_trunc"),
+    )
+    full_store = d.where(F.pmod(F.col("doc_id"), F.lit(9)) != 0).select(
+        "doc_id", F.col("text").alias("text_full")
+    )
+    out = truncated.join(full_store, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("text_full").isNotNull().alias("repaired"),
+        F.col("text_full").isNull().alias("deleted"),
+        F.coalesce(
+            F.length("text_full"), F.length("text_trunc")
+        ).alias("final_len"),
+    )
+
+
+O_FIX_TRUNCATED = """
+WITH truncated AS (
+  SELECT doc_id,
+         substring(text, 1, cast(n_chars // 2 as int)) || '…' AS text_trunc
+  FROM documents WHERE doc_id % 3 = 0),
+full_store AS (
+  SELECT doc_id, text AS text_full FROM documents WHERE doc_id % 9 != 0)
+SELECT t.doc_id,
+       f.text_full IS NOT NULL AS repaired,
+       f.text_full IS NULL AS deleted,
+       coalesce(length(f.text_full), length(t.text_trunc)) AS final_len
+FROM truncated t LEFT JOIN full_store f USING (doc_id)
+"""
+
+
+def q_check_media(spark, sf):
+    """checkimages.py:15-33 — media integrity sweep: per-payload
+    ok/missing/corrupt audit with the REAL BMP parser run tolerantly
+    (operators/multimodal.py:audit_media). Fixture: every 11th doc's
+    payload is missing (NULL), every 7th (not also 11th) is truncated
+    mid-pixel-array — the decoder must classify all three states.
+    Output: per-status counts + byte totals."""
+    from .operators.multimodal import attach_bmp_media, audit_media
+
+    d = _t(spark, sf, "documents")
+    media = attach_bmp_media(d, "doc_id")
+    ref_id = F.col("media_ref").cast("long")
+    staged = media.select(
+        "media_ref",
+        F.when(F.pmod(ref_id, F.lit(11)) == 0, F.lit(None).cast("binary"))
+        .when(
+            F.pmod(ref_id, F.lit(7)) == 0,
+            F.expr("substring(payload, 1, 40)"),
+        )
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    return audit_media(staged).groupBy("status").agg(
+        F.count("*").alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+    )
+
+
+O_CHECK_MEDIA = """
+WITH base AS (
+  SELECT doc_id,
+         54 + ((3 * (5 + doc_id % 16) + 3) // 4 * 4) * (4 + doc_id % 8) AS full_bytes
+  FROM documents),
+staged AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN 'missing'
+              WHEN doc_id % 7 = 0 THEN 'corrupt'
+              ELSE 'ok' END AS status,
+         CASE WHEN doc_id % 11 = 0 THEN 0
+              WHEN doc_id % 7 = 0 THEN least(40, full_bytes)
+              ELSE full_bytes END AS n_bytes
+  FROM base)
+SELECT status, count(*) AS n, cast(sum(n_bytes) as bigint) AS total_bytes
+FROM staged GROUP BY status
+"""
