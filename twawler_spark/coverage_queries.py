@@ -2758,3 +2758,63 @@ staged AS (
 SELECT status, count(*) AS n, cast(sum(n_bytes) as bigint) AS total_bytes
 FROM staged GROUP BY status
 """
+
+
+GREEK_CLASS_RATIO = 0.21  # long-word share: splits the 150 authors ~64/86
+
+
+def q_set_follower_candidates(spark, sf):
+    """findgreekfollowers.py:20-37 — the tracked-set expansion query:
+    followers of in-set users who are NOT themselves in the set, ranked
+    by how many in-set users they follow (the crawler's next-to-track
+    candidates). Set membership is CONTENT-derived like the reference's
+    greek classification (script share of the user's text): authors
+    whose share of long-word tokens >= 0.21 (the corpus has no digit/
+    script variation, so word length is the discriminative class —
+    64/150 authors qualify at sf0.01). The set rides a broadcast into
+    both the semi join (followers of) and the anti join (not in set) —
+    the big edge table never shuffles."""
+    d = _t(spark, sf, "documents")
+    li = _t(spark, sf, "lineitem")
+    toks = F.split(F.col("text"), " ")
+    longs = F.size(F.filter(toks, lambda w: F.length(w) >= 6))
+    tracked = (
+        d.select(
+            F.pmod(F.col("doc_id"), F.lit(150)).alias("uid"),
+            longs.alias("dg"),
+            F.size(toks).alias("tt"),
+        )
+        .groupBy("uid")
+        .agg((F.sum("dg") / F.sum("tt")).alias("ratio"))
+        .where(F.col("ratio") >= GREEK_CLASS_RATIO)
+        .select("uid")
+    )
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"])
+    cand = (
+        edges.join(
+            F.broadcast(tracked.withColumnRenamed("uid", "dst")), "dst", "semi"
+        )
+        .join(F.broadcast(tracked.withColumnRenamed("uid", "src")), "src", "anti")
+    )
+    return cand.groupBy(F.col("src").alias("follower_id")).agg(
+        F.count("*").alias("n_tracked_followed")
+    )
+
+
+O_SET_FOLLOWER_CANDIDATES = f"""
+WITH tracked AS (
+  SELECT uid FROM (
+    SELECT doc_id % 150 AS uid,
+           sum(len(list_filter(string_split(text, ' '), w -> len(w) >= 6))) * 1.0
+             / sum(len(string_split(text, ' '))) AS ratio
+    FROM documents GROUP BY 1)
+  WHERE ratio >= {GREEK_CLASS_RATIO}),
+edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem)
+SELECT src AS follower_id, count(*) AS n_tracked_followed
+FROM edges
+WHERE dst IN (SELECT uid FROM tracked)
+  AND src NOT IN (SELECT uid FROM tracked)
+GROUP BY src
+"""
