@@ -47,7 +47,9 @@ HEADLINE_QUERIES = (
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "dedup_clusters",
+    "token_budget_select",
     "text_quality",
     "crawl_round_docs",
     "graph_stats",
