@@ -1385,3 +1385,181 @@ CROSS JOIN n
 ORDER BY pmi DESC, w1 ASC, w2 ASC
 LIMIT 20
 """
+
+
+# ---------------------------------------- decontamination / PII / repetition
+
+DECON_BENCH_MOD = 41  # every 41st doc stands in for the benchmark set
+DECON_NGRAM = 5
+
+
+def q_decontaminate(spark, sf):
+    """Benchmark decontamination — the cross-corpus overlap sweep every
+    serious training-data build runs (the 13-gram rule of GPT-3/PaLM
+    reports; 5-gram here to match the corpus' shingle scale): a
+    document is contaminated if it shares >= 1 exact n-gram with the
+    benchmark set. Asymmetric by design (unlike dedup): the benchmark
+    shingle set is tiny and rides a BROADCAST semi-join against the
+    exploded corpus shingles — the corpus never shuffles. Output:
+    per-source contaminated/clean counts (the planted benchmark docs
+    themselves are excluded from the audit)."""
+    d = _t(spark, sf, "documents")
+    bench = d.where(F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0)
+    corpus = d.where(F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) != 0)
+    bsh = bench.select(
+        F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "").distinct()
+    csh = corpus.select(
+        "doc_id", "source", F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    hits = (
+        csh.join(F.broadcast(bsh), "tok", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        corpus.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("contaminated"), 1).otherwise(0)).alias("n_contaminated"),
+            F.sum(F.when(F.col("contaminated").isNull(), 1).otherwise(0)).alias("n_clean"),
+        )
+    )
+
+
+O_DECONTAMINATE = f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM documents),
+bsh AS (SELECT DISTINCT tok FROM sh WHERE doc_id % {DECON_BENCH_MOD} = 0 AND tok != ''),
+hits AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % {DECON_BENCH_MOD} != 0 AND tok != ''
+    AND tok IN (SELECT tok FROM bsh))
+SELECT d.source,
+       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
+       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % {DECON_BENCH_MOD} != 0
+GROUP BY d.source
+"""
+
+
+PII_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}"
+
+
+def q_pii_redact(spark, sf):
+    """PII scrubbing — regex redaction with an audit rollup. Every
+    13th doc gets a planted email address (deterministically derived,
+    so both engines plant the identical string); the scrubber counts
+    matches and rewrites them to [EMAIL]. Pure regexp_extract_all /
+    regexp_replace column expressions — the redaction pass at 100 TB
+    is a map-only scan, no shuffle until the tiny audit rollup."""
+    d = _t(spark, sf, "documents")
+    planted = F.when(
+        F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@example.com now"),
+        ),
+    ).otherwise(F.col("text"))
+    staged = d.select("doc_id", "source", planted.alias("text"))
+    n_pii = F.size(F.expr(f"regexp_extract_all(text, '{PII_EMAIL_RE}', 0)"))
+    redacted = F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]")
+    return staged.select(
+        "source", n_pii.alias("np"),
+        (F.length(redacted) - F.length("text")).alias("dlen"),
+    ).groupBy("source").agg(
+        F.sum("np").alias("n_pii_found"),
+        F.sum(F.when(F.col("np") > 0, 1).otherwise(0)).alias("n_docs_with_pii"),
+        F.sum("dlen").alias("redaction_len_delta"),
+    )
+
+
+O_PII_REDACT = f"""
+WITH staged AS (
+  SELECT source,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' contact user' || cast(doc_id as varchar) || '@example.com now'
+              ELSE text END AS text
+  FROM documents),
+m AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS np,
+         length(regexp_replace(text, '{PII_EMAIL_RE}', '[EMAIL]', 'g')) - length(text) AS dlen
+  FROM staged)
+SELECT source,
+       cast(sum(np) as bigint) AS n_pii_found,
+       sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       cast(sum(dlen) as bigint) AS redaction_len_delta
+FROM m GROUP BY source
+"""
+
+
+def q_gopher_repetition(spark, sf):
+    """Repetition quality rules (Rae et al., 'Scaling Language Models:
+    Gopher', §A1.1 repetition filters — public): per document, the
+    fraction of duplicate tokens and the fraction of tokens inside the
+    most-frequent bigram; documents breaching either threshold are
+    flagged. All higher-order column expressions (no explode): the
+    bigram mode comes from an aggregate fold over the bigram array —
+    quadratic in DOC length but constant per row for the bounded
+    tweet-length corpus (for long-document corpora the explode +
+    groupBy(doc, bigram) + max form is the right shape instead).
+    Output: per-source flag counts + mean fractions."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    dup_frac = F.round((n - F.size(F.array_distinct(toks))) / n, 4)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    # count of the modal bigram via a fold over the distinct bigrams
+    top_cnt = F.aggregate(
+        F.array_distinct(bigrams),
+        F.lit(0),
+        lambda acc, b: F.greatest(
+            acc, F.size(F.filter(bigrams, lambda x: x == b))
+        ),
+    )
+    top_bigram_frac = F.round((top_cnt * 2) / n, 4)
+    staged = d.select(
+        "source",
+        dup_frac.alias("df"),
+        top_bigram_frac.alias("bf"),
+    )
+    return staged.groupBy("source").agg(
+        F.sum(F.when(F.col("df") > 0.6, 1).otherwise(0)).alias("n_dup_flagged"),
+        F.sum(F.when(F.col("bf") > 0.3, 1).otherwise(0)).alias("n_bigram_flagged"),
+        F.round(F.avg("df"), 4).alias("avg_dup_frac"),
+        F.round(F.avg("bf"), 4).alias("avg_top_bigram_frac"),
+    )
+
+
+O_GOPHER_REPETITION = """
+WITH t AS (
+  SELECT source, string_split(text, ' ') AS toks FROM documents),
+b AS (
+  SELECT source, toks,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+           i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM t),
+m AS (
+  SELECT source,
+         round((len(toks) - len(list_distinct(toks))) * 1.0 / len(toks), 4) AS df,
+         round(list_reduce(list_transform(list_distinct(bigrams),
+                 bg -> len(list_filter(bigrams, x -> x = bg))),
+               (x, y) -> greatest(x, y)) * 2.0 / len(toks), 4) AS bf
+  FROM b)
+SELECT source,
+       sum(CASE WHEN df > 0.6 THEN 1 ELSE 0 END) AS n_dup_flagged,
+       sum(CASE WHEN bf > 0.3 THEN 1 ELSE 0 END) AS n_bigram_flagged,
+       round(avg(df), 4) AS avg_dup_frac,
+       round(avg(bf), 4) AS avg_top_bigram_frac
+FROM m GROUP BY source
+"""
