@@ -202,7 +202,6 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; stateful dropDuplicates collapses multi-band collisions.
     Append mode throughout — at production scale the static side is the
     bucketed signature store and the stream is Kafka."""
-    from ..training_queries import _lsh_pairs  # noqa: F401 (parity twin)
     from ..training_queries import _minhash_cols, _shingles_spark
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
