@@ -196,6 +196,45 @@ def test_multi_source_bfs_exact_distances(spark):
     assert (0, 9) not in dist2 and (0, 6) in dist2
 
 
+def test_connected_components_matches_union_find(spark):
+    # independent oracle: a seeded pseudo-random graph checked against
+    # a pure-Python union-find (no Spark, no SQL — a third
+    # implementation of the spec)
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(f"cc{i}".encode()).hexdigest()[:8], 16)
+
+    edges = [
+        (f"n{h(i) % 80:02d}", f"n{h(i + 1000) % 80:02d}")
+        for i in range(300)
+        if h(i) % 80 != h(i + 1000) % 80
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # path-compress to the true min: find() roots are union-by-min
+    want = {n: find(r) for n, r in want.items()}
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df, max_iter=15).collect()
+    }
+    assert got == want
+
+
 def test_connected_components_skew_hub(spark):
     # one hub with 50k spokes: the window-min half-rounds must stream
     # the high-degree neighbor list through the aggregate (no per-node
