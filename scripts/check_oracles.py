@@ -67,10 +67,13 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(os_[name])
-            dcols = [d[0] for d in res.description]
-            dtypes = [str(d[1]) for d in res.description]
-            drows = res.fetchall()
+            # con.sql() gives a relation whose .types are REAL DuckDB type
+            # names (HUGEINT etc.); cursor .description degrades them to
+            # generic DBAPI numerics, which let the r4 HUGEINT bug pass.
+            rel = con.sql(os_[name])
+            dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
+            drows = rel.fetchall()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0][:200]}")

@@ -2434,25 +2434,25 @@ def _o_curation_purge() -> str:
 WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
 members AS (SELECT DISTINCT l_partkey % 120 AS list_id, l_suppkey AS user_id FROM lineitem)
 SELECT 'tweets' AS surface,
-       sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END) AS n_deleted,
-       sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) AS n_remaining
+       cast(sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END) AS bigint) AS n_deleted,
+       cast(sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) AS bigint) AS n_remaining
 FROM events
 UNION ALL
 SELECT 'follow_out',
-       sum(CASE WHEN src IN ({ids}) THEN 1 ELSE 0 END),
-       sum(CASE WHEN src IN ({ids}) THEN 0 ELSE 1 END) FROM edges
+       cast(sum(CASE WHEN src IN ({ids}) THEN 1 ELSE 0 END) AS bigint),
+       cast(sum(CASE WHEN src IN ({ids}) THEN 0 ELSE 1 END) AS bigint) FROM edges
 UNION ALL
 SELECT 'follow_in',
-       sum(CASE WHEN dst IN ({ids}) THEN 1 ELSE 0 END),
-       sum(CASE WHEN dst IN ({ids}) THEN 0 ELSE 1 END) FROM edges
+       cast(sum(CASE WHEN dst IN ({ids}) THEN 1 ELSE 0 END) AS bigint),
+       cast(sum(CASE WHEN dst IN ({ids}) THEN 0 ELSE 1 END) AS bigint) FROM edges
 UNION ALL
 SELECT 'documents',
-       sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 1 ELSE 0 END),
-       sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 0 ELSE 1 END) FROM documents
+       cast(sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 1 ELSE 0 END) AS bigint),
+       cast(sum(CASE WHEN doc_id % 150 IN ({ids}) THEN 0 ELSE 1 END) AS bigint) FROM documents
 UNION ALL
 SELECT 'listmembers',
-       sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END),
-       sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) FROM members
+       cast(sum(CASE WHEN user_id IN ({ids}) THEN 1 ELSE 0 END) AS bigint),
+       cast(sum(CASE WHEN user_id IN ({ids}) THEN 0 ELSE 1 END) AS bigint) FROM members
 """
 
 

@@ -1095,9 +1095,9 @@ keep AS (
     SELECT doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn
     FROM staged2 WHERE both_ok) WHERE rn = 1)
 SELECT source, count(*) AS n_in,
-       sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS n_lang,
-       sum(CASE WHEN both_ok THEN 1 ELSE 0 END) AS n_quality,
-       sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_unique
+       cast(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS bigint) AS n_lang,
+       cast(sum(CASE WHEN both_ok THEN 1 ELSE 0 END) AS bigint) AS n_quality,
+       cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS n_unique
 FROM staged2 LEFT JOIN keep USING (doc_id)
 GROUP BY source
 """
@@ -1441,8 +1441,8 @@ hits AS (
   WHERE doc_id % {DECON_BENCH_MOD} != 0 AND tok != ''
     AND tok IN (SELECT tok FROM bsh))
 SELECT d.source,
-       sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS n_contaminated,
-       sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS n_clean
+       cast(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_contaminated,
+       cast(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS n_clean
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % {DECON_BENCH_MOD} != 0
 GROUP BY d.source
@@ -1494,7 +1494,7 @@ m AS (
   FROM staged)
 SELECT source,
        cast(sum(np) as bigint) AS n_pii_found,
-       sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS n_docs_with_pii,
+       cast(sum(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS bigint) AS n_docs_with_pii,
        cast(sum(dlen) as bigint) AS redaction_len_delta
 FROM m GROUP BY source
 """
@@ -1557,8 +1557,8 @@ m AS (
                (x, y) -> greatest(x, y)) * 2.0 / len(toks), 4) AS bf
   FROM b)
 SELECT source,
-       sum(CASE WHEN df > 0.6 THEN 1 ELSE 0 END) AS n_dup_flagged,
-       sum(CASE WHEN bf > 0.3 THEN 1 ELSE 0 END) AS n_bigram_flagged,
+       cast(sum(CASE WHEN df > 0.6 THEN 1 ELSE 0 END) AS bigint) AS n_dup_flagged,
+       cast(sum(CASE WHEN bf > 0.3 THEN 1 ELSE 0 END) AS bigint) AS n_bigram_flagged,
        round(avg(df), 4) AS avg_dup_frac,
        round(avg(bf), 4) AS avg_top_bigram_frac
 FROM m GROUP BY source
