@@ -1323,12 +1323,21 @@ SELECT doc_id, term, tfidf, rnk FROM (
 """
 
 
+PMI_MIN_DF = 5  # words in fewer docs than this never enter the pair join
+
+
 def q_word_pmi(spark, sf):
     """Pointwise mutual information over within-document word
     co-occurrence: pmi(a,b) = ln(c_ab * N / (c_a * c_b)) over document
     frequencies, top-20 pairs (pmi desc, pair asc). The pair explosion
-    is bounded by per-doc DISTINCT vocabulary (the classic trick that
-    keeps co-occurrence quadratic in vocab-per-doc, not doc length)."""
+    is bounded two ways: per-doc DISTINCT vocabulary (the classic trick
+    that keeps co-occurrence quadratic in vocab-per-doc, not doc
+    length), and a broadcast min-document-frequency semi-join that
+    drops singleton/rare words BEFORE the self-join — without it a
+    long-document corpus pays vocab² per doc mostly for hapax
+    legomena whose PMI is noise (ln N for every 1/1/1 pair). Document
+    frequencies c_a, c_b are computed on the UNfiltered vocab so the
+    PMI values themselves are unchanged by pruning."""
     d = _t(spark, sf, "documents")
     vocab = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1336,7 +1345,10 @@ def q_word_pmi(spark, sf):
             F.array_distinct(F.split(F.col("text"), " "))
         ).alias("w"),
     ).where(F.col("w") != "")
-    a, b = vocab.alias("a"), vocab.alias("b")
+    cw_all = vocab.groupBy("w").agg(F.count("*").alias("c"))
+    keep = cw_all.where(F.col("c") >= PMI_MIN_DF).select("w")
+    vocab_f = vocab.join(F.broadcast(keep), "w", "semi")
+    a, b = vocab_f.alias("a"), vocab_f.alias("b")
     pairs = (
         a.join(
             b,
@@ -1346,7 +1358,7 @@ def q_word_pmi(spark, sf):
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count("*").alias("c_ab"))
     )
-    cw = vocab.groupBy("w").agg(F.count("*").alias("c"))
+    cw = cw_all
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
         pairs.join(F.broadcast(cw.select(F.col("w").alias("w1"), F.col("c").alias("c1"))), "w1")
@@ -1365,16 +1377,19 @@ def q_word_pmi(spark, sf):
     )
 
 
-O_WORD_PMI = """
+O_WORD_PMI = f"""
 WITH vocab AS (
   SELECT DISTINCT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
   FROM documents),
 vocab2 AS (SELECT doc_id, w FROM vocab WHERE w != ''),
+cw AS (SELECT w, count(*) AS c FROM vocab2 GROUP BY w),
+vocab3 AS (
+  SELECT v.doc_id, v.w FROM vocab2 v
+  JOIN (SELECT w FROM cw WHERE c >= {PMI_MIN_DF}) k USING (w)),
 pairs AS (
   SELECT a.w AS w1, b.w AS w2, count(*) AS c_ab
-  FROM vocab2 a JOIN vocab2 b ON a.doc_id = b.doc_id AND a.w < b.w
+  FROM vocab3 a JOIN vocab3 b ON a.doc_id = b.doc_id AND a.w < b.w
   GROUP BY 1, 2),
-cw AS (SELECT w, count(*) AS c FROM vocab2 GROUP BY w),
 n AS (SELECT count(*) AS n_docs FROM documents)
 SELECT w1, w2, c_ab,
        round(ln(c_ab * n.n_docs / (c1.c * c2.c)), 4) AS pmi
@@ -1563,3 +1578,47 @@ SELECT source,
        round(avg(bf), 4) AS avg_top_bigram_frac
 FROM m GROUP BY source
 """
+
+
+def q_gopher_repetition_exploded(spark, sf):
+    """Scale-safe long-document form of the Gopher repetition rules
+    (Rae et al. §A1.1): the modal-bigram count comes from
+    explode → groupBy(doc, bigram) → max instead of the per-row
+    O(distinct·len) aggregate fold in q_gopher_repetition. Per-row
+    work is O(len); the heavy lifting is two hash aggregations with
+    map-side partial combine, so a 100k-token document costs the same
+    per token as a tweet. The per-doc scalars (token count, distinct
+    count, source) ride along as grouping keys — a few bytes each —
+    which avoids a third exchange for a join-back. Same oracle as the
+    HOF form: identical results, different physical shape."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    staged = d.select(
+        "doc_id",
+        "source",
+        n.alias("n"),
+        F.size(F.array_distinct(toks)).alias("nd"),
+        F.explode(bigrams).alias("bg"),
+    )
+    per_doc = (
+        staged.groupBy("doc_id", "source", "n", "nd", "bg")
+        .count()
+        .groupBy("doc_id", "source", "n", "nd")
+        .agg(F.max("count").alias("top_cnt"))
+    )
+    m = per_doc.select(
+        "source",
+        F.round((F.col("n") - F.col("nd")) / F.col("n"), 4).alias("df"),
+        F.round((F.col("top_cnt") * 2) / F.col("n"), 4).alias("bf"),
+    )
+    return m.groupBy("source").agg(
+        F.sum(F.when(F.col("df") > 0.6, 1).otherwise(0)).alias("n_dup_flagged"),
+        F.sum(F.when(F.col("bf") > 0.3, 1).otherwise(0)).alias("n_bigram_flagged"),
+        F.round(F.avg("df"), 4).alias("avg_dup_frac"),
+        F.round(F.avg("bf"), 4).alias("avg_top_bigram_frac"),
+    )
