@@ -2818,3 +2818,156 @@ WHERE dst IN (SELECT uid FROM tracked)
   AND src NOT IN (SELECT uid FROM tracked)
 GROUP BY src
 """
+
+
+# =====================================================================
+# Deleted-tweet audit + repair sweep (deletedtweets.py / retrydeletedtweets.py)
+# =====================================================================
+
+def q_deleted_tweets_audit(spark, sf):
+    """deletedtweets.py:46-60 (-s scan: probe store tweets against the
+    live service, newly-missing ones get marked deleted) together with
+    retrydeletedtweets.py:22-38 (re-crawl tweets marked deleted; ones
+    that still exist were misidentified and get un-marked). Both
+    reference loops are per-tweet batch refetches; here the probe is
+    ONE left join of the store against the live set, and the two sweeps
+    fall out of the same joined row: confirmed (marked & gone), newly
+    deleted (unmarked & gone — the -s discovery), misidentified
+    (marked & alive — the retry repair plan). Fixture: store marks
+    event_id % 17 == 0 deleted; the live service is missing
+    event_id % 13 == 0. Output: per-user audit counts — the repair
+    sweep's work list sizes.
+
+    Scale shape: the live probe joins on the tweet id (both sides
+    partitioned by event_id, no broadcast needed at 100 TB — it's a
+    co-keyed equi-join), then one hash agg by user."""
+    e = _t(spark, sf, "events")
+    store = e.select(
+        "event_id",
+        "user_id",
+        (F.pmod(F.col("event_id"), F.lit(17)) == 0).alias("marked_deleted"),
+    )
+    live = (
+        e.where(F.pmod(F.col("event_id"), F.lit(13)) != 0)
+        .select("event_id", F.lit(True).alias("alive"))
+    )
+    j = store.join(live, "event_id", "left")
+    gone = F.col("alive").isNull()
+    marked = F.col("marked_deleted")
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_tweets"),
+        F.sum(marked.cast("long")).alias("n_marked"),
+        F.sum((marked & gone).cast("long")).alias("n_confirmed_deleted"),
+        F.sum((~marked & gone).cast("long")).alias("n_newly_deleted"),
+        F.sum((marked & ~gone).cast("long")).alias("n_misidentified"),
+    )
+
+
+O_DELETED_TWEETS_AUDIT = """
+WITH store AS (
+  SELECT event_id, user_id, event_id % 17 = 0 AS marked FROM events),
+live AS (
+  SELECT event_id, true AS alive FROM events WHERE event_id % 13 != 0),
+j AS (SELECT s.user_id, s.marked, l.alive IS NULL AS gone
+      FROM store s LEFT JOIN live l USING (event_id))
+SELECT user_id, count(*) AS n_tweets,
+       cast(sum(CASE WHEN marked THEN 1 ELSE 0 END) AS bigint) AS n_marked,
+       cast(sum(CASE WHEN marked AND gone THEN 1 ELSE 0 END) AS bigint) AS n_confirmed_deleted,
+       cast(sum(CASE WHEN NOT marked AND gone THEN 1 ELSE 0 END) AS bigint) AS n_newly_deleted,
+       cast(sum(CASE WHEN marked AND NOT gone THEN 1 ELSE 0 END) AS bigint) AS n_misidentified
+FROM j GROUP BY user_id
+"""
+
+
+# =====================================================================
+# Mentioned-id user recovery (mentionedid.py)
+# =====================================================================
+
+def q_mentionedid_recovery(spark, sf):
+    """mentionedid.py:27-28 + utils.look_for_mentioned_id (twkit/
+    utils.py:140-168): reconstruct user rows for ids absent from the
+    users collection by mining mention entities out of crawled tweets —
+    the recovery path for deleted/suspended accounts. Entity-derived
+    rows, distinct from j7_unknown_endpoints (which fills crawl
+    frontier gaps, not user records). Mention entities: the
+    deterministic mention graph (mentioned = 1 + (event_id*7) % 149,
+    screen_name = 'u' || id — the entity embeds the handle, as the
+    reference's user_mentions elements do). Known users = customer ids
+    that are ≡ 0 (mod 3) — the rest are the deleted/suspended holes.
+    Output per recovered id: handle, evidence volume and span.
+
+    Scale shape: mentions aggregate by mentioned id FIRST (hash agg
+    with map-side combine), then one broadcast anti-join against the
+    known-user dim — the big fact never shuffles twice."""
+    e = _t(spark, sf, "events")
+    c = _t(spark, sf, "customer")
+    mentions = e.select(
+        (1 + F.pmod(F.col("event_id") * 7, F.lit(149))).alias("mentioned_id"),
+        "ts",
+    )
+    per_id = mentions.groupBy("mentioned_id").agg(
+        F.count("*").alias("n_mentions"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+    known = c.where(F.pmod(F.col("c_custkey"), F.lit(3)) == 0).select(
+        F.col("c_custkey").alias("mentioned_id")
+    )
+    recovered = per_id.join(F.broadcast(known), "mentioned_id", "anti")
+    return recovered.select(
+        F.col("mentioned_id").alias("user_id"),
+        F.concat(F.lit("u"), F.col("mentioned_id")).alias("screen_name"),
+        "n_mentions",
+        "first_seen",
+        "last_seen",
+    )
+
+
+O_MENTIONEDID_RECOVERY = """
+WITH mentions AS (
+  SELECT 1 + (event_id * 7) % 149 AS mentioned_id, ts FROM events),
+per_id AS (
+  SELECT mentioned_id, count(*) AS n_mentions,
+         min(ts) AS first_seen, max(ts) AS last_seen
+  FROM mentions GROUP BY mentioned_id),
+known AS (SELECT c_custkey AS mentioned_id FROM customer WHERE c_custkey % 3 = 0)
+SELECT mentioned_id AS user_id,
+       'u' || cast(mentioned_id AS varchar) AS screen_name,
+       n_mentions, first_seen, last_seen
+FROM per_id
+WHERE mentioned_id NOT IN (SELECT mentioned_id FROM known)
+"""
+
+
+# =====================================================================
+# is-greek composition ratios (twkit/curation/is-greek.py)
+# =====================================================================
+
+def q_is_greek_ratios(spark, sf):
+    """is-greek.py:35-75 — per-user percentage of followers, friends,
+    and followers|friends classified as in-set ('Greek'). The full
+    decorated-edge statistics already live in q_user_follower_stats
+    (same fixture graph + membership dim); this is the CLI's projection
+    of that table: the three composition percentages plus the user's
+    own flag, restricted to users that have any relation at all (the
+    CLI prints per requested user; empty rows are noise)."""
+    base = q_user_follower_stats(spark, sf)
+    return base.where(
+        (F.col("seen_fr") > 0) | (F.col("seen_fo") > 0)
+    ).select(
+        "user_id",
+        "greek",
+        F.col("gr_fr_pcnt").alias("pct_friends_greek"),
+        F.col("gr_fo_pcnt").alias("pct_followers_greek"),
+        F.col("gr_fr_fo_pcnt").alias("pct_either_greek"),
+    )
+
+
+O_IS_GREEK_RATIOS = f"""
+SELECT user_id, greek,
+       gr_fr_pcnt AS pct_friends_greek,
+       gr_fo_pcnt AS pct_followers_greek,
+       gr_fr_fo_pcnt AS pct_either_greek
+FROM ({O_USER_FOLLOWER_STATS}) t
+WHERE seen_fr > 0 OR seen_fo > 0
+"""
