@@ -51,7 +51,16 @@ def admit(
     """
     seen_keys = seen.select(key_col)
     if bloom is None:
-        return candidates.join(seen_keys.distinct(), key_col, "left_anti")
+        # LEFT ANTI ignores duplicate build-side keys, so no distinct()
+        # (it cost a whole extra exchange + agg). SHUFFLE_HASH skips the
+        # sort on BOTH sides that SMJ would pay — the candidate side is
+        # the wide one, and hashing the seen side's per-partition slice
+        # is cheaper than sorting it as long as shuffle partitioning
+        # keeps slices in memory (size shuffle partitions ∝ |seen|; the
+        # hint is advisory and AQE still re-plans skew).
+        return candidates.join(
+            seen_keys.hint("SHUFFLE_HASH"), key_col, "left_anti"
+        )
     if isinstance(bloom, BroadcastBloom):
         flagged = bloom.probe(
             candidates.select(key_col), key_col=key_col, flag_col="__maybe_seen"
