@@ -177,6 +177,113 @@ def sched_round_once(
     return n_active, dt
 
 
+IVF_N = 500_000
+IVF_DIM = 64
+IVF_CELLS = 256  # centroid_mod = IVF_N // IVF_CELLS -> ~256 cells
+IVF_NPROBE = 4
+
+
+def _ivf_synth(spark, n: int):
+    """Deterministic n x IVF_DIM float corpus (hash-derived, no RNG)."""
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(IVF_DIM - 1)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * IVF_DIM + i), F.lit(2000)) / 1000.0
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def bench_ivf_storage(spark) -> dict[str, float]:
+    """The IVF scale path, measured: corpus stored PARTITIONED BY cell,
+    so probing n_probe cells is parquet partition pruning — the scan
+    reads ~n_probe/C of the data. Times the pruned probe against the
+    full-scan exact re-rank on the same storage and logs the pruning
+    ratio. Corpus is deterministic and cached under /tmp/twawler_bench
+    (one-time write, like the frontier inputs)."""
+    from twawler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        ivf_probe_cells,
+    )
+
+    centroid_mod = IVF_N // IVF_CELLS
+    root = f"/tmp/twawler_bench/ivf_{IVF_N}x{IVF_DIM}_c{IVF_CELLS}"
+    marker = f"{root}/.complete"
+    if not os.path.exists(marker):
+        log(f"writing cell-partitioned IVF corpus: {IVF_N}x{IVF_DIM}, "
+            f"~{IVF_CELLS} cells -> {root}")
+        t0 = time.time()
+        corpus = _ivf_synth(spark, IVF_N)
+        cents = ivf_centroids(corpus, centroid_mod)
+        cells = ivf_assign(corpus, cents)
+        corpus.join(cells, "vec_id").write.mode("overwrite").partitionBy(
+            "cell"
+        ).parquet(f"{root}/corpus_by_cell")
+        open(marker, "w").write("v1")
+        log(f"ivf corpus written in {time.time()-t0:.1f}s")
+    stored = spark.read.parquet(f"{root}/corpus_by_cell")
+    queries = _ivf_synth(spark, IVF_N).where(
+        F.pmod(F.col("vec_id"), F.lit(IVF_N // 16)) == 17
+    )
+    cents = ivf_centroids(_ivf_synth(spark, IVF_N), centroid_mod)
+    probes = ivf_probe_cells(queries, cents, n_probe=IVF_NPROBE)
+    probed_cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+
+    def topk(cand_corpus):
+        qv = queries.select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("__qv")
+        )
+        pairs = cand_corpus.join(F.broadcast(qv), F.col("q_id") != F.col("vec_id"))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("__qv"), F.col("embedding"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("__dot").desc(), F.col("vec_id").asc()
+        )
+        return (
+            pairs.withColumn("__dot", dot)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 5)
+        )
+
+    # warmup + best-of-2 each, symmetric
+    pruned_df = topk(stored.where(F.col("cell").isin(probed_cells)))
+    full_df = topk(stored)
+    pruned_df.count(), full_df.count()
+
+    def best_of_2(df):
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            df.count()
+            times.append(time.time() - t0)
+        return min(times)
+
+    t_pruned = best_of_2(pruned_df)
+    t_full = best_of_2(full_df)
+    n_read = stored.where(F.col("cell").isin(probed_cells)).count()
+    ratio = n_read / IVF_N
+    log(f"  ivf storage: pruned probe {t_pruned:.2f}s vs full scan "
+        f"{t_full:.2f}s; rows read {n_read}/{IVF_N} = {ratio:.3f} "
+        f"({len(probed_cells)} cells probed)")
+    return {
+        "ivf_probe_pruned": round(t_pruned, 3),
+        "ivf_full_scan": round(t_full, 3),
+        "ivf_pruning_ratio": round(ratio, 4),
+    }
+
+
 def main() -> int:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -350,6 +457,8 @@ def main() -> int:
     }
 
     if os.environ.get("SPARK_GRAFT_BENCH_SKIP_QUERIES") != "1":
+        queries.update(bench_ivf_storage(spark))
+
         from twawler_spark.registry import QUERIES
 
         for name in HEADLINE_QUERIES:
