@@ -545,3 +545,50 @@ def test_reply_closure_early_exit_and_depth(spark):
     # depth cap truncates
     capped = reply_closure(roots, edges, max_depth=2)
     assert max(r["depth"] for r in capped.collect()) == 2
+
+
+def test_avi_decode_property():
+    # pure-function property check, no Spark: any (dims, fps, frame
+    # colors) roundtrips through the RIFF/AVI writer/parser — constant
+    # fill makes the per-frame channel means exact
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=32),
+        h=st.integers(min_value=1, max_value=16),
+        fps=st.sampled_from([10, 25, 30]),
+        colors=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+                st.integers(min_value=0, max_value=255),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def check(w, h, fps, colors):
+        buf = multimodal.make_avi(w, h, fps, colors)
+        got = multimodal.decode_avi_bytes(buf)
+        assert got == (w, h, fps, len(colors), colors)
+
+    check()
+
+
+def test_avi_decode_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi_bytes(b"RIFFxxxxWAVE")
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi_bytes(b"nope")
+    # header/movi frame-count mismatch must be caught
+    buf = bytearray(multimodal.make_avi(4, 4, 10, [(1, 2, 3), (4, 5, 6)]))
+    import struct
+    # truncate movi to one frame by rewriting the movi LIST to cover
+    # only the first chunk: simpler — corrupt avih's dwTotalFrames
+    pos = buf.find(b"avih") + 8
+    struct.pack_into("<I", buf, pos + 16, 5)  # dwTotalFrames = 5
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi_bytes(bytes(buf))

@@ -6,18 +6,23 @@ column travelling WITH the row (the interleaved-span model carries a
 ``media_ref`` per span; this module is the side table those refs point
 into), and per-modality processing runs as Arrow-batched ``mapInPandas``
 — the Spark-side plumbing (schema, batching, partitioning) is real, and
-so is the image tier: payloads are genuine uncompressed 24-bit BMPs
-(constructible and decodable from bytes alone, no codec library), so
-``decode_image`` does real header parsing + pixel reduction. Audio/video
-codecs still aren't in the sandbox; their decode remains metadata-only.
+so are all three decode tiers: payloads are genuine uncompressed
+formats constructible and decodable from bytes alone with no codec
+library — 24-bit BMP images, PCM16 RIFF/WAVE audio, and RIFF/AVI video
+with DIB frames — so the decoders do real header parsing, chunk-tree
+walks, and numpy pixel/sample reduction.
 
   attach_media         synthesize/attach binary payloads (deterministic)
   attach_bmp_media     real 24-bit BMP payload per row (id-derived dims)
-  make_bmp             build an uncompressed BMP from bytes alone
+  attach_wav_media     real PCM16 WAV payload per row (id-derived)
+  attach_avi_media     real uncompressed AVI payload per row (id-derived)
+  make_bmp / make_wav / make_avi    build real files from bytes alone
   extract_metadata     mapInPandas: bytes -> (kind, n_bytes, sha-like id,
                        width/height/duration stub fields)
   decode_image         REAL BMP decode: headers, padding, per-channel
                        means via numpy in Arrow-batched mapInPandas
+  decode_audio         REAL PCM decode: RIFF chunk walk, de-interleave
+  decode_video         REAL AVI decode: one row per DIB frame
   frame_sample         video -> frame index plan (pure DataFrame op)
 """
 
@@ -379,3 +384,177 @@ def audit_media(media: DataFrame) -> DataFrame:
             yield out.astype({"n_bytes": "int64"})
 
     return media.mapInPandas(run, schema=AUDIT_SCHEMA)
+
+
+def make_avi(width: int, height: int, fps: int, colors: list[tuple[int, int, int]]) -> bytes:
+    """Uncompressed AVI (RIFF 'AVI ': hdrl[avih + strl[strh 'vids'/'DIB '
+    + strf BITMAPINFOHEADER]] + movi['00db' DIB frames]) built from
+    bytes alone — the video twin of make_bmp/make_wav: a REAL video
+    container with no codec library. One constant-fill 24-bit BGR frame
+    per entry in ``colors`` (bottom-up rows, 4-byte stride padding,
+    exactly the BMP pixel layout)."""
+    import struct
+
+    stride = (3 * width + 3) // 4 * 4
+    frames = []
+    for r, g, b in colors:
+        row = bytes((b, g, r)) * width + b"\x00" * (stride - 3 * width)
+        frames.append(row * height)
+    frame_size = stride * height
+    n = len(colors)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI", cid, len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return struct.pack("<4sI4s", b"LIST", 4 + len(body), kind) + body
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_size * fps, 0, 0x10, n, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = list_chunk(
+        b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi_bytes(buf: bytes):
+    """Pure decoder for one uncompressed AVI: walks the RIFF chunk tree
+    (hdrl -> avih dims/fps/frame count, strl -> strh rate + strf bpp
+    check; movi -> '00db' DIB frames), decodes every frame's pixels in
+    numpy. Returns (width, height, fps, n_frames,
+    [(mean_r, mean_g, mean_b) per frame]) with exact integer means —
+    property-tested without Spark like its BMP/WAV siblings."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    def walk(data: bytes):
+        pos = 0
+        while pos + 8 <= len(data):
+            cid, size = struct.unpack_from("<4sI", data, pos)
+            body = data[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                yield body[:4], body[4:], True
+            else:
+                yield cid, body, False
+            pos += 8 + size + (size & 1)
+
+    w = h = fps = n_frames = None
+    bpp = None
+    frames = []
+    for kind, body, is_list in walk(buf[12:]):
+        if kind == b"hdrl" and is_list:
+            for k2, b2, l2 in walk(body):
+                if k2 == b"avih":
+                    usec, _, _, _, n_frames, _, _, _, w, h = struct.unpack_from(
+                        "<IIIIIIIIII", b2, 0
+                    )
+                    fps = 1_000_000 // usec
+                elif k2 == b"strl" and l2:
+                    for k3, b3, _ in walk(b2):
+                        if k3 == b"strh":
+                            if b3[:4] != b"vids":
+                                raise ValueError("first stream must be video")
+                        elif k3 == b"strf":
+                            bpp = struct.unpack_from("<H", b3, 14)[0]
+                            if bpp != 24:
+                                raise ValueError(f"only 24-bit DIB frames, got {bpp}")
+        elif kind == b"movi" and is_list:
+            stride = (3 * w + 3) // 4 * 4
+            for k2, b2, _ in walk(body):
+                if k2 != b"00db":
+                    continue
+                rows = np.frombuffer(
+                    b2, dtype=np.uint8, count=stride * h
+                ).reshape(h, stride)[:, : 3 * w]
+                px = rows.reshape(-1, 3).astype(np.int64)  # BGR
+                n_px = h * w
+                frames.append(
+                    (
+                        int(px[:, 2].sum()) // n_px,
+                        int(px[:, 1].sum()) // n_px,
+                        int(px[:, 0].sum()) // n_px,
+                    )
+                )
+    if w is None or bpp is None:
+        raise ValueError("missing avih/strf header")
+    if len(frames) != n_frames:
+        raise ValueError(f"header says {n_frames} frames, movi has {len(frames)}")
+    return w, h, fps, n_frames, frames
+
+
+VIDEO_SCHEMA = (
+    "media_ref string, frame_idx int, width int, height int, fps int, "
+    "n_frames int, mean_r long, mean_g long, mean_b long"
+)
+
+
+def decode_video(media: DataFrame) -> DataFrame:
+    """Real frame extraction over the binary video column: RIFF tree
+    walk, header validation, numpy DIB pixel decode — one output row
+    per frame, inside Arrow-batched ``mapInPandas``. Completes the
+    decode pattern a third time (image/audio/video): frame_sample's
+    frame PLAN now has a decoder to feed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, buf in zip(pdf["media_ref"], pdf["payload"]):
+                w, h, fps, n, frames = decode_avi_bytes(bytes(buf))
+                for fi, (mr, mg, mb) in enumerate(frames):
+                    rows.append((ref, fi, w, h, fps, n, mr, mg, mb))
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "width", "height", "fps",
+                    "n_frames", "mean_r", "mean_g", "mean_b",
+                ],
+            )
+            yield out.astype(
+                {"frame_idx": "int32", "width": "int32", "height": "int32",
+                 "fps": "int32", "n_frames": "int32", "mean_r": "int64",
+                 "mean_g": "int64", "mean_b": "int64"}
+            )
+
+    return media.mapInPandas(run, schema=VIDEO_SCHEMA)
+
+
+def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-AVI payload per row: dimensions, frame count
+    and each frame's fill color derive from the id (odd widths exercise
+    stride padding), so an oracle predicts every decoded frame stat
+    from id arithmetic alone. Frame f of id i is filled with
+    (r, g, b) = ((i + 31f) % 256, (7i + 53f) % 256, (13i + 11f) % 256)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                colors = [
+                    ((i + 31 * f) % 256, (7 * i + 53 * f) % 256, (13 * i + 11 * f) % 256)
+                    for f in range(2 + i % 4)
+                ]
+                payloads.append(make_avi(5 + i % 8, 4 + i % 4, 10, colors))
+            yield pd.DataFrame(
+                {"media_ref": ids.astype(str), "payload": payloads}
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="media_ref string, payload binary")

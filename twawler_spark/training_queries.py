@@ -1622,3 +1622,48 @@ def q_gopher_repetition_exploded(spark, sf):
         F.round(F.avg("df"), 4).alias("avg_dup_frac"),
         F.round(F.avg("bf"), 4).alias("avg_top_bigram_frac"),
     )
+
+
+def q_multimodal_video(spark, sf):
+    """Real video frame extraction over a binary media column: each
+    document gets a genuine uncompressed RIFF/AVI payload (dimensions,
+    frame count, and per-frame fill colors derived from doc_id; odd
+    widths exercise DIB stride padding), and the decoder walks the RIFF
+    chunk tree, validates avih/strh/strf, and reduces each '00db' DIB
+    frame to exact per-channel means in Arrow-batched mapInPandas
+    (operators/multimodal.py:decode_video). One output row PER FRAME —
+    the frame-sampling decode a training pipeline feeds to a vision
+    encoder. The oracle predicts every frame stat from doc_id
+    arithmetic — a chunk-walk, stride, or frame-order slip fails the
+    hash."""
+    from .operators.multimodal import attach_avi_media, decode_video
+
+    d = _t(spark, sf, "documents")
+    return decode_video(attach_avi_media(d, "doc_id")).select(
+        F.col("media_ref").cast("bigint").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )
+
+
+O_MULTIMODAL_VIDEO = """
+WITH f AS (
+  SELECT doc_id,
+         cast(unnest(range(0, 2 + doc_id % 4)) AS int) AS frame_idx
+  FROM documents)
+SELECT doc_id, frame_idx,
+       cast(5 + doc_id % 8 AS int) AS width,
+       cast(4 + doc_id % 4 AS int) AS height,
+       cast(10 AS int) AS fps,
+       cast(2 + doc_id % 4 AS int) AS n_frames,
+       (doc_id + 31 * frame_idx) % 256 AS mean_r,
+       (7 * doc_id + 53 * frame_idx) % 256 AS mean_g,
+       (13 * doc_id + 11 * frame_idx) % 256 AS mean_b
+FROM f
+"""
