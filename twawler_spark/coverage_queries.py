@@ -2971,3 +2971,62 @@ SELECT user_id, greek,
 FROM ({O_USER_FOLLOWER_STATS}) t
 WHERE seen_fr > 0 OR seen_fo > 0
 """
+
+
+# =====================================================================
+# --common intersection across list* CLIs (listfavs/listfaved/
+# listfriends/listquoters/listretweeters)
+# =====================================================================
+
+def q_list_common_favoriters(spark, sf):
+    """listfavs.py -c/-t (and the identical --common mode shared by
+    listfaved/listfriends/listquoters/listretweeters): counterparties
+    common to ALL requested users — the reference intersects per-user
+    Counter dicts in driver memory; here the intersection is one hash
+    agg with a HAVING on distinct requested-author count (no per-user
+    set materialization, no driver loop). Requested set: authors
+    ≡ 3 (mod 29) over the S8 favorites fixture (same derivation as
+    q_user_favoriter_stats). Output per common favoriter: total favs
+    across the requested set and the heaviest single author edge —
+    the -t 'tweets faved by common' head."""
+    li = _t(spark, sf, "lineitem")
+    favs = (
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(200)).alias("faver"),
+            (F.col("l_partkey") * 100000 + F.col("l_suppkey")).alias("tweet_id"),
+        )
+        .dropDuplicates(["faver", "tweet_id"])
+        .withColumn("author", F.pmod(F.col("tweet_id"), F.lit(FAV_AUTHOR_MOD)))
+    )
+    req = favs.where(F.pmod(F.col("author"), F.lit(29)) == 3)
+    n_req = req.agg(F.countDistinct("author").alias("__n_req"))
+    per_pair = req.groupBy("faver", "author").agg(F.count("*").alias("n"))
+    return (
+        per_pair.groupBy("faver")
+        .agg(
+            F.countDistinct("author").alias("n_authors"),
+            F.sum("n").alias("n_favs"),
+            F.max("n").alias("max_per_author"),
+        )
+        .crossJoin(F.broadcast(n_req))
+        .where(F.col("n_authors") == F.col("__n_req"))
+        .select("faver", "n_favs", "max_per_author")
+    )
+
+
+O_LIST_COMMON_FAVORITERS = f"""
+WITH favs AS (
+  SELECT DISTINCT l_orderkey % 200 AS faver,
+         l_partkey * 100000 + l_suppkey AS tweet_id
+  FROM lineitem),
+f2 AS (SELECT faver, tweet_id, tweet_id % {FAV_AUTHOR_MOD} AS author FROM favs),
+req AS (SELECT * FROM f2 WHERE author % 29 = 3),
+n_req AS (SELECT count(DISTINCT author) AS n FROM req),
+per_pair AS (SELECT faver, author, count(*) AS n FROM req GROUP BY 1, 2)
+SELECT faver,
+       cast(sum(n) AS bigint) AS n_favs,
+       cast(max(n) AS bigint) AS max_per_author
+FROM per_pair
+GROUP BY faver
+HAVING count(DISTINCT author) = (SELECT n FROM n_req)
+"""
