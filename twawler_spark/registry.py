@@ -316,3 +316,45 @@ FROM s GROUP BY user_id, session_id
     "nightowls": cq.O_NIGHTOWLS,
     "dialogues": cq.O_DIALOGUES,
 }
+
+
+# --- Round-5 driver-window rotation ------------------------------------
+# The driver verifies the FIRST 50 entries each round. Round-5 window:
+# the 5 queries whose oracles carried the r4 HUGEINT bug (never driver-
+# green), everything new or reworked in r5 (no driver row / changed
+# semantics), the 26 queries whose last green driver row is r2, and the
+# earliest r3-green sentinels to fill to 50. Everything else keeps its
+# band order behind the window (all were driver-green in r3/r4 and are
+# re-verified locally each round via scripts/check_oracles.py).
+_WINDOW_R5 = [
+    # never driver-green (r4 oracle HUGEINT bug, fixed this round)
+    "curation_purge", "training_funnel", "decontaminate", "pii_redact",
+    "gopher_repetition",
+    # new or reworked in round 5
+    "gopher_repetition_exploded", "word_pmi", "deleted_tweets_audit",
+    "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
+    "list_common_favoriters",
+    # last driver-green in r2 (stale band)
+    "a3_distinct", "a5_explode_count", "a7_interval_stats",
+    "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
+    "u_set_ops", "a10_collect_sets", "a11_timeseries",
+    "j2_antijoin_groupcount", "j3_revenue_per_segment",
+    "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
+    "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
+    "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
+    "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
+    # earliest r3-green sentinels (fill to 50)
+    "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
+    "multimodal_decode", "s3_stream_windowed", "j8_synchrotrap_full",
+    "dedup_exact", "dedup_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_cosine_topk", "text_langid",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _WINDOW_R5},
+    **{k: v for k, v in QUERIES.items() if k not in set(_WINDOW_R5)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _WINDOW_R5 if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_WINDOW_R5)},
+}
