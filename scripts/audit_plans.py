@@ -50,6 +50,13 @@ AUDIT = (
     "ann_pq_topk",
     "training_funnel",
     "token_budget_select",
+    "gopher_repetition",
+    "gopher_repetition_exploded",
+    "word_pmi",
+    "deleted_tweets_audit",
+    "mentionedid_recovery",
+    "list_common_favoriters",
+    "multimodal_video",
 )
 
 
