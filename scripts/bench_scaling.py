@@ -166,8 +166,20 @@ Raw results:
 {chr(10).join(json.dumps(results[c]) for c in levels)}
 ```
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+    # preserve hand-written analysis sections: everything at/after the
+    # marker line survives a sweep rewrite (the generated part is only
+    # the scaling-evidence header above it)
+    marker = "<!-- appended-analyses -->"
+    bench_path = os.path.join(REPO, "BENCH.md")
+    tail = ""
+    if os.path.exists(bench_path):
+        old = open(bench_path).read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    if not tail:
+        tail = marker + "\n"
+    with open(bench_path, "w") as f:
+        f.write(md + "\n" + tail)
     print(md)
     return 0
 
