@@ -23,13 +23,12 @@ from .streaming import sessions as ss
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {
-    # --- NOTE on ordering: the driver verifies the FIRST 50 entries of this
-    # dict against their DuckDB oracles each round. Round-4 rotation: the 38
-    # queries new in r4 (none has any driver row yet) and 4 r4-reworked
-    # queries lead, then the r1/r2-stale band; 8 of those 33 fit in the
-    # window (w2..a2_counts), the overflow plus the r3-green
-    # sentinels rotate to the front in r5. Every query is locally verified
-    # each round via scripts/check_oracles.py regardless of window position.
+    # --- NOTE on ordering: the driver verifies the FIRST 50 entries of the
+    # FINAL dict against their DuckDB oracles each round. The literal order
+    # below is the round-4 band layout kept for readability; the effective
+    # round-5 window is applied by the _WINDOW_R5 reorder at the BOTTOM of
+    # this file. Every query is locally verified each round via
+    # scripts/check_oracles.py regardless of window position.
     #
     # Band 0 — new in round 4 (crawl round itself + ANN topk + findsilent,
     # word series, aliases)
