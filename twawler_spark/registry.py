@@ -69,6 +69,9 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": tq.q_pii_redact,
     "gopher_repetition": tq.q_gopher_repetition,
     "gopher_repetition_exploded": tq.q_gopher_repetition_exploded,
+    "line_dedup": tq.q_line_dedup,
+    "sequence_packing": tq.q_sequence_packing,
+    "domain_mixture": tq.q_domain_mixture,
     "tfidf_top_terms": tq.q_tfidf_top_terms,
     "word_pmi": tq.q_word_pmi,
     "silent_clusters": cq.q_silent_clusters,
@@ -205,6 +208,9 @@ ORACLES: dict[str, str] = {
     "pii_redact": tq.O_PII_REDACT,
     "gopher_repetition": tq.O_GOPHER_REPETITION,
     "gopher_repetition_exploded": tq.O_GOPHER_REPETITION,
+    "line_dedup": tq.O_LINE_DEDUP,
+    "sequence_packing": tq.O_SEQUENCE_PACKING,
+    "domain_mixture": tq.O_DOMAIN_MIXTURE,
     "tfidf_top_terms": tq.O_TFIDF,
     "word_pmi": tq.O_WORD_PMI,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
@@ -332,7 +338,8 @@ _WINDOW_R5 = [
     # new or reworked in round 5
     "gopher_repetition_exploded", "word_pmi", "deleted_tweets_audit",
     "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
-    "list_common_favoriters",
+    "list_common_favoriters", "line_dedup", "sequence_packing",
+    "domain_mixture",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -346,7 +353,6 @@ _WINDOW_R5 = [
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
     "multimodal_decode", "s3_stream_windowed", "j8_synchrotrap_full",
     "dedup_exact", "dedup_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "ann_cosine_topk", "text_langid",
 ]
 
 QUERIES = {

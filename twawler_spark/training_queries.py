@@ -1667,3 +1667,247 @@ SELECT doc_id, frame_idx,
        (13 * doc_id + 11 * frame_idx) % 256 AS mean_b
 FROM f
 """
+
+
+# ------------------------------------------ C4-style line-level dedup
+
+LINE_W = 8  # tokens per "line" (the synthetic corpus has no newlines)
+
+
+def q_line_dedup(spark, sf):
+    """Line/paragraph-level exact dedup (C4 / RefinedWeb style): split
+    every document into lines, keep only the globally-FIRST occurrence
+    of each distinct line, report per-source removal stats. The
+    synthetic corpus has no newlines, so a "line" is a fixed window of
+    LINE_W tokens — the Spark shape is identical for real newline
+    splits. Duplicates are PLANTED: every document gets a companion
+    (doc_id||'_p2') carrying its first 2·LINE_W tokens, so the
+    companion's lines exactly duplicate the original's first two lines
+    and must be dropped (string doc_id ordering puts the original
+    first).
+
+    100 TB shape: posexplode is map-side; the only exchange is the
+    hash partition on line content; the first-occurrence window sorts
+    WITHIN each line's tiny duplicate group (not globally). A real
+    pipeline would semi-join survivors back to reassemble documents —
+    same single shuffle. Reference parity: twAwler dedups at tweet
+    granularity on unique index (dumpall.py:61-81); line-level is the
+    training-pipeline generalization."""
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    toks0 = F.split(F.col("text"), " ")
+    planted = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_p2")).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(toks0, 1, 2 * LINE_W)).alias("text"),
+    )
+    alld = orig.unionByName(planted)
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+    )
+    exploded = alld.select(
+        "doc_id", "source", F.posexplode(lines).alias("pos", "line")
+    )
+    w = W.partitionBy("line").orderBy(F.col("doc_id").asc(), F.col("pos").asc())
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_lines_removed"),
+        F.countDistinct(F.when(F.col("rn") > 1, F.col("doc_id"))).alias(
+            "n_docs_affected"
+        ),
+        F.sum(
+            F.when(F.col("rn") == 1, F.size(F.split(F.col("line"), " "))).otherwise(0)
+        ).alias("n_tokens_kept"),
+    )
+
+
+O_LINE_DEDUP = f"""
+WITH alld AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_p2', source,
+         array_to_string((string_split(text, ' '))[1:{2 * LINE_W}], ' ')
+  FROM documents),
+t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM alld),
+e AS (SELECT doc_id, source, toks,
+             cast(unnest(range(0, cast(ceil(len(toks) / {LINE_W}.0) as bigint))) as int) AS pos
+      FROM t),
+l AS (SELECT doc_id, source, pos,
+             array_to_string(toks[(pos * {LINE_W} + 1):(pos * {LINE_W} + {LINE_W})], ' ') AS line
+      FROM e),
+r AS (SELECT *, row_number() OVER (PARTITION BY line ORDER BY doc_id ASC, pos ASC) AS rn
+      FROM l)
+SELECT source, count(*) AS n_lines,
+       cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_lines_removed,
+       count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS n_docs_affected,
+       cast(sum(CASE WHEN rn = 1 THEN len(string_split(line, ' ')) ELSE 0 END) AS bigint)
+         AS n_tokens_kept
+FROM r GROUP BY source
+"""
+
+
+# ------------------------------------- GPT-style sequence packing audit
+
+SEQ_LEN = 512     # tokens per packed training sequence
+PACK_CHUNK = 64   # doc_ids per cumsum chunk (two-phase prefix sum)
+
+
+def q_sequence_packing(spark, sf):
+    """Concat-and-chunk sequence packing audit (GPT-style): per source,
+    documents are concatenated in doc_id order and cut into fixed
+    SEQ_LEN-token training sequences; report how many sequences each
+    source yields, how many documents straddle a sequence boundary
+    (i.e. get split across examples), and the tail padding.
+
+    The naive plan is one window cumsum PER SOURCE — a per-source
+    global sort that serializes a skewed source onto one task. This is
+    the two-phase prefix sum: doc_ids are grouped into PACK_CHUNK-sized
+    chunks; chunk token-subtotals aggregate distributed, a window over
+    the (tiny) chunk list per source produces each chunk's starting
+    offset, and the per-doc cumsum windows WITHIN a chunk — bounded
+    rows per task no matter how large the source. The DuckDB oracle is
+    the naive per-source window: the hash match proves the two-phase
+    plan computes exactly that spec."""
+    d = _t(spark, sf, "documents")
+    scored = d.select(
+        "source",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(F.split(F.col("text"), " ")).alias("nt"),
+    ).withColumn("chunk", F.floor(F.col("doc_id") / F.lit(PACK_CHUNK)))
+    csums = scored.groupBy("source", "chunk").agg(F.sum("nt").alias("ct"))
+    wc = (
+        W.partitionBy("source")
+        .orderBy("chunk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ccum = csums.withColumn(
+        "chunk_before", F.sum("ct").over(wc) - F.col("ct")
+    ).select("source", "chunk", "chunk_before")
+    wd = (
+        W.partitionBy("source", "chunk")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = (
+        scored.join(ccum, ["source", "chunk"])
+        .withColumn("off", F.col("chunk_before") + F.sum("nt").over(wd) - F.col("nt"))
+    )
+    seq0 = F.floor(F.col("off") / F.lit(SEQ_LEN))
+    seq1 = F.floor((F.col("off") + F.col("nt") - 1) / F.lit(SEQ_LEN))
+    return placed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.ceil(F.sum("nt") / F.lit(float(SEQ_LEN))).alias("n_sequences"),
+        F.sum(F.when(seq1 > seq0, 1).otherwise(0)).alias("n_boundary_docs"),
+        (
+            F.ceil(F.sum("nt") / F.lit(float(SEQ_LEN))) * SEQ_LEN - F.sum("nt")
+        ).alias("pad_tokens"),
+    )
+
+
+O_SEQUENCE_PACKING = f"""
+WITH s AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+o AS (
+  SELECT *, sum(nt) OVER (PARTITION BY source ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt AS off
+  FROM s)
+SELECT source, count(*) AS n_docs,
+       cast(sum(nt) AS bigint) AS total_tokens,
+       cast(ceil(sum(nt) / {SEQ_LEN}.0) AS bigint) AS n_sequences,
+       cast(sum(CASE WHEN (off + nt - 1) // {SEQ_LEN} > off // {SEQ_LEN}
+                     THEN 1 ELSE 0 END) AS bigint) AS n_boundary_docs,
+       cast(cast(ceil(sum(nt) / {SEQ_LEN}.0) AS bigint) * {SEQ_LEN} - sum(nt)
+            AS bigint) AS pad_tokens
+FROM o GROUP BY source
+"""
+
+
+# ------------------------------------- domain-mixture resampling audit
+
+# target mixture weights per source (Pile/RedPajama-style domain mixing);
+# generated by index so Spark map literal and SQL VALUES agree exactly
+MIX_WEIGHTS = {f"src{i}": (i % 5) + 1 for i in range(20)}
+MIX_W_TOTAL = sum(MIX_WEIGHTS.values())
+MIX_MOD = 100_000
+
+
+def q_domain_mixture(spark, sf):
+    """Domain-mixture resampling audit: given target mixture weights
+    per source, accept each document with probability
+    p_s = min(1, w_s·N / (W·n_s)) via the portable md5 hash-mod (no
+    RNG — re-runs and both engines agree), where n_s is the source's
+    natural count and N the corpus total. Exact integer acceptance
+    test (h·W·n_s < w_s·N·MOD) — no float rounding to diverge between
+    engines. Output: per-source natural count, target weight, selected
+    count.
+
+    100 TB shape: the per-source counts are one tiny agg broadcast
+    back onto the scan; selection is a map-only filter — the corpus
+    never shuffles. Reference parity: the tracked-set sampling knobs
+    in twAwler's follow-selection (twkit/crawler/follow.py) pick
+    bounded subsets per category the same way."""
+    d = _t(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_total"))
+    wmap = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("wt", F.coalesce(wmap[F.col("source")], F.lit(0)).cast("long"))
+    )
+    h = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MIX_MOD),
+    )
+    accepted = (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("h", h)
+        .withColumn(
+            "sel",
+            (F.col("h") * MIX_W_TOTAL * F.col("n_s"))
+            < (F.col("wt") * F.col("n_total") * F.lit(MIX_MOD)),
+        )
+    )
+    return accepted.groupBy("source").agg(
+        F.max("wt").alias("target_weight"),
+        F.count("*").alias("n_in"),
+        F.sum(F.when(F.col("sel"), 1).otherwise(0)).alias("n_selected"),
+    )
+
+
+def _o_domain_mixture() -> str:
+    values = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())
+    return f"""
+WITH wts(source, wt) AS (VALUES {values}),
+c AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT cast(sum(n_s) AS bigint) AS n_total FROM c),
+j AS (
+  SELECT d.source, d.doc_id, c.n_s, t.n_total,
+         cast(coalesce(w.wt, 0) AS bigint) AS wt,
+         ('0x' || substring(md5('mix:' || cast(d.doc_id as varchar)), 1, 15))::BIGINT
+           % {MIX_MOD} AS h
+  FROM documents d
+  JOIN c USING (source) CROSS JOIN t
+  LEFT JOIN wts w ON w.source = d.source)
+SELECT source, max(wt) AS target_weight, count(*) AS n_in,
+       cast(sum(CASE WHEN h * {MIX_W_TOTAL} * n_s < wt * n_total * {MIX_MOD}
+                     THEN 1 ELSE 0 END) AS bigint) AS n_selected
+FROM j GROUP BY source
+"""
+
+
+O_DOMAIN_MIXTURE = _o_domain_mixture()
