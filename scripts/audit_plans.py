@@ -57,6 +57,9 @@ AUDIT = (
     "mentionedid_recovery",
     "list_common_favoriters",
     "multimodal_video",
+    "line_dedup",
+    "sequence_packing",
+    "domain_mixture",
 )
 
 
