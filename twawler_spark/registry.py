@@ -69,6 +69,8 @@ QUERIES: dict[str, QueryFn] = {
     "pii_redact": tq.q_pii_redact,
     "gopher_repetition": tq.q_gopher_repetition,
     "gopher_repetition_exploded": tq.q_gopher_repetition_exploded,
+    "gopher_quality_full": tq.q_gopher_quality_full,
+    "dedup_incremental": tq.q_dedup_incremental,
     "line_dedup": tq.q_line_dedup,
     "sequence_packing": tq.q_sequence_packing,
     "domain_mixture": tq.q_domain_mixture,
@@ -208,6 +210,8 @@ ORACLES: dict[str, str] = {
     "pii_redact": tq.O_PII_REDACT,
     "gopher_repetition": tq.O_GOPHER_REPETITION,
     "gopher_repetition_exploded": tq.O_GOPHER_REPETITION,
+    "gopher_quality_full": tq.O_GOPHER_QUALITY_FULL,
+    "dedup_incremental": tq.O_DEDUP_INCREMENTAL,
     "line_dedup": tq.O_LINE_DEDUP,
     "sequence_packing": tq.O_SEQUENCE_PACKING,
     "domain_mixture": tq.O_DOMAIN_MIXTURE,
@@ -339,7 +343,7 @@ _WINDOW_R5 = [
     "gopher_repetition_exploded", "word_pmi", "deleted_tweets_audit",
     "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
     "list_common_favoriters", "line_dedup", "sequence_packing",
-    "domain_mixture",
+    "domain_mixture", "gopher_quality_full", "dedup_incremental",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -349,10 +353,12 @@ _WINDOW_R5 = [
     "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
-    # earliest r3-green sentinels (fill to 50)
+    # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash
+    # yielded their slots to the two new round-5 queries — both are
+    # r3-green and re-verified locally every round)
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
     "multimodal_decode", "s3_stream_windowed", "j8_synchrotrap_full",
-    "dedup_exact", "dedup_jaccard", "dedup_simhash",
+    "dedup_exact",
 ]
 
 QUERIES = {

@@ -194,20 +194,19 @@ def _shingles_spark(text_col):
     )
 
 
-def _lsh_pairs(alld: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
-    self-join — the discovery tier shared by dedup_minhash_lsh (as the
-    registered result) and dedup_jaccard (as verification input)."""
+def _bands_long(docs: DataFrame) -> DataFrame:
+    """Long-form LSH band table (doc_id, band_idx, band_val):
+    shingle→minhash→band. One table per corpus; a single equi-join on
+    (band_idx, band_val) then replaces |bands| separate joins
+    (1 shuffle instead of 4 sig rescans)."""
     from .operators.dedup import spread_for_explode
 
-    alld = spread_for_explode(alld, "doc_id")
-    toks = alld.select(
+    docs = spread_for_explode(docs, "doc_id")
+    toks = docs.select(
         "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
     ).where(F.col("tok") != "")
     sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
-    # long-form bands: one self-join on (band_idx, band_val) replaces
-    # |bands| separate self-joins (1 shuffle instead of 4 sig rescans)
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -223,6 +222,13 @@ def _lsh_pairs(alld: DataFrame) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_val")
+
+
+def _lsh_pairs(alld: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
+    self-join — the discovery tier shared by dedup_minhash_lsh (as the
+    registered result) and dedup_jaccard (as verification input)."""
+    bands = _bands_long(alld)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -1911,3 +1917,351 @@ FROM j GROUP BY source
 
 
 O_DOMAIN_MIXTURE = _o_domain_mixture()
+
+
+# ------------------------------------ full Gopher quality + repetition suite
+
+# The corpus's function-word analogs (the 8 most frequent corpus words
+# stand in for Gopher's 8 designated English stopwords — the rule is
+# "document must contain >=2 of the set", parameterized by set).
+GOPHER_STOPS = ["join", "hash", "row", "batch", "scan", "order", "data", "filter"]
+# Planted quality-violating companion: 24 words, so every LINE_W=8
+# window is "# # spam ... # # spam ..." — short symbol words, ellipsis
+# line endings, no stopwords. Constant on both engines.
+_BAD_SYM_TEXT = " ".join(["# # spam ..."] * 6)
+
+
+def q_gopher_quality_full(spark, sf):
+    """The full Gopher rule suite (Rae et al. 2021, §A1.1 — public):
+    quality rules (mean word length in [3,10], symbol-to-word ratio
+    <=0.1, >=80% words alphabetic, >=2 designated stopwords, <=30% of
+    lines ending in ellipsis) and repetition rules (duplicate-line
+    fraction <=0.3, duplicate-line CHARACTER fraction <=0.2, top
+    3-gram char share <=0.18, top 4-gram char share <=0.16).
+    Complements q_gopher_repetition (dup-token + modal-bigram rules).
+
+    Planted violations make every rule non-trivial: a `_sym` companion
+    per document (constant symbol/ellipsis text) breaches the quality
+    rules; a `_rep` companion (first LINE_W tokens repeated 6x, so its
+    8-token "lines" are all identical) breaches the repetition rules.
+
+    100 TB shape: the scalar rules are pure column expressions in the
+    scan stage; the per-(doc,line) and per-(doc,n,gram) counts are the
+    EXPLODED form (groupBy, not a per-row quadratic fold), so cost is
+    O(total grams) with ordinary hash-agg parallelism regardless of
+    document length — the scale lesson from gopher_repetition_exploded
+    applied to the whole suite. Two exchanges (lines, grams) + a
+    doc-keyed join, all AQE-coalesced.
+
+    Reference parity: twAwler filters tweets by language ratios and
+    letter classes (twkit/utils.py + analytics filters); this is the
+    training-pipeline generalization of those per-text admission rules.
+    """
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    sym = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_sym")).alias("doc_id"),
+        "source",
+        F.lit(_BAD_SYM_TEXT).alias("text"),
+    )
+    toks0 = F.split(F.col("text"), " ")
+    rep = d.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_rep")).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ",
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(6)),
+                    lambda _: F.slice(toks0, 1, LINE_W),
+                )
+            ),
+        ).alias("text"),
+    )
+    alld = orig.unionByName(sym).unionByName(rep)
+
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nlines = F.ceil(n / F.lit(float(LINE_W))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+    )
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    base = alld.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        # single-space joined text: total word chars = len - (n-1)
+        F.round((F.length("text") - n + 1) / n, 4).alias("mean_wl"),
+        F.round(
+            F.size(F.filter(toks, lambda x: (x == "#") | x.contains("..."))) / n, 4
+        ).alias("sym_frac"),
+        F.round(F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n, 4).alias(
+            "alpha_frac"
+        ),
+        F.size(F.array_intersect(F.array_distinct(toks), stops)).alias("stop_cnt"),
+        F.round(
+            F.size(F.filter(lines, lambda l: l.endswith("..."))) / nlines, 4
+        ).alias("ellipsis_frac"),
+        lines.alias("lines"),
+    )
+
+    # duplicate-line stats: exploded (scale-safe for long documents)
+    el = base.select("doc_id", F.explode("lines").alias("line"))
+    lstats = (
+        el.groupBy("doc_id", "line")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("tot_lines"),
+            F.sum(F.col("c") - 1).alias("dup_lines"),
+            F.sum((F.col("c") - 1) * F.length("line")).alias("dup_line_chars"),
+            F.sum(F.col("c") * F.length("line")).alias("tot_line_chars"),
+        )
+    )
+
+    # top-n-gram occurrence-chars for n=3,4 in ONE explode (tagged rows)
+    def _grams(nn: int):
+        idx = F.sequence(F.lit(1), F.greatest(n - (nn - 1), F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, nn)))
+
+    eg = (
+        alld.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(3).alias("g"), _grams(3).alias("gs")),
+                    F.struct(F.lit(4).alias("g"), _grams(4).alias("gs")),
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.g", F.explode("t.gs").alias("gram"))
+    )
+    gstats = (
+        eg.groupBy("doc_id", "g", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "g")
+        .agg(F.max(F.col("c") * F.length("gram")).alias("top_chars"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("g") == 3, F.col("top_chars"))).alias("g3_chars"),
+            F.max(F.when(F.col("g") == 4, F.col("top_chars"))).alias("g4_chars"),
+        )
+    )
+
+    j = base.drop("lines").join(lstats, "doc_id").join(gstats, "doc_id")
+    dlf = F.round(F.col("dup_lines") / F.col("tot_lines"), 4)
+    dcf = F.round(F.col("dup_line_chars") / F.col("tot_line_chars"), 4)
+    g3f = F.round(F.col("g3_chars") / F.col("n_chars"), 4)
+    g4f = F.round(F.col("g4_chars") / F.col("n_chars"), 4)
+    flags = {
+        "f_wordlen": (F.col("mean_wl") < 3) | (F.col("mean_wl") > 10),
+        "f_sym": F.col("sym_frac") > 0.1,
+        "f_alpha": F.col("alpha_frac") < 0.8,
+        "f_stop": F.col("stop_cnt") < 2,
+        "f_ellipsis": F.col("ellipsis_frac") > 0.3,
+        "f_dupline": dlf > 0.3,
+        "f_dupchar": dcf > 0.2,
+        "f_g3": g3f > 0.18,
+        "f_g4": g4f > 0.16,
+    }
+    staged = j.select(
+        "source",
+        dlf.alias("dlf"),
+        g3f.alias("g3f"),
+        g4f.alias("g4f"),
+        *[F.when(c, 1).otherwise(0).alias(k) for k, c in flags.items()],
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        *[F.sum(k).alias("n_" + k[2:]) for k in flags],
+        F.round(F.avg("dlf"), 4).alias("avg_dup_line_frac"),
+        F.round(F.avg("g3f"), 4).alias("avg_g3_frac"),
+        F.round(F.avg("g4f"), 4).alias("avg_g4_frac"),
+    )
+
+
+def _o_gopher_quality_full() -> str:
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    W = LINE_W
+    return f"""
+WITH alld AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_sym', source, '{_BAD_SYM_TEXT}' FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_rep', source,
+         array_to_string(flatten(list_transform(range(1, 7),
+           x -> (string_split(text, ' '))[1:{W}])), ' ')
+  FROM documents),
+t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM alld),
+base AS (
+  SELECT doc_id, source,
+         len(text) AS n_chars,
+         round((len(text) - len(toks) + 1.0) / len(toks), 4) AS mean_wl,
+         round(len(list_filter(toks, x -> x = '#' OR contains(x, '...')))
+               * 1.0 / len(toks), 4) AS sym_frac,
+         round(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               * 1.0 / len(toks), 4) AS alpha_frac,
+         len(list_intersect(list_distinct(toks), [{stops}])) AS stop_cnt,
+         cast(ceil(len(toks) / {W}.0) as bigint) AS n_lines,
+         list_transform(range(0, cast(ceil(len(toks) / {W}.0) as bigint)),
+           j -> array_to_string(toks[(j*{W}+1):(j*{W}+{W})], ' ')) AS lines
+  FROM t),
+base2 AS (
+  SELECT *, round(len(list_filter(lines, l -> ends_with(l, '...')))
+                  * 1.0 / n_lines, 4) AS ellipsis_frac
+  FROM base),
+el AS (SELECT doc_id, unnest(lines) AS line FROM base),
+lc AS (SELECT doc_id, line, count(*) AS c FROM el GROUP BY 1, 2),
+lstats AS (
+  SELECT doc_id, sum(c) AS tot_lines, sum(c - 1) AS dup_lines,
+         sum((c - 1) * len(line)) AS dup_line_chars,
+         sum(c * len(line)) AS tot_line_chars
+  FROM lc GROUP BY 1),
+eg AS (
+  SELECT doc_id, g,
+         unnest(list_transform(range(1, greatest(len(toks) - (g - 1), 1) + 1),
+           i -> array_to_string(toks[i:(i + g - 1)], ' '))) AS gram
+  FROM t, (SELECT unnest([3, 4]) AS g)),
+gc AS (SELECT doc_id, g, gram, count(*) AS c FROM eg GROUP BY 1, 2, 3),
+gm AS (SELECT doc_id, g, max(c * len(gram)) AS top_chars FROM gc GROUP BY 1, 2),
+gstats AS (
+  SELECT doc_id,
+         max(CASE WHEN g = 3 THEN top_chars END) AS g3_chars,
+         max(CASE WHEN g = 4 THEN top_chars END) AS g4_chars
+  FROM gm GROUP BY 1),
+j AS (
+  SELECT b.*,
+         round(l.dup_lines * 1.0 / l.tot_lines, 4) AS dlf,
+         round(l.dup_line_chars * 1.0 / l.tot_line_chars, 4) AS dcf,
+         round(g.g3_chars * 1.0 / b.n_chars, 4) AS g3f,
+         round(g.g4_chars * 1.0 / b.n_chars, 4) AS g4f
+  FROM base2 b JOIN lstats l USING (doc_id) JOIN gstats g USING (doc_id))
+SELECT source, count(*) AS n_docs,
+       cast(sum(CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 1 ELSE 0 END) as bigint) AS n_wordlen,
+       cast(sum(CASE WHEN sym_frac > 0.1 THEN 1 ELSE 0 END) as bigint) AS n_sym,
+       cast(sum(CASE WHEN alpha_frac < 0.8 THEN 1 ELSE 0 END) as bigint) AS n_alpha,
+       cast(sum(CASE WHEN stop_cnt < 2 THEN 1 ELSE 0 END) as bigint) AS n_stop,
+       cast(sum(CASE WHEN ellipsis_frac > 0.3 THEN 1 ELSE 0 END) as bigint) AS n_ellipsis,
+       cast(sum(CASE WHEN dlf > 0.3 THEN 1 ELSE 0 END) as bigint) AS n_dupline,
+       cast(sum(CASE WHEN dcf > 0.2 THEN 1 ELSE 0 END) as bigint) AS n_dupchar,
+       cast(sum(CASE WHEN g3f > 0.18 THEN 1 ELSE 0 END) as bigint) AS n_g3,
+       cast(sum(CASE WHEN g4f > 0.16 THEN 1 ELSE 0 END) as bigint) AS n_g4,
+       round(avg(dlf), 4) AS avg_dup_line_frac,
+       round(avg(g3f), 4) AS avg_g3_frac,
+       round(avg(g4f), 4) AS avg_g4_frac
+FROM j GROUP BY source
+"""
+
+
+O_GOPHER_QUALITY_FULL = _o_gopher_quality_full()
+
+
+# ----------------------------------- incremental round-vs-corpus near-dup
+
+def q_dedup_incremental(spark, sf):
+    """Incremental near-dup: dedup ONE crawl round's fetched documents
+    against the accumulated historical corpus — the per-round shape the
+    crawl loop actually needs (dedup_minhash_lsh is the whole-corpus
+    batch form). Corpus = doc_id%10<8; the round = doc_id%10>=8 plus a
+    PLANTED near-copy (`_nd`, first token dropped) of every corpus doc
+    with doc_id%10==0 — those must be caught; original round docs
+    mostly survive. A round doc is dropped iff ANY of its 4 minhash
+    bands matches a corpus band (left-semi on (band_idx, band_val)).
+
+    100 TB shape: the corpus band table is write-once and stored
+    bucketed by (band_idx, band_val) (Iceberg `bucket()` transform) —
+    it is NEVER reshuffled; each round only the new docs' bands (small)
+    are hashed to that layout, the semi-join probes matching buckets,
+    and the corpus grows by appending the survivors' bands. Work per
+    round is O(|round docs|), exactly the frontier/seen-set protocol
+    (X5/X9) applied at document granularity.
+
+    Reference parity: twAwler's dup-tolerant insert dedups each fetch
+    batch against the store via unique index (dumpall.py:61-81); this
+    is that per-batch semantics with near-dup (not just exact) match.
+    """
+    d = _t(spark, sf, "documents")
+    corpus = d.where(F.col("doc_id") % 10 < 8).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    fresh = d.where(F.col("doc_id") % 10 >= 8).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    planted = d.where(F.col("doc_id") % 10 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_nd")).alias("doc_id"),
+        "source",
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    round_docs = fresh.unionByName(planted)
+    cbands = _bands_long(corpus)
+    rbands = _bands_long(round_docs)
+    dropped = (
+        rbands.join(cbands, ["band_idx", "band_val"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    marked = round_docs.join(dropped, "doc_id", "left")
+    return marked.groupBy("source").agg(
+        F.count("*").alias("n_round_docs"),
+        F.sum(F.when(F.col("dropped").isNotNull(), 1).otherwise(0)).alias(
+            "n_dropped"
+        ),
+        F.sum(F.when(F.col("dropped").isNull(), 1).otherwise(0)).alias("n_kept"),
+        F.min(F.when(F.col("dropped").isNotNull(), F.col("doc_id"))).alias(
+            "first_dropped_id"
+        ),
+    )
+
+
+def _o_dedup_incremental() -> str:
+    shingle = (
+        "unnest(list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), "
+        "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok"
+    )
+    bands = ", ".join(
+        f"h{2*b} || '|' || h{2*b+1} AS band{b}" for b in range(N_MINHASH // 2)
+    )
+    hits = "\nUNION\n".join(
+        f"SELECT r.doc_id FROM rbands r JOIN cbands c ON r.band{b} = c.band{b}"
+        for b in range(N_MINHASH // 2)
+    )
+    return f"""
+WITH corpus AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 < 8),
+rnd AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text
+  FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd', source,
+         substring(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id % 10 = 0),
+ctoks AS (SELECT doc_id, {shingle} FROM corpus),
+csigs AS (SELECT doc_id, {_KM_MINHASH_SQL}
+          FROM ctoks WHERE tok != '' GROUP BY doc_id),
+cbands AS (SELECT doc_id, {bands} FROM csigs),
+rtoks AS (SELECT doc_id, {shingle} FROM rnd),
+rsigs AS (SELECT doc_id, {_KM_MINHASH_SQL}
+          FROM rtoks WHERE tok != '' GROUP BY doc_id),
+rbands AS (SELECT doc_id, {bands} FROM rsigs),
+hits AS ({hits})
+SELECT source, count(*) AS n_round_docs,
+       cast(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+         AS n_dropped,
+       cast(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END) as bigint)
+         AS n_kept,
+       min(CASE WHEN h.doc_id IS NOT NULL THEN r.doc_id END)
+         AS first_dropped_id
+FROM rnd r LEFT JOIN (SELECT DISTINCT doc_id FROM hits) h ON r.doc_id = h.doc_id
+GROUP BY source
+"""
+
+
+O_DEDUP_INCREMENTAL = _o_dedup_incremental()
