@@ -60,6 +60,8 @@ AUDIT = (
     "line_dedup",
     "sequence_packing",
     "domain_mixture",
+    "gopher_quality_full",
+    "dedup_incremental",
 )
 
 

@@ -592,3 +592,50 @@ def test_avi_decode_rejects_garbage():
     struct.pack_into("<I", buf, pos + 16, 5)  # dwTotalFrames = 5
     with _pytest.raises(ValueError):
         multimodal.decode_avi_bytes(bytes(buf))
+
+
+def test_gopher_quality_full_planted_flags(spark):
+    """Intent check beyond oracle equality: every planted _sym companion
+    breaches the quality rules, every _rep companion the repetition
+    rules, and the per-source flag counts reflect exactly that."""
+    from twawler_spark.training_queries import q_gopher_quality_full
+
+    rows = {r["source"]: r for r in q_gopher_quality_full(spark, SF).collect()}
+    assert rows
+    for src, r in rows.items():
+        n_per_kind = r["n_docs"] // 3  # orig + _sym + _rep per doc
+        assert r["n_docs"] == 3 * n_per_kind
+        # _sym: short symbol words, ellipsis lines, zero stopwords
+        assert r["n_wordlen"] >= n_per_kind
+        assert r["n_sym"] == n_per_kind
+        assert r["n_alpha"] == n_per_kind
+        assert r["n_ellipsis"] == n_per_kind
+        # _sym lines are identical too, so both planted kinds dup-flag
+        assert r["n_dupline"] >= 2 * n_per_kind
+        assert r["n_g4"] >= 2 * n_per_kind
+        # the real corpus must NOT be flagged by the scalar rules
+        assert r["n_stop"] <= 2 * n_per_kind
+
+
+def test_dedup_incremental_catches_planted(spark):
+    """Every planted _nd near-copy of a corpus doc must be dropped by
+    the round-vs-corpus band semi-join; plain round docs mostly survive."""
+    from twawler_spark.training_queries import q_dedup_incremental
+
+    rows = q_dedup_incremental(spark, SF).collect()
+    assert rows
+    total_round = sum(r["n_round_docs"] for r in rows)
+    total_dropped = sum(r["n_dropped"] for r in rows)
+    assert total_round > 0
+    # planted _nd docs exist only for sources whose docs hit doc_id%10==0;
+    # each must be caught
+    import duckdb
+
+    con = duckdb.connect()
+    planted = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id % 10 = 0"
+    ).fetchone()[0]
+    assert total_dropped >= planted  # all planted caught (+ chance hits)
+    first_dropped = [r["first_dropped_id"] for r in rows if r["n_dropped"] > 0]
+    assert any(i and i.endswith("_nd") for i in first_dropped)

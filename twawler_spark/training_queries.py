@@ -2043,12 +2043,14 @@ def q_gopher_quality_full(spark, sf):
     gstats = (
         eg.groupBy("doc_id", "g", "gram")
         .agg(F.count("*").alias("c"))
-        .groupBy("doc_id", "g")
-        .agg(F.max(F.col("c") * F.length("gram")).alias("top_chars"))
-        .groupBy("doc_id")
+        .groupBy("doc_id")  # conditional max folds both n in one pass
         .agg(
-            F.max(F.when(F.col("g") == 3, F.col("top_chars"))).alias("g3_chars"),
-            F.max(F.when(F.col("g") == 4, F.col("top_chars"))).alias("g4_chars"),
+            F.max(
+                F.when(F.col("g") == 3, F.col("c") * F.length("gram"))
+            ).alias("g3_chars"),
+            F.max(
+                F.when(F.col("g") == 4, F.col("c") * F.length("gram"))
+            ).alias("g4_chars"),
         )
     )
 
