@@ -90,3 +90,43 @@ def test_stream_near_dup_finds_every_planted_variant(spark):
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     # at the fixture scale every planted pair collides in >= 1 band
     assert self_pairs == n_docs, (self_pairs, n_docs)
+
+
+def test_stream_host_budget_admits_exactly_budget(spark):
+    """Each host admits exactly min(budget, candidates) rows with dense
+    ranks from 1, and the admitted set is the lowest event_ids per host."""
+    from pyspark.sql import functions as F
+
+    from twawler_spark.streaming.checkpoints import HOST_BUDGET, stream_host_budget
+
+    out = stream_host_budget(spark, SF)
+    per_host = out.groupBy("host").agg(
+        F.count("*").alias("n"),
+        F.min("admit_rank").alias("lo"),
+        F.max("admit_rank").alias("hi"),
+    )
+    avail = {
+        r["host"]: r["cnt"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy(F.concat(F.lit("h"), (F.col("event_id") % 50).cast("string")).alias("host"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    rows = per_host.collect()
+    assert len(rows) == 50
+    for r in rows:
+        want = min(HOST_BUDGET, avail[r["host"]])
+        assert (r["n"], r["lo"], r["hi"]) == (want, 1, want), r
+    # priority order: the admitted set is the LOWEST event_ids per host
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.concat(F.lit("h"), (F.col("event_id") % 50).cast("string")).alias("host"),
+        "event_id",
+    )
+    from pyspark.sql import Window as W
+
+    want = ev.withColumn(
+        "rn", F.row_number().over(W.partitionBy("host").orderBy("event_id"))
+    ).where(F.col("rn") <= HOST_BUDGET)
+    assert out.select("host", "event_id").exceptAll(
+        want.select("host", "event_id")
+    ).count() == 0

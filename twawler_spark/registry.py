@@ -38,6 +38,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_outlinks": crq.q_crawl_round_outlinks,
     "s3_stream_crawl_admission": st.stream_crawl_admission,
     "s3_stream_near_dup": st.stream_near_dup,
+    "s3_stream_host_budget": sc.stream_host_budget,
     "multimodal_audio": tq.q_multimodal_audio,
     "multimodal_video": tq.q_multimodal_video,
     "ann_lsh_topk": tq.q_ann_lsh_topk,
@@ -179,6 +180,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_outlinks": crq.O_CRAWL_ROUND_OUTLINKS,
     "s3_stream_crawl_admission": st.O_STREAM_CRAWL_ADMISSION,
     "s3_stream_near_dup": st.O_STREAM_NEAR_DUP,
+    "s3_stream_host_budget": sc.O_STREAM_HOST_BUDGET,
     "multimodal_audio": tq.O_MULTIMODAL_AUDIO,
     "multimodal_video": tq.O_MULTIMODAL_VIDEO,
     "ann_lsh_topk": tq.O_ANN_LSH_TOPK,
@@ -344,6 +346,7 @@ _WINDOW_R5 = [
     "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
     "list_common_favoriters", "line_dedup", "sequence_packing",
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
+    "s3_stream_host_budget",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -353,12 +356,11 @@ _WINDOW_R5 = [
     "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
-    # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash
-    # yielded their slots to the two new round-5 queries — both are
-    # r3-green and re-verified locally every round)
+    # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash/
+    # dedup_exact yielded their slots to the three new round-5 queries —
+    # all r3-green and re-verified locally every round)
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
     "multimodal_decode", "s3_stream_windowed", "j8_synchrotrap_full",
-    "dedup_exact",
 ]
 
 QUERIES = {

@@ -109,3 +109,91 @@ SELECT user_id, count(*) AS n_events, max(event_id) AS last_id,
        cast(count(DISTINCT event_type) as int) AS n_types
 FROM events GROUP BY user_id
 """
+
+
+# ---------------------------- streaming per-host politeness budget (J5/O1)
+
+_BUDGET_OUT = StructType(
+    [
+        StructField("host", StringType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("admit_rank", IntegerType(), False),
+    ]
+)
+_BUDGET_STATE = StructType([StructField("n_admitted", IntegerType(), False)])
+HOST_BUDGET = 25
+
+
+def _admit(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Admit candidates for one host in priority order until the host's
+    budget is exhausted; the admitted count is KEYED STREAMING STATE so
+    the budget holds across triggers (late candidates are rejected even
+    if they arrive in a later batch)."""
+    n = state.get[0] if state.exists else 0
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values("event_id")  # priority order within the trigger
+    take = pdf.head(max(HOST_BUDGET - n, 0))
+    if len(take):
+        yield pd.DataFrame(
+            {
+                "host": take["host"].to_numpy(),
+                "event_id": take["event_id"].to_numpy(),
+                "admit_rank": pd.array(
+                    range(n + 1, n + 1 + len(take)), dtype="int32"
+                ),
+            }
+        )
+    state.update((n + len(take),))
+
+
+def stream_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-host politeness budget (J5/O1 — freq.py scoring feeding
+    dumpall.py's per-round claim) as a NATIVE streaming operator:
+    candidates stream in, ``applyInPandasWithState`` keyed by host
+    admits the first HOST_BUDGET candidates per host in priority
+    (event_id) order and rejects the rest — the streaming twin of the
+    batch scheduler's salted two-phase budget rank. State is one
+    counter per host, so memory is O(|hosts|) regardless of stream
+    length. The static-input run is single-trigger (one source file),
+    so admission order is globally deterministic and the oracle is the
+    windowed row_number <= budget over the same input."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    name = f"budget_out_{next(_counter)}"
+    cands = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.concat(F.lit("h"), (F.col("event_id") % 50).cast("string")).alias(
+                "host"
+            ),
+            "event_id",
+        )
+    )
+    admitted = cands.groupBy("host").applyInPandasWithState(
+        _admit,
+        outputStructType=_BUDGET_OUT,
+        stateStructType=_BUDGET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        admitted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+O_STREAM_HOST_BUDGET = f"""
+SELECT 'h' || cast(event_id % 50 as varchar) AS host, event_id,
+       cast(rn as int) AS admit_rank
+FROM (SELECT event_id,
+             row_number() OVER (PARTITION BY event_id % 50
+                                ORDER BY event_id) AS rn
+      FROM events)
+WHERE rn <= {HOST_BUDGET}
+"""
