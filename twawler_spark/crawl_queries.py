@@ -485,3 +485,107 @@ FROM hosts GROUP BY host
 
 
 O_CRAWL_ROUND_OUTLINKS = _build_o_outlinks()
+
+
+# ------------------------- query 5: multimodal packing of the round's docs
+
+MEDIA_TOKENS = 16  # fixed patch-token cost per media span (ViT-style)
+PACK_SEQ_LEN = 128
+
+
+def q_crawl_round_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal sequence packing of ONE round's interleaved span
+    documents (the north-rule payload): per-doc token cost = words per
+    text span + a fixed MEDIA_TOKENS patch cost per media span, docs
+    concatenated per host in doc_id order and cut into PACK_SEQ_LEN
+    training sequences — sequences/boundary-straddling/padding audited
+    per host (the interleaved twin of q_sequence_packing).
+
+    Scale shape: the per-(host, round) group is BOUNDED BY THE
+    POLITENESS BUDGET (<= (b+b2) plan rows x <= MAX_DOCS_PER_FETCH
+    docs), so the within-host cumsum window is constant-size per task
+    at ANY frontier scale — no two-phase prefix sum needed (contrast
+    q_sequence_packing, where a source is unbounded). Span costs are
+    one HOF fold in the scan stage; no explode, no Python.
+    """
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    spans = F.col("spans")
+    cost = F.aggregate(
+        spans,
+        F.lit(0),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text", F.size(F.split(s["text"], " "))
+        ).otherwise(F.lit(MEDIA_TOKENS)),
+    )
+    media_cost = F.size(F.filter(spans, lambda s: s["kind"] == "media")) * F.lit(
+        MEDIA_TOKENS
+    )
+    scored = docs.select(
+        "host", "doc_id", cost.alias("nt"), media_cost.alias("mt")
+    )
+    from pyspark.sql import Window as W
+
+    wd = (
+        W.partitionBy("host")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    placed = scored.withColumn("off", F.sum("nt").over(wd) - F.col("nt"))
+    seq0 = F.floor(F.col("off") / F.lit(PACK_SEQ_LEN))
+    seq1 = F.floor((F.col("off") + F.col("nt") - 1) / F.lit(PACK_SEQ_LEN))
+    return placed.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("total_tokens"),
+        F.sum("mt").alias("media_tokens"),
+        F.ceil(F.sum("nt") / F.lit(float(PACK_SEQ_LEN))).alias("n_sequences"),
+        F.sum(F.when(seq1 > seq0, 1).otherwise(0)).alias("n_boundary_docs"),
+        (
+            F.ceil(F.sum("nt") / F.lit(float(PACK_SEQ_LEN))) * PACK_SEQ_LEN
+            - F.sum("nt")
+        ).alias("pad_tokens"),
+    )
+
+
+def _build_o_pack() -> str:
+    kind = lambda: f"({_stream('d', docspec._S_KIND, 'k')}) % 3"  # noqa: E731
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (
+  SELECT *, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+  FROM st2 WHERE r100 < 88),
+dj AS (SELECT host, u, unnest(range(0, nd)) AS j FROM ok),
+dk AS (SELECT host, ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d FROM dj),
+dd AS (SELECT *, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+costed AS (
+  SELECT host,
+         printf('d%08x%08x', (d >> 32)::BIGINT,
+                (d % 4294967296::HUGEINT)::BIGINT) AS doc_id,
+         cast(list_sum(list_transform(range(0, nsp),
+           k -> CASE WHEN {kind()} < 2 THEN {nwords}
+                     ELSE {MEDIA_TOKENS} END)) as bigint) AS nt,
+         cast({MEDIA_TOKENS} * len(list_filter(range(0, nsp),
+           k -> {kind()} >= 2)) as bigint) AS mt
+  FROM dd),
+placed AS (
+  SELECT *, sum(nt) OVER (PARTITION BY host ORDER BY doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - nt AS off
+  FROM costed)
+SELECT host, count(*) AS n_docs,
+       cast(sum(nt) as bigint) AS total_tokens,
+       cast(sum(mt) as bigint) AS media_tokens,
+       cast(ceil(sum(nt) / {PACK_SEQ_LEN}.0) as bigint) AS n_sequences,
+       cast(sum(CASE WHEN (off + nt - 1) // {PACK_SEQ_LEN} > off // {PACK_SEQ_LEN}
+                     THEN 1 ELSE 0 END) as bigint) AS n_boundary_docs,
+       cast(cast(ceil(sum(nt) / {PACK_SEQ_LEN}.0) as bigint) * {PACK_SEQ_LEN}
+            - sum(nt) as bigint) AS pad_tokens
+FROM placed GROUP BY host
+"""
+
+
+O_CRAWL_ROUND_PACK = _build_o_pack()

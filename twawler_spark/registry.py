@@ -36,6 +36,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round_docs": crq.q_crawl_round_docs,
     "crawl_round_states": crq.q_crawl_round_states,
     "crawl_round_outlinks": crq.q_crawl_round_outlinks,
+    "crawl_round_pack": crq.q_crawl_round_pack,
     "s3_stream_crawl_admission": st.stream_crawl_admission,
     "s3_stream_near_dup": st.stream_near_dup,
     "s3_stream_host_budget": sc.stream_host_budget,
@@ -178,6 +179,7 @@ ORACLES: dict[str, str] = {
     "crawl_round_docs": crq.O_CRAWL_ROUND_DOCS,
     "crawl_round_states": crq.O_CRAWL_ROUND_STATES,
     "crawl_round_outlinks": crq.O_CRAWL_ROUND_OUTLINKS,
+    "crawl_round_pack": crq.O_CRAWL_ROUND_PACK,
     "s3_stream_crawl_admission": st.O_STREAM_CRAWL_ADMISSION,
     "s3_stream_near_dup": st.O_STREAM_NEAR_DUP,
     "s3_stream_host_budget": sc.O_STREAM_HOST_BUDGET,
@@ -346,7 +348,7 @@ _WINDOW_R5 = [
     "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
     "list_common_favoriters", "line_dedup", "sequence_packing",
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
-    "s3_stream_host_budget",
+    "s3_stream_host_budget", "crawl_round_pack",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -357,10 +359,10 @@ _WINDOW_R5 = [
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
     # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash/
-    # dedup_exact yielded their slots to the three new round-5 queries —
-    # all r3-green and re-verified locally every round)
+    # dedup_exact/s3_stream_windowed yielded their slots to the four new
+    # round-5 queries — all r3-green and re-verified locally every round)
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
-    "multimodal_decode", "s3_stream_windowed", "j8_synchrotrap_full",
+    "multimodal_decode", "j8_synchrotrap_full",
 ]
 
 QUERIES = {
