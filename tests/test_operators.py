@@ -639,3 +639,79 @@ def test_dedup_incremental_catches_planted(spark):
     assert total_dropped >= planted  # all planted caught (+ chance hits)
     first_dropped = [r["first_dropped_id"] for r in rows if r["n_dropped"] > 0]
     assert any(i and i.endswith("_nd") for i in first_dropped)
+
+
+def test_gopher_quality_full_third_implementation(spark):
+    """Pure-Python third implementation of the full Gopher suite (no
+    Spark, no DuckDB) over the same fixture — engine-vs-engine oracle
+    equality cannot catch a shared misreading of the rules; this can."""
+    import math
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from twawler_spark.training_queries import (
+        _BAD_SYM_TEXT,
+        GOPHER_STOPS,
+        LINE_W,
+        q_gopher_quality_full,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+
+    def r4(x):  # Spark's HALF_UP at 4 decimals
+        return math.floor(x * 10_000 + 0.5) / 10_000
+
+    def doc_stats(text):
+        toks = text.split(" ")
+        n = len(toks)
+        mean_wl = r4((len(text) - n + 1) / n)
+        sym = r4(sum(1 for t in toks if t == "#" or "..." in t) / n)
+        alpha = r4(sum(1 for t in toks if _re.search("[a-z]", t)) / n)
+        stop = len(set(toks) & set(GOPHER_STOPS))
+        nlines = math.ceil(n / LINE_W)
+        lines = [" ".join(toks[j * LINE_W:(j + 1) * LINE_W]) for j in range(nlines)]
+        ell = r4(sum(1 for l in lines if l.endswith("...")) / nlines)
+        from collections import Counter
+
+        lc = Counter(lines)
+        tot_chars = sum(c * len(l) for l, c in lc.items())
+        dlf = r4(sum(c - 1 for c in lc.values()) / len(lines))
+        dcf = r4(sum((c - 1) * len(l) for l, c in lc.items()) / tot_chars)
+        gf = {}
+        for g in (3, 4):
+            grams = [" ".join(toks[i:i + g]) for i in range(max(n - g + 1, 1))]
+            gc = Counter(grams)
+            gf[g] = r4(max(c * len(gr) for gr, c in gc.items()) / len(text))
+        return mean_wl, sym, alpha, stop, ell, dlf, dcf, gf[3], gf[4]
+
+    agg = {}
+    for row in tbl:
+        rep = " ".join(row["text"].split(" ")[:LINE_W] * 6)
+        for text in (row["text"], _BAD_SYM_TEXT, rep):
+            wl, sym, al, st, el, dlf, dcf, g3, g4 = doc_stats(text)
+            a = agg.setdefault(
+                row["source"],
+                {"n": 0, "fl": [0] * 9, "dlf": 0.0, "g3": 0.0, "g4": 0.0},
+            )
+            a["n"] += 1
+            for i, f in enumerate(
+                [wl < 3 or wl > 10, sym > 0.1, al < 0.8, st < 2, el > 0.3,
+                 dlf > 0.3, dcf > 0.2, g3 > 0.18, g4 > 0.16]
+            ):
+                a["fl"][i] += int(f)
+            a["dlf"] += dlf
+            a["g3"] += g3
+            a["g4"] += g4
+
+    got = {r["source"]: r for r in q_gopher_quality_full(spark, SF).collect()}
+    assert set(got) == set(agg)
+    keys = ["n_wordlen", "n_sym", "n_alpha", "n_stop", "n_ellipsis",
+            "n_dupline", "n_dupchar", "n_g3", "n_g4"]
+    for src, a in agg.items():
+        g = got[src]
+        assert g["n_docs"] == a["n"]
+        assert [g[k] for k in keys] == a["fl"], (src, [g[k] for k in keys], a["fl"])
+        for col, tot in (("avg_dup_line_frac", a["dlf"]),
+                         ("avg_g3_frac", a["g3"]), ("avg_g4_frac", a["g4"])):
+            assert abs(g[col] - r4(tot / a["n"])) < 1e-6, (src, col)
