@@ -715,3 +715,43 @@ def test_gopher_quality_full_third_implementation(spark):
         for col, tot in (("avg_dup_line_frac", a["dlf"]),
                          ("avg_g3_frac", a["g3"]), ("avg_g4_frac", a["g4"])):
             assert abs(g[col] - r4(tot / a["n"])) < 1e-6, (src, col)
+
+
+def test_frontier_pagerank_third_implementation(spark):
+    """Dense numpy power iteration (matrix form) vs the DataFrame
+    PageRank — independent formulation, exact same spec (uniform init,
+    damping, dangling mass redistributed uniformly, 3 iterations)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from twawler_spark.coverage_queries import (
+        PR_DAMPING,
+        PR_ITERS,
+        q_frontier_pagerank,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pylist()
+    edges = {
+        (r["user_id"], 1 + (r["event_id"] * 7) % 149)
+        for r in ev
+        if r["user_id"] != 1 + (r["event_id"] * 7) % 149
+    }
+    ids = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[idx[t], idx[s]] += 1.0
+    od = M.sum(axis=0)
+    has_out = od > 0
+    M[:, has_out] /= od[has_out]
+    r = np.full(n, 1.0 / n)
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        dang = r[~has_out].sum()
+        r = (1 - d) / n + d * (M @ r + dang / n)
+    got = {row["id"]: row["pr"] for row in q_frontier_pagerank(spark, SF).collect()}
+    assert set(got) == set(ids)
+    assert abs(sum(got.values()) - 1.0) < 1e-3  # ranks form a distribution
+    for v in ids:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])

@@ -3030,3 +3030,110 @@ FROM per_pair
 GROUP BY faver
 HAVING count(DISTINCT author) = (SELECT n FROM n_req)
 """
+
+
+# --------------------------------------- frontier PageRank crawl ordering
+
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def q_frontier_pagerank(spark, sf):
+    """Link-based crawl prioritization: PageRank (Page et al. 1998 —
+    the classic web-crawl ordering heuristic, cf. OPIC/breadth-first
+    ordering studies) over the deterministic mention graph shared with
+    graph_stats, PR_ITERS fixed power iterations from the uniform
+    vector with proper dangling-mass redistribution. Extends the
+    scheduler's per-host expected/late priorities (freq.py:103,133)
+    with a global link-structure signal.
+
+    100 TB shape: each iteration is one (src)-keyed join of the rank
+    vector onto the edge list + one (dst)-keyed aggregation — the rank
+    vector is O(|nodes|) and only IT moves; the edge list can stay
+    bucketed by src so the join is storage-partitioned. The dangling
+    mass is a 1-row aggregate broadcast into the update. Fixed
+    iteration count keeps the whole computation ONE Catalyst plan (no
+    driver-side convergence loop; convergence-checked variants would
+    reuse dedup_clusters' 1-row-signature pattern)."""
+    e = _t(spark, sf, "events")
+    edges = (
+        e.select(
+            F.col("user_id").alias("src"),
+            (1 + F.pmod(F.col("event_id") * 7, F.lit(149))).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ranks = nodes.crossJoin(nn).select(
+        "id", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    d = PR_DAMPING
+    for _ in range(PR_ITERS):
+        withod = ranks.join(outd, ranks["id"] == outd["src"], "left").select(
+            ranks["id"].alias("id"), "rank", "od"
+        )
+        dang = withod.where(F.col("od").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contribs = (
+            edges.join(
+                withod.where(F.col("od").isNotNull()),
+                edges["src"] == F.col("id"),
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("od")).alias("cin"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["id"] == contribs["dst"], "left")
+            .crossJoin(dang)
+            .crossJoin(nn)
+            .select(
+                "id",
+                (
+                    F.lit(1 - d) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce("cin", F.lit(0.0)) + F.col("dmass") / F.col("n"))
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("id", F.round("rank", 6).alias("pr"))
+
+
+def _o_frontier_pagerank() -> str:
+    d = PR_DAMPING
+    its = []
+    for i in range(PR_ITERS):
+        its.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dmass
+  FROM r{i} LEFT JOIN outd ON r{i}.id = outd.src WHERE od IS NULL),
+c{i} AS (
+  SELECT e.dst, sum(r.rank / o.od) AS cin
+  FROM edges e JOIN r{i} r ON e.src = r.id JOIN outd o ON e.src = o.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT nodes.id,
+         {1 - d} / n + {d} * (coalesce(cin, 0) + dmass / n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} ON nodes.id = c{i}.dst)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id <> 1 + (event_id * 7) % 149),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outd AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT id, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT id, round(rank, 6) AS pr FROM r{PR_ITERS}
+"""
+
+
+O_FRONTIER_PAGERANK = _o_frontier_pagerank()

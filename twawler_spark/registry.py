@@ -82,6 +82,7 @@ QUERIES: dict[str, QueryFn] = {
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
     "graph_stats": cq.q_graph_stats,
+    "frontier_pagerank": cq.q_frontier_pagerank,
     "graph_bfs_ecc": cq.q_graph_bfs_ecc,
     "graph_girth_sampled": cq.q_graph_girth_sampled,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
@@ -225,6 +226,7 @@ ORACLES: dict[str, str] = {
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
     "graph_stats": cq.O_GRAPH_STATS,
+    "frontier_pagerank": cq.O_FRONTIER_PAGERANK,
     "graph_bfs_ecc": cq.O_GRAPH_BFS_ECC,
     "graph_girth_sampled": cq.O_GRAPH_GIRTH,
     "crawl_score": eq.O_CRAWL_SCORE,
@@ -348,7 +350,7 @@ _WINDOW_R5 = [
     "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
     "list_common_favoriters", "line_dedup", "sequence_packing",
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
-    "s3_stream_host_budget", "crawl_round_pack",
+    "s3_stream_host_budget", "crawl_round_pack", "frontier_pagerank",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -359,10 +361,11 @@ _WINDOW_R5 = [
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
     # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash/
-    # dedup_exact/s3_stream_windowed yielded their slots to the four new
-    # round-5 queries — all r3-green and re-verified locally every round)
+    # dedup_exact/s3_stream_windowed/multimodal_decode yielded their slots
+    # to the five new round-5 queries — all r3-green and re-verified
+    # locally every round)
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
-    "multimodal_decode", "j8_synchrotrap_full",
+    "j8_synchrotrap_full",
 ]
 
 QUERIES = {
