@@ -62,6 +62,8 @@ AUDIT = (
     "domain_mixture",
     "gopher_quality_full",
     "dedup_incremental",
+    "crawl_round_pack",
+    "frontier_pagerank",
 )
 
 
