@@ -64,6 +64,7 @@ AUDIT = (
     "dedup_incremental",
     "crawl_round_pack",
     "frontier_pagerank",
+    "dedup_exact_substring",
 )
 
 

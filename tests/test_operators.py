@@ -755,3 +755,29 @@ def test_frontier_pagerank_third_implementation(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-3  # ranks form a distribution
     for v in ids:
         assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+
+
+def test_dedup_exact_substring_flags_planted_pairs(spark):
+    """Every planted _xs companion AND its original must be flagged
+    companion must be flagged (all its windows duplicate the
+    original's prefix, coverage = 1.0). Originals are flagged only
+    when the 4 shared prefix windows are >=50% of their own window
+    count (length-dependent), and the synthetic corpus also carries
+    natural long shared prefixes across docs — so per source the
+    flagged count is lower-bounded by the planted-companion count."""
+    import duckdb
+
+    from twawler_spark.training_queries import q_dedup_exact_substring
+
+    rows = q_dedup_exact_substring(spark, SF).collect()
+    con = duckdb.connect()
+    planted_per_source = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT source, count(*) FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 5 = 0 GROUP BY source"
+        ).fetchall()
+    }
+    assert sum(r["n_flagged"] for r in rows) > 0
+    for r in rows:
+        assert r["n_flagged"] >= planted_per_source.get(r["source"], 0), r

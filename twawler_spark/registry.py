@@ -74,6 +74,7 @@ QUERIES: dict[str, QueryFn] = {
     "gopher_quality_full": tq.q_gopher_quality_full,
     "dedup_incremental": tq.q_dedup_incremental,
     "line_dedup": tq.q_line_dedup,
+    "dedup_exact_substring": tq.q_dedup_exact_substring,
     "sequence_packing": tq.q_sequence_packing,
     "domain_mixture": tq.q_domain_mixture,
     "tfidf_top_terms": tq.q_tfidf_top_terms,
@@ -218,6 +219,7 @@ ORACLES: dict[str, str] = {
     "gopher_quality_full": tq.O_GOPHER_QUALITY_FULL,
     "dedup_incremental": tq.O_DEDUP_INCREMENTAL,
     "line_dedup": tq.O_LINE_DEDUP,
+    "dedup_exact_substring": tq.O_DEDUP_EXACT_SUBSTRING,
     "sequence_packing": tq.O_SEQUENCE_PACKING,
     "domain_mixture": tq.O_DOMAIN_MIXTURE,
     "tfidf_top_terms": tq.O_TFIDF,
@@ -351,6 +353,7 @@ _WINDOW_R5 = [
     "list_common_favoriters", "line_dedup", "sequence_packing",
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
     "s3_stream_host_budget", "crawl_round_pack", "frontier_pagerank",
+    "dedup_exact_substring",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
     "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
@@ -360,12 +363,11 @@ _WINDOW_R5 = [
     "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
-    # earliest r3-green sentinels (fill to 50; dedup_jaccard/dedup_simhash/
-    # dedup_exact/s3_stream_windowed/multimodal_decode yielded their slots
-    # to the five new round-5 queries — all r3-green and re-verified
-    # locally every round)
+    # earliest r3-green sentinels (fill to 50; six r3-green sentinels
+    # — dedup_jaccard/simhash/exact, s3_stream_windowed,
+    # multimodal_decode, j8_synchrotrap_full — yielded their slots to
+    # the six new round-5 queries; all re-verified locally every round)
     "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
-    "j8_synchrotrap_full",
 ]
 
 QUERIES = {

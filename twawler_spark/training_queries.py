@@ -2267,3 +2267,123 @@ GROUP BY source
 
 
 O_DEDUP_INCREMENTAL = _o_dedup_incremental()
+
+
+# ------------------------------------- exact-substring dedup (ExactSubstr)
+
+SUBSTR_W = 16  # tokens per window
+SUBSTR_STRIDE = 8
+
+
+def q_dedup_exact_substring(spark, sf):
+    """Exact-substring dedup (Lee et al. 2022, 'Deduplicating Training
+    Data Makes Language Models Better', ExactSubstr — public): flag
+    documents whose token stream shares LONG EXACT substrings with
+    other documents — the third dedup mode next to near-dup (minhash)
+    and exact-line (line_dedup). Suffix arrays don't distribute; the
+    standard distributed form is hashed fixed-width windows: every
+    SUBSTR_W-token window at stride SUBSTR_STRIDE is md5-hashed, a
+    window is SHARED if its content occurs in >=2 distinct docs, and a
+    doc's duplication coverage = shared windows / its windows (docs
+    with coverage >= 0.5 are flagged). PLANTED: every doc with
+    doc_id%5==0 gets an `_xs` companion carrying its first
+    2*W + STRIDE tokens — the companion's windows all duplicate the
+    original's prefix, so every companion is flagged at coverage 1.0
+    (the original's own coverage is length-dependent: 4 shared prefix
+    windows over its window count).
+
+    100 TB shape: stride bounds the window blowup to ~n/STRIDE rows
+    per doc; ONE hash exchange on window content (the groupBy and the
+    join back to docs reuse it), then doc- and source-keyed aggs. No
+    quadratic pass, no per-row Python.
+
+    Reference parity: twAwler dedups tweets whole (unique index,
+    dumpall.py:61-81); sub-document exact overlap is the
+    training-pipeline generalization."""
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    toks0 = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % 5 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_xs")).alias("doc_id"),
+        "source",
+        F.concat_ws(
+            " ", F.slice(toks0, 1, 2 * SUBSTR_W + SUBSTR_STRIDE)
+        ).alias("text"),
+    )
+    alld = orig.unionByName(planted)
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nw = F.greatest(
+        F.floor((n - SUBSTR_W) / F.lit(SUBSTR_STRIDE)).cast("int") + 1, F.lit(1)
+    )
+    wins = F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda j: F.md5(
+            F.concat_ws(" ", F.slice(toks, j * SUBSTR_STRIDE + 1, SUBSTR_W))
+        ),
+    )
+    from .operators.dedup import spread_for_explode
+
+    ew = spread_for_explode(
+        alld.select("doc_id", "source", nw.alias("nw"), wins.alias("wins")),
+        "doc_id",
+    ).select("doc_id", "source", "nw", F.explode("wins").alias("w"))
+    shared = (
+        ew.groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("w")
+    )
+    cov = (
+        ew.join(shared.withColumn("s", F.lit(1)), "w", "left")
+        .groupBy("doc_id", "source", "nw")
+        .agg(F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0)).alias("ns"))
+        .select(
+            "source",
+            F.round(F.col("ns") / F.col("nw"), 4).alias("cov"),
+        )
+    )
+    return cov.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("cov") >= 0.5, 1).otherwise(0)).alias("n_flagged"),
+        F.round(F.avg("cov"), 4).alias("avg_coverage"),
+    )
+
+
+def _o_dedup_exact_substring() -> str:
+    W, S = SUBSTR_W, SUBSTR_STRIDE
+    return f"""
+WITH alld AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_xs', source,
+         array_to_string((string_split(text, ' '))[1:{2 * W + S}], ' ')
+  FROM documents WHERE doc_id % 5 = 0),
+t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         greatest(cast(floor((len(string_split(text, ' ')) - {W}) / {S}.0)
+                       as int) + 1, 1) AS nw
+  FROM alld),
+ej AS (
+  SELECT doc_id, source, nw, toks, unnest(range(0, nw)) AS j FROM t),
+ew AS (
+  SELECT doc_id, source, nw,
+         md5(array_to_string(toks[(j * {S} + 1):(j * {S} + {W})], ' ')) AS w
+  FROM ej),
+shared AS (SELECT w FROM ew GROUP BY w HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT source,
+         round(sum(CASE WHEN s.w IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+               / any_value(nw), 4) AS cov
+  FROM ew LEFT JOIN shared s ON ew.w = s.w
+  GROUP BY doc_id, source)
+SELECT source, count(*) AS n_docs,
+       cast(sum(CASE WHEN cov >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_flagged,
+       round(avg(cov), 4) AS avg_coverage
+FROM cov GROUP BY source
+"""
+
+
+O_DEDUP_EXACT_SUBSTRING = _o_dedup_exact_substring()
