@@ -781,3 +781,66 @@ def test_dedup_exact_substring_flags_planted_pairs(spark):
     assert sum(r["n_flagged"] for r in rows) > 0
     for r in rows:
         assert r["n_flagged"] >= planted_per_source.get(r["source"], 0), r
+
+
+# ------------------------------------------- round-5b: DSIR / CCNet / traps
+
+def test_dsir_weights_favor_target_language(spark):
+    """The DSIR importance weight must rank target-language (en) docs
+    above non-target docs on average — the selection signal the
+    resampler keys on — and the selected flag must equal weight > 0."""
+    from twawler_spark.training_queries import q_dsir_select
+
+    rows = q_dsir_select(spark, SF).collect()
+    assert rows, "probe slice empty"
+    en = [r.dsir_weight for r in rows if r.lang == "en"]
+    other = [r.dsir_weight for r in rows if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    for r in rows:
+        assert r.selected == (1 if r.dsir_weight > 0 else 0)
+
+
+def test_ccnet_buckets_are_terciles(spark):
+    """Per language: three buckets, sizes within 1 of each other
+    (exact-percentile cuts), and mean NLL ordered head < middle < tail."""
+    from twawler_spark.training_queries import q_ccnet_lm_buckets
+
+    rows = q_ccnet_lm_buckets(spark, SF).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        if len(b) < 3:  # tiny sf0.001 langs can collapse a bucket
+            continue
+        sizes = [b[k].n_docs for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= max(2, max(sizes)), (lang, sizes)
+        assert b["head"].avg_nll <= b["middle"].avg_nll <= b["tail"].avg_nll, lang
+
+
+def test_trap_detection_flags_id_bearing_hosts(spark):
+    """Hosts h0-h4 carry id-bearing URL spaces (the planted traps);
+    h5-h19 have bounded template spaces. The ratio flag must separate
+    them exactly, from the URLs alone."""
+    from twawler_spark.entry_queries import q_trap_detection
+
+    rows = q_trap_detection(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        expected = 1 if int(r.host[1:]) < 5 else 0
+        assert r.is_trap == expected, (r.host, r.n_urls, r.n_templates)
+        assert r.n_urls >= r.n_templates
+
+
+def test_host_adaptive_budget_bounds_and_monotone(spark):
+    """Budgets stay inside [1, 32] and are antitone in observed
+    latency: a slower host never gets a larger budget."""
+    from twawler_spark.entry_queries import q_host_adaptive_budget
+
+    rows = q_host_adaptive_budget(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert 1 <= r.next_budget <= 32
+    by_lat = sorted(rows, key=lambda r: r.avg_latency)
+    budgets = [r.next_budget for r in by_lat]
+    assert all(a >= b for a, b in zip(budgets, budgets[1:]))

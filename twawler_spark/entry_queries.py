@@ -1777,3 +1777,123 @@ SELECT CASE WHEN gap < 30 THEN 'lt_30s' WHEN gap < 60 THEN 'lt_1m'
        count(*) AS n, round(avg(gap), 4) AS avg_gap
 FROM g WHERE gap IS NOT NULL GROUP BY 1
 """
+
+
+# ------------------------------------------------- crawler-trap detection
+
+
+def q_trap_detection(spark, sf):
+    """Crawler-trap / infinite-URL-space detection: per host, compare
+    the distinct-URL count against the distinct URL-TEMPLATE count
+    (digit runs collapsed to 'N' — calendar pages, session ids,
+    pagination all fold to one template). A host whose URL space keeps
+    growing while its template space stays flat is a trap — the
+    scheduler should demote it before it eats the per-host budget.
+    URLs derive from events per the fixture convention (host =
+    'h'||user_id%20; hosts h0-h4 carry an id-bearing path shape).
+
+    100 TB shape: one groupBy(host) with two count-distincts (Catalyst
+    expands to a two-phase distinct agg; production at 10^10 URLs
+    would swap in approx_count_distinct HLL — same plan minus the
+    expand). No windows, no joins. Reference tie-in: the per-user
+    fetch cutoffs that stop runaway timelines (twkit/crawler/
+    crawl.py:105-131) are the same depth-bounding decision made
+    per-host here."""
+    e = _t(spark, sf, "events")
+    hostnum = F.pmod(F.col("user_id"), F.lit(20))
+    host = F.concat(F.lit("h"), hostnum.cast("string"))
+    path = F.when(
+        hostnum < 5,
+        F.concat(F.lit("/page/"), F.col("event_id").cast("string"),
+                 F.lit("/"), F.col("event_type")),
+    ).otherwise(F.concat(F.lit("/cat/"), F.col("event_type")))
+    urls = e.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit(".example.com"), path).alias("url"),
+        F.regexp_replace(path, "[0-9]+", "N").alias("tpl"),
+    )
+    agg = urls.groupBy("host").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("tpl").alias("n_templates"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        F.round(F.col("n_urls") / F.col("n_templates"), 4).alias("url_per_template"),
+        F.when(F.col("n_urls") / F.col("n_templates") > 20, 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_trap"),
+    )
+
+
+O_TRAP_DETECTION = """
+WITH u AS (
+  SELECT 'h' || cast(user_id % 20 as varchar) AS host,
+         CASE WHEN user_id % 20 < 5
+              THEN '/page/' || cast(event_id as varchar) || '/' || event_type
+              ELSE '/cat/' || event_type END AS path
+  FROM events),
+urls AS (
+  SELECT host,
+         'https://' || host || '.example.com' || path AS url,
+         regexp_replace(path, '[0-9]+', 'N', 'g') AS tpl
+  FROM u)
+SELECT host,
+       count(DISTINCT url) AS n_urls,
+       count(DISTINCT tpl) AS n_templates,
+       round(count(DISTINCT url) * 1.0 / count(DISTINCT tpl), 4) AS url_per_template,
+       cast(CASE WHEN count(DISTINCT url) * 1.0 / count(DISTINCT tpl) > 20
+                 THEN 1 ELSE 0 END as bigint) AS is_trap
+FROM urls GROUP BY host
+"""
+
+
+# --------------------------------------- adaptive per-host politeness
+
+
+def q_host_adaptive_budget(spark, sf):
+    """AIMD-style adaptive politeness: scale each host's next-round
+    fetch budget by how its observed fetch latency (events.value as
+    the latency proxy) compares to the fleet-wide mean — slow hosts
+    get throttled toward 1, fast hosts earn up to 2x the base budget.
+    This is the adaptive tier above the static per-host budget the
+    round plan already enforces (operators/budget.py); the reference's
+    equivalent is the rate-limit backoff that stretches the crawl
+    cadence when the API slows (twkit/utils.py rate-limit handling).
+
+    100 TB shape: one map-side-combinable groupBy(host) + a broadcast
+    1-row fleet mean; the output is one row per host (20 here, ~10^7
+    at web scale) which feeds the next round's budget join. No
+    windows, no skew surface."""
+    e = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(20)).cast("string"))
+    per_host = e.select(host.alias("host"), "value").groupBy("host").agg(
+        F.count("*").alias("n_fetches"), F.avg("value").alias("lat")
+    )
+    fleet = per_host.agg(F.avg("lat").alias("fleet_lat"))
+    base = 16
+    ratio = F.col("fleet_lat") / F.col("lat")
+    return per_host.crossJoin(F.broadcast(fleet)).select(
+        "host",
+        "n_fetches",
+        F.round(F.col("lat"), 4).alias("avg_latency"),
+        F.greatest(
+            F.lit(1),
+            F.least(F.lit(2 * base), F.floor(base * ratio)),
+        ).cast("long").alias("next_budget"),
+    )
+
+
+O_HOST_ADAPTIVE_BUDGET = """
+WITH per_host AS (
+  SELECT 'h' || cast(user_id % 20 as varchar) AS host,
+         count(*) AS n_fetches, avg(value) AS lat
+  FROM events GROUP BY 1),
+fleet AS (SELECT avg(lat) AS fleet_lat FROM per_host)
+SELECT host, n_fetches, round(lat, 4) AS avg_latency,
+       cast(greatest(1, least(32, floor(16 * fleet_lat / lat))) as bigint)
+         AS next_budget
+FROM per_host, fleet
+"""

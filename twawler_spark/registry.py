@@ -79,6 +79,10 @@ QUERIES: dict[str, QueryFn] = {
     "domain_mixture": tq.q_domain_mixture,
     "tfidf_top_terms": tq.q_tfidf_top_terms,
     "word_pmi": tq.q_word_pmi,
+    "dsir_select": tq.q_dsir_select,
+    "ccnet_lm_buckets": tq.q_ccnet_lm_buckets,
+    "trap_detection": eq.q_trap_detection,
+    "host_adaptive_budget": eq.q_host_adaptive_budget,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -224,6 +228,10 @@ ORACLES: dict[str, str] = {
     "domain_mixture": tq.O_DOMAIN_MIXTURE,
     "tfidf_top_terms": tq.O_TFIDF,
     "word_pmi": tq.O_WORD_PMI,
+    "dsir_select": tq.O_DSIR_SELECT,
+    "ccnet_lm_buckets": tq.O_CCNET_LM_BUCKETS,
+    "trap_detection": eq.O_TRAP_DETECTION,
+    "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
@@ -362,12 +370,15 @@ _WINDOW_R5 = [
     "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
     "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
-    "j6_decoration", "viz_degree_distribution", "a8_log_buckets",
-    # earliest r3-green sentinels (fill to 50; six r3-green sentinels
+    # a8_log_buckets yields its slot to host_adaptive_budget: its A8
+    # sibling a8_histogram is r4-green, so the A8 family stays fresh
+    "j6_decoration", "viz_degree_distribution", "host_adaptive_budget",
+    # earliest r3-green sentinels (fill to 50; eight r3-green sentinels
     # — dedup_jaccard/simhash/exact, s3_stream_windowed,
-    # multimodal_decode, j8_synchrotrap_full — yielded their slots to
-    # the six new round-5 queries; all re-verified locally every round)
-    "crawl_score", "q1_pricing_summary", "dedup_minhash_lsh",
+    # multimodal_decode, j8_synchrotrap_full, q1_pricing_summary,
+    # dedup_minhash_lsh — yielded their slots to the new round-5
+    # queries; all re-verified locally every round)
+    "dsir_select", "ccnet_lm_buckets", "trap_detection",
 ]
 
 QUERIES = {

@@ -2387,3 +2387,207 @@ FROM cov GROUP BY source
 
 
 O_DEDUP_EXACT_SUBSTRING = _o_dedup_exact_substring()
+
+
+# ------------------------------------------------- DSIR importance select
+
+DSIR_B = 256  # hashed n-gram feature buckets (DSIR uses 10^4; scaled to sf)
+
+
+def q_dsir_select(spark, sf):
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    public arXiv:2302.03169) — the hashed-n-gram variant: features are
+    word uni+bigrams hashed into DSIR_B buckets (portable md5
+    arithmetic, identical on both engines); the target distribution is
+    the ``lang='en'`` slice, the raw distribution the whole corpus,
+    both Laplace-smoothed; a document's importance weight is the sum
+    of ln(p_target/p_raw) over its feature occurrences. Deterministic
+    variant of the paper's Gumbel-top-k: emit the probe slice with its
+    weight and a selected flag (weight > 0 ⇔ more target-like than
+    raw).
+
+    100 TB shape: the bucket table is DSIR_B rows (broadcast both
+    ways), so the job is two map-side-combinable shuffles — feature
+    counts by bucket, then weights by doc — plus a linear explode.
+    Nothing global, no window. Reference tie-in: the same selection
+    shape as the tracked-set priority scoring (twkit/crawler/freq.py
+    score ordering), applied to corpus curation."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+            lambda g: g.contains(" "),
+        )
+    )
+    feats = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.explode(F.concat(toks, bigrams)).alias("f"),
+    ).where(F.col("f") != "")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long"),
+        F.lit(DSIR_B),
+    )
+    feats = feats.select("doc_id", "lang", b.alias("b"))
+    stats = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r"))
+    lr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.log(
+            ((F.col("ct") + 1.0) / (F.col("t") + DSIR_B))
+            / ((F.col("cr") + 1.0) / (F.col("r") + DSIR_B))
+        ).alias("lw"),
+    )
+    w = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("lw").alias("wt"))
+    )
+    return w.where(F.col("doc_id") < 100).select(
+        "doc_id",
+        "lang",
+        F.round(F.col("wt"), 4).alias("dsir_weight"),
+        F.when(F.col("wt") > 0, 1).otherwise(0).cast("long").alias("selected"),
+    )
+
+
+O_DSIR_SELECT = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(f), 1, 15))::BIGINT % {DSIR_B} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(toks,
+             list_filter(
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                 i -> array_to_string(toks[i:i+1], ' ')),
+               g -> contains(g, ' ')))) AS f
+    FROM t)
+  WHERE f != ''),
+stats AS (
+  SELECT b,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+         count(*) AS cr
+  FROM feats GROUP BY b),
+tot AS (SELECT sum(ct) AS t, sum(cr) AS r FROM stats),
+lr AS (
+  SELECT b, ln(((ct + 1.0) / (t + {DSIR_B})) / ((cr + 1.0) / (r + {DSIR_B}))) AS lw
+  FROM stats, tot),
+w AS (
+  SELECT doc_id, lang, sum(lw) AS wt
+  FROM feats JOIN lr USING (b) GROUP BY doc_id, lang)
+SELECT doc_id, lang, round(wt, 4) AS dsir_weight,
+       cast(CASE WHEN wt > 0 THEN 1 ELSE 0 END as bigint) AS selected
+FROM w WHERE doc_id < 100
+"""
+
+
+# --------------------------------------------- CCNet LM quality bucketing
+
+
+def q_ccnet_lm_buckets(spark, sf):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    arXiv:1911.00359): train a per-language word-unigram LM on a
+    reference slice (``source='src0'`` stands in for the curated LM
+    corpus), score every document by its mean negative log-likelihood
+    (add-one smoothing over V known words + one OOV bucket), then cut
+    each language into head/middle/tail at the exact 1/3 and 2/3
+    score percentiles. Emits per (lang, bucket) doc counts and mean
+    NLL.
+
+    100 TB shape: the LM is a per-lang word table joined broadcast-
+    style onto the token stream (here a plain join — at 10^10 docs the
+    LM stays small enough to broadcast per language); scoring is one
+    map-side-combinable groupBy(doc); the tercile thresholds are a
+    per-lang agg (exact percentile for oracle parity — production at
+    scale would use approx_percentile) broadcast back. No windows."""
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "text"
+    )
+    words = d.select(
+        "doc_id", "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).where(F.col("w") != "")
+    lm = (
+        words.where(F.col("source") == "src0")
+        .groupBy("lang", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    lm_tot = lm.groupBy("lang").agg(
+        F.sum("c").alias("t"), F.count("*").alias("v")
+    )
+    scored = (
+        words.join(F.broadcast(lm), ["lang", "w"], "left")
+        .join(F.broadcast(lm_tot), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("t"), F.lit(0)) + F.coalesce(F.col("v"), F.lit(0)) + 1.0)
+                )
+            ).alias("nll"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("nll"), 6).alias("score"))
+    )
+    # the tercile fractions are pinned as exact double literals so both
+    # engines interpolate at bit-identical ranks (decimal 1.0/3 would
+    # truncate to 0.333333 on the Spark side only)
+    thr = scored.groupBy("lang").agg(
+        F.expr(
+            f"percentile(score, array({1 / 3!r}D, {2 / 3!r}D))"
+        ).alias("q")
+    ).select("lang", F.col("q")[0].alias("t1"), F.col("q")[1].alias("t2"))
+    bucketed = scored.join(F.broadcast(thr), "lang").select(
+        "lang",
+        "score",
+        F.when(F.col("score") <= F.col("t1"), "head")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("score"), 4).alias("avg_nll")
+    )
+
+
+O_CCNET_LM_BUCKETS = """
+WITH words AS (
+  SELECT doc_id, lang, source, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+wf AS (SELECT * FROM words WHERE w != ''),
+lm AS (
+  SELECT lang, w, count(*) AS c FROM wf WHERE source = 'src0'
+  GROUP BY lang, w),
+lm_tot AS (SELECT lang, sum(c) AS t, count(*) AS v FROM lm GROUP BY lang),
+scored AS (
+  SELECT doc_id, wf.lang,
+         round(avg(-ln((coalesce(lm.c, 0) + 1.0)
+                       / (coalesce(lm_tot.t, 0) + coalesce(lm_tot.v, 0) + 1.0))), 6)
+           AS score
+  FROM wf
+  LEFT JOIN lm ON wf.lang = lm.lang AND wf.w = lm.w
+  LEFT JOIN lm_tot ON wf.lang = lm_tot.lang
+  GROUP BY doc_id, wf.lang),
+thr AS (
+  SELECT lang,
+         quantile_cont(score, 0.3333333333333333::DOUBLE) AS t1,
+         quantile_cont(score, 0.6666666666666666::DOUBLE) AS t2
+  FROM scored GROUP BY lang),
+bucketed AS (
+  SELECT scored.lang, score,
+         CASE WHEN score <= t1 THEN 'head'
+              WHEN score <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM scored JOIN thr ON scored.lang = thr.lang)
+SELECT lang, bucket, count(*) AS n_docs, round(avg(score), 4) AS avg_nll
+FROM bucketed GROUP BY lang, bucket
+"""
