@@ -65,6 +65,10 @@ AUDIT = (
     "crawl_round_pack",
     "frontier_pagerank",
     "dedup_exact_substring",
+    "dsir_select",
+    "ccnet_lm_buckets",
+    "trap_detection",
+    "host_adaptive_budget",
 )
 
 
