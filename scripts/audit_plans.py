@@ -67,6 +67,7 @@ AUDIT = (
     "dedup_exact_substring",
     "dsir_select",
     "ccnet_lm_buckets",
+    "semdedup",
     "trap_detection",
     "host_adaptive_budget",
 )

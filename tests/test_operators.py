@@ -844,3 +844,20 @@ def test_host_adaptive_budget_bounds_and_monotone(spark):
     by_lat = sorted(rows, key=lambda r: r.avg_latency)
     budgets = [r.next_budget for r in by_lat]
     assert all(a >= b for a, b in zip(budgets, budgets[1:]))
+
+
+def test_semdedup_drops_exactly_the_planted_twins(spark):
+    """Every vector gets a doubled-direction plant; SemDeDup must drop
+    exactly one of each twin pair (the plant, by the centroid-distance
+    tie-break) and never a vector without a semantic duplicate —
+    so per cell n_dropped == n_vectors/2 and kept == dropped."""
+    from twawler_spark.training_queries import q_semdedup
+
+    rows = q_semdedup(spark, SF).collect()
+    assert rows
+    total = sum(r.n_vectors for r in rows)
+    dropped = sum(r.n_dropped for r in rows)
+    assert total == 2 * dropped  # one survivor per twin pair
+    for r in rows:
+        assert r.n_kept + r.n_dropped == r.n_vectors
+        assert r.n_dropped == r.n_vectors // 2, r

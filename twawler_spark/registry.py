@@ -83,6 +83,7 @@ QUERIES: dict[str, QueryFn] = {
     "ccnet_lm_buckets": tq.q_ccnet_lm_buckets,
     "trap_detection": eq.q_trap_detection,
     "host_adaptive_budget": eq.q_host_adaptive_budget,
+    "semdedup": tq.q_semdedup,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -232,6 +233,7 @@ ORACLES: dict[str, str] = {
     "ccnet_lm_buckets": tq.O_CCNET_LM_BUCKETS,
     "trap_detection": eq.O_TRAP_DETECTION,
     "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
+    "semdedup": tq.O_SEMDEDUP,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
@@ -370,9 +372,12 @@ _WINDOW_R5 = [
     "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
     "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
-    # a8_log_buckets yields its slot to host_adaptive_budget: its A8
-    # sibling a8_histogram is r4-green, so the A8 family stays fresh
-    "j6_decoration", "viz_degree_distribution", "host_adaptive_budget",
+    # a8_log_buckets + viz_degree_distribution yield their slots to
+    # host_adaptive_budget and semdedup: a8_histogram (same A8 family)
+    # is r4-green, and viz_degree is a projection of a9_degree_stats
+    # which IS in this window — never-driver-checked new operators
+    # outrank a third refresh of the same family
+    "j6_decoration", "semdedup", "host_adaptive_budget",
     # earliest r3-green sentinels (fill to 50; eight r3-green sentinels
     # — dedup_jaccard/simhash/exact, s3_stream_windowed,
     # multimodal_decode, j8_synchrotrap_full, q1_pricing_summary,

@@ -2591,3 +2591,169 @@ bucketed AS (
 SELECT lang, bucket, count(*) AS n_docs, round(avg(score), 4) AS avg_nll
 FROM bucketed GROUP BY lang, bucket
 """
+
+
+# --------------------------------------------------------------- SemDeDup
+
+SEMDEDUP_T = 0.99  # within-cluster cosine above this = semantic duplicate
+
+
+def q_semdedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023, public arXiv:2303.09540): cluster
+    the embedding space (the IVF deterministic coarse quantizer —
+    every IVF_CENTROID_MOD-th base vector is a centroid, map-side
+    argmax-cosine assignment against ONE broadcast centroid row), then
+    inside each cluster drop every vector that has a semantic
+    duplicate (cos ≥ SEMDEDUP_T) which sits FARTHER from the centroid
+    — the paper's keep-the-extreme-point rule — with vid as the
+    deterministic tie-break (doubled-vector plants tie exactly on
+    centroid-cosine, so the plant '_d' drops and the base survives).
+    Emits the per-cluster audit row: size, dropped count, kept count.
+
+    100 TB shape: identical to production SemDeDup — the corpus never
+    shuffles for assignment (broadcast centroids), the quadratic step
+    is confined inside clusters whose size the quantizer controls
+    (k ~ sqrt(N) keeps cells ~sqrt(N)), and the pair predicate is a
+    cell-partitioned self-join, never all-pairs. Plants: a doubled
+    copy of every vector (same direction ⇒ cos == 1 with its base,
+    bit-identical centroid-cosine on both engines)."""
+    from .operators.dedup import spread_for_explode
+
+    e = _t(spark, sf, "embeddings")
+    base = e.select(F.col("vec_id").cast("string").alias("vid"), "embedding")
+    planted = e.select(
+        F.concat(F.col("vec_id").cast("string"), F.lit("_d")).alias("vid"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    alle = spread_for_explode(
+        base.unionByName(planted).withColumn("__n", norm), "vid"
+    )
+    cents = (
+        e.where(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cvec"),
+        )
+        .withColumn(
+            "cnorm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("cvec"),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            ),
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("cvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy("vid").orderBy(
+        (dot_c / (F.col("__n") * F.col("cnorm"))).desc(), F.col("cid").asc()
+    )
+    assigned = (
+        alle.crossJoin(F.broadcast(cents))
+        .withColumn("cos_c", dot_c / (F.col("__n") * F.col("cnorm")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vid", "embedding", "__n", F.col("cid").alias("cell"), "cos_c")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (F.col("a.__n") * F.col("b.__n"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vid") != F.col("b.vid"))
+            & (
+                (F.col("b.cos_c") < F.col("a.cos_c"))
+                | (
+                    (F.col("b.cos_c") == F.col("a.cos_c"))
+                    & (F.col("b.vid") < F.col("a.vid"))
+                )
+            ),
+            "inner",
+        )
+        .where(pair_cos >= SEMDEDUP_T)
+        .select(F.col("a.vid").alias("vid"), F.col("a.cell").alias("cell"))
+        .distinct()
+    )
+    marked = assigned.join(
+        dropped.withColumn("__drop", F.lit(1)).drop("cell"), "vid", "left"
+    )
+    return (
+        marked.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(F.when(F.col("__drop").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("long"))
+    )
+
+
+def _o_semdedup() -> str:
+    return f"""
+WITH alle AS (
+  SELECT cast(vec_id as varchar) AS vid, embedding FROM embeddings
+  UNION ALL
+  SELECT cast(vec_id as varchar) || '_d',
+         list_transform(embedding, x -> cast(x * cast(2.0 as float) as float))
+  FROM embeddings),
+vn AS (
+  SELECT vid, embedding,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y)) AS nrm
+  FROM alle),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y)) AS cnorm
+  FROM embeddings WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+assigned AS (
+  SELECT vid, embedding, nrm, cid AS cell, cos_c FROM (
+    SELECT v.vid, v.embedding, v.nrm, c.cid,
+           {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} AS cos_c,
+           row_number() OVER (PARTITION BY v.vid
+             ORDER BY {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} DESC,
+                      c.cid ASC) AS rn
+    FROM vn v CROSS JOIN cents c) WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT a.vid
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vid <> b.vid
+   AND (b.cos_c < a.cos_c OR (b.cos_c = a.cos_c AND b.vid < a.vid))
+  WHERE {_o_cos('a.embedding', 'b.embedding', 'a.nrm', 'b.nrm')} >= {SEMDEDUP_T}),
+marked AS (
+  SELECT assigned.cell, CASE WHEN d.vid IS NOT NULL THEN 1 ELSE 0 END AS dr
+  FROM assigned LEFT JOIN dropped d ON assigned.vid = d.vid)
+SELECT cell, count(*) AS n_vectors,
+       cast(sum(dr) as bigint) AS n_dropped,
+       cast(count(*) - sum(dr) as bigint) AS n_kept
+FROM marked GROUP BY cell
+"""
+
+
+O_SEMDEDUP = _o_semdedup()
