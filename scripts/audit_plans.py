@@ -68,6 +68,7 @@ AUDIT = (
     "dsir_select",
     "ccnet_lm_buckets",
     "semdedup",
+    "crawl_to_corpus",
     "trap_detection",
     "host_adaptive_budget",
 )

@@ -92,3 +92,17 @@ def test_outlinks_admission_subset(spark):
         assert r["host"].endswith(".example.com")
     # the seen universe overlaps: something must actually be filtered
     assert any(r["n_admitted"] < r["n_discovered"] for r in out)
+
+
+def test_crawl_to_corpus_funnel_is_monotone(spark):
+    """The crawl->corpus funnel must narrow monotonically per host
+    (fetched >= quality >= kept), and its token ledger must be
+    consistent (sequences == floor(tokens/SEQ_LEN))."""
+    from twawler_spark.crawl_queries import CORPUS_SEQ_LEN, q_crawl_to_corpus
+
+    rows = q_crawl_to_corpus(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_fetched >= r.n_quality >= r.n_kept >= 0, r
+        assert r.n_sequences == r.n_tokens // CORPUS_SEQ_LEN, r
+    assert sum(r.n_kept for r in rows) > 0

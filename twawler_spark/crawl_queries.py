@@ -589,3 +589,100 @@ FROM placed GROUP BY host
 
 
 O_CRAWL_ROUND_PACK = _build_o_pack()
+
+
+# --------------------------------------- query 6: crawl -> training corpus
+
+CORPUS_MIN_TOKS = 4   # quality gate: min text tokens per doc
+CORPUS_MIN_SPANS = 2  # quality gate: min spans per doc
+CORPUS_SEQ_LEN = 64   # packing length for the corpus budget row
+
+
+def q_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The full composition the engine exists for — one round's fetched
+    interleaved documents pushed through the curation pipeline in a
+    single plan: quality gate (min text tokens + min spans, Gopher-rule
+    shape) → GLOBAL exact text dedup (min-doc_id survivor per text, the
+    S12/X9 protocol at corpus level) → per-host token + sequence budget
+    (the packing ledger a training run reads). Emits the per-host
+    funnel: fetched → quality → kept → tokens → sequences.
+
+    100 TB shape: the gate is a scan-stage column expression; the dedup
+    is one hash groupBy on the text key + a broadcast-size marker join
+    back; the ledger is one map-side-combinable groupBy(host). The
+    fetched docs never shuffle twice on the same key. Reference parity:
+    crawl-tweets.sh round output consumed by the curation sweeps
+    (twkit/curation/*), here fused into the round itself."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    spans = F.col("spans")
+    flat = docs.select(
+        "doc_id",
+        "host",
+        F.size(spans).alias("n_spans"),
+        F.concat_ws(
+            " | ",
+            F.transform(
+                F.filter(spans, lambda s: s["kind"] == "text"), lambda s: s["text"]
+            ),
+        ).alias("text_all"),
+    )
+    toks = F.filter(
+        F.split(F.col("text_all"), " "), lambda t: (t != "|") & (t != "")
+    )
+    q = flat.select(
+        "doc_id",
+        "host",
+        "text_all",
+        F.size(toks).alias("n_toks"),
+        F.when(
+            (F.size(toks) >= CORPUS_MIN_TOKS) & (F.col("n_spans") >= CORPUS_MIN_SPANS),
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    keep = (
+        q.where(F.col("ok") == 1)
+        .groupBy("text_all")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .withColumn("__k", F.lit(1))
+    )
+    m = q.join(keep, ["text_all", "doc_id"], "left").withColumn(
+        "kept", F.when(F.col("__k").isNotNull(), 1).otherwise(0)
+    )
+    kept_toks = F.when(F.col("kept") == 1, F.col("n_toks")).otherwise(0)
+    return m.groupBy("host").agg(
+        F.count("*").alias("n_fetched"),
+        F.sum("ok").cast("long").alias("n_quality"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(kept_toks).cast("long").alias("n_tokens"),
+        F.floor(F.sum(kept_toks) / CORPUS_SEQ_LEN).cast("long").alias("n_sequences"),
+    )
+
+
+O_CRAWL_TO_CORPUS = f"""
+WITH docs AS ({O_CRAWL_ROUND_DOCS}),
+t AS (
+  SELECT doc_id, host, n_spans,
+         len(list_filter(string_split(text_all, ' '),
+             x -> x != '|' AND x != '')) AS n_toks,
+         text_all
+  FROM docs),
+q AS (
+  SELECT *, CASE WHEN n_toks >= {CORPUS_MIN_TOKS}
+                  AND n_spans >= {CORPUS_MIN_SPANS} THEN 1 ELSE 0 END AS ok
+  FROM t),
+k AS (SELECT text_all, min(doc_id) AS doc_id FROM q WHERE ok = 1 GROUP BY text_all),
+m AS (
+  SELECT q.*, CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM q LEFT JOIN k ON q.text_all = k.text_all AND q.doc_id = k.doc_id)
+SELECT host,
+       count(*) AS n_fetched,
+       cast(sum(ok) as bigint) AS n_quality,
+       cast(sum(kept) as bigint) AS n_kept,
+       cast(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END) as bigint) AS n_tokens,
+       cast(floor(sum(CASE WHEN kept = 1 THEN n_toks ELSE 0 END)
+                  / {CORPUS_SEQ_LEN}.0) as bigint) AS n_sequences
+FROM m GROUP BY host
+"""

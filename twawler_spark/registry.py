@@ -84,6 +84,7 @@ QUERIES: dict[str, QueryFn] = {
     "trap_detection": eq.q_trap_detection,
     "host_adaptive_budget": eq.q_host_adaptive_budget,
     "semdedup": tq.q_semdedup,
+    "crawl_to_corpus": crq.q_crawl_to_corpus,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -234,6 +235,7 @@ ORACLES: dict[str, str] = {
     "trap_detection": eq.O_TRAP_DETECTION,
     "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
     "semdedup": tq.O_SEMDEDUP,
+    "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
@@ -366,7 +368,10 @@ _WINDOW_R5 = [
     "dedup_exact_substring",
     # last driver-green in r2 (stale band)
     "a3_distinct", "a5_explode_count", "a7_interval_stats",
-    "a9_degree_stats", "a12_zero_fill", "a13_counters", "a15_lang_topk",
+    # a12_zero_fill yields its slot to crawl_to_corpus: the zero-fill
+    # shape's siblings (user_creation_dates, word_daily_series) are
+    # r4-green, and the crawl->corpus composition has no driver row yet
+    "a9_degree_stats", "crawl_to_corpus", "a13_counters", "a15_lang_topk",
     "u_set_ops", "a10_collect_sets", "a11_timeseries",
     "j2_antijoin_groupcount", "j3_revenue_per_segment",
     "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
