@@ -69,6 +69,7 @@ AUDIT = (
     "ccnet_lm_buckets",
     "semdedup",
     "crawl_to_corpus",
+    "media_phash_dedup",
     "trap_detection",
     "host_adaptive_budget",
 )

@@ -861,3 +861,46 @@ def test_semdedup_drops_exactly_the_planted_twins(spark):
     for r in rows:
         assert r.n_kept + r.n_dropped == r.n_vectors
         assert r.n_dropped == r.n_vectors // 2, r
+
+
+def test_dhash_shift_invariant_and_discriminative():
+    """dHash property suite (no Spark): brightness-shifted twins hash
+    identically for any id; the pooled decode path agrees with the
+    closed-form block formula; distinct gradient patterns usually
+    differ."""
+    from twawler_spark.operators.multimodal import (
+        dhash_bytes,
+        gradient_brightness,
+        make_gradient_bmp,
+    )
+
+    def oracle(doc_id):
+        h = 0
+        for by in range(8):
+            for j in range(7):
+                if gradient_brightness(doc_id, j + 1, by) > gradient_brightness(
+                    doc_id, j, by
+                ):
+                    h |= 1 << (by * 7 + j)
+        return h
+
+    for i in range(0, 400, 7):
+        base = dhash_bytes(make_gradient_bmp(i, 0))
+        assert base == dhash_bytes(make_gradient_bmp(i, 8)), i
+        assert base == oracle(i), i
+    distinct = {dhash_bytes(make_gradient_bmp(i)) for i in range(64)}
+    # comparison-pattern space is coarser than raw-brightness space,
+    # but the family must stay far from constant
+    assert len(distinct) > 16
+
+
+def test_media_phash_dedup_catches_all_plants(spark):
+    """Every planted brightness-shifted twin must land in a bucket with
+    its base image: total bucket membership covers all 2N images (every
+    image has at least its twin), and no bucket is a singleton."""
+    from twawler_spark.training_queries import q_media_phash_dedup
+
+    rows = q_media_phash_dedup(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_images for r in rows) == 2 * n_docs
+    assert all(r.n_images >= 2 for r in rows)

@@ -558,3 +558,123 @@ def attach_avi_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(gen, schema="media_ref string, payload binary")
+
+
+# ------------------------------------------------- perceptual hash (dHash)
+
+DHASH_BLOCKS_X = 8   # pooled grid width  -> 7 horizontal comparisons/row
+DHASH_BLOCKS_Y = 8   # pooled grid height -> 56-bit hash (stays off int64 sign)
+DHASH_BLOCK = 4      # source pixels per pooled cell edge (32x32 images)
+
+
+def gradient_brightness(doc_id: int, bx: int, by: int) -> int:
+    """The fixture's per-block brightness ramp — kept in [0, 192) so a
+    +shift plant never wraps and therefore never reorders adjacent
+    blocks. Shared by the builder, the test, and the SQL oracle."""
+    return (13 * doc_id + 37 * bx + 59 * by) % 192
+
+
+def make_gradient_bmp(doc_id: int, shift: int = 0) -> bytes:
+    """Real 24-bit BMP with a block-gradient grayscale pattern: each
+    DHASH_BLOCK-square cell is filled with gradient_brightness(...) +
+    shift. ``by`` indexes STORED row order (BMPs are bottom-up; the
+    hash is orientation-covariant as long as builder, decoder and
+    oracle agree, so the stored order is the contract)."""
+    import struct
+
+    import numpy as np
+
+    w = DHASH_BLOCKS_X * DHASH_BLOCK
+    h = DHASH_BLOCKS_Y * DHASH_BLOCK
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(DHASH_BLOCKS_Y):
+        for bx in range(DHASH_BLOCKS_X):
+            img[
+                by * DHASH_BLOCK : (by + 1) * DHASH_BLOCK,
+                bx * DHASH_BLOCK : (bx + 1) * DHASH_BLOCK,
+            ] = gradient_brightness(doc_id, bx, by) + shift
+    rows = []
+    stride_pad = (-(3 * w)) % 4
+    for r in range(h):
+        row = np.repeat(img[r], 3).tobytes()  # grayscale BGR
+        rows.append(row + b"\x00" * stride_pad)
+    pixels = b"".join(rows)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def dhash_bytes(buf: bytes) -> int:
+    """Difference hash of one 24-bit BMP, from bytes alone: header
+    parse, padding strip, DHASH_BLOCK-square mean pooling (exact
+    integer division), then bit k = by*(BX-1)+j set iff pooled[by][j+1]
+    > pooled[by][j]. Brightness-shift invariant by construction — the
+    property the near-dup detector rides on."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", buf, 10)[0]
+    w, h = struct.unpack_from("<ii", buf, 18)
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    rows = np.frombuffer(
+        buf, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)[:, : 3 * w]
+    gray = rows.reshape(h, w, 3)[:, :, 0].astype(np.int64)  # B plane
+    bh, bw = h // DHASH_BLOCK, w // DHASH_BLOCK
+    pooled = (
+        gray.reshape(bh, DHASH_BLOCK, bw, DHASH_BLOCK).sum(axis=(1, 3))
+        // (DHASH_BLOCK * DHASH_BLOCK)
+    )
+    hash_val = 0
+    for by in range(bh):
+        for j in range(bw - 1):
+            if pooled[by][j + 1] > pooled[by][j]:
+                hash_val |= 1 << (by * (bw - 1) + j)
+    return hash_val
+
+
+def attach_gradient_bmp_media(
+    df: DataFrame, id_col: str = "doc_id", shift: int = 0, ref_suffix: str = ""
+) -> DataFrame:
+    """Deterministic gradient-BMP payload per row (optionally brightness-
+    shifted + ref-suffixed: the near-dup plant — different bytes, same
+    dHash)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": ids.astype(str) + ref_suffix,
+                    "payload": [make_gradient_bmp(int(i), shift) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="media_ref string, payload binary")
+
+
+def decode_image_dhash(media: DataFrame) -> DataFrame:
+    """Arrow-batched dHash over the binary image column — the
+    perceptual-hash tier of the media pipeline (real byte decode +
+    numpy pooling inside the sanctioned mapInPandas surface)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "dhash": pd.array(
+                        [dhash_bytes(bytes(b)) for b in pdf["payload"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_ref string, dhash long")

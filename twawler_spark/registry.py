@@ -85,6 +85,9 @@ QUERIES: dict[str, QueryFn] = {
     "host_adaptive_budget": eq.q_host_adaptive_budget,
     "semdedup": tq.q_semdedup,
     "crawl_to_corpus": crq.q_crawl_to_corpus,
+    # outside the r5 window (full at 50) — locally verified every round,
+    # first in line for the r6 rotation
+    "media_phash_dedup": tq.q_media_phash_dedup,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -236,6 +239,7 @@ ORACLES: dict[str, str] = {
     "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
     "semdedup": tq.O_SEMDEDUP,
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
+    "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,

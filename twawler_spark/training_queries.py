@@ -2757,3 +2757,58 @@ FROM marked GROUP BY cell
 
 
 O_SEMDEDUP = _o_semdedup()
+
+
+# ------------------------------------------------ perceptual-hash dedup
+
+
+def q_media_phash_dedup(spark, sf):
+    """Image near-dup via perceptual difference-hash (dHash — the
+    public average/difference-hash family, e.g. pHash.org): every
+    document gets a REAL gradient 24-bit BMP plus a brightness-shifted
+    plant ('_p': different bytes, so exact/content-id dedup misses it;
+    identical dHash, so the perceptual tier catches it). The decode is
+    real byte work — header parse, padding strip, numpy block-mean
+    pooling, adjacent-column comparisons — inside the sanctioned
+    Arrow mapInPandas surface (operators/multimodal.py:dhash_bytes).
+    Output: one audit row per hash bucket with >= 2 members.
+
+    100 TB shape: hashing is map-only over the binary column; the
+    bucket groupBy is one shuffle on a 56-bit key (near-uniform for
+    real images, so no skew surface); cross-image work never happens —
+    candidate pairs exist only inside equal-hash buckets, exactly like
+    the MinHash band-bucket design. Reference analog: profilepics.py
+    avatar de-duplication by content (S10), upgraded from byte-equality
+    to perceptual equality."""
+    from .operators.multimodal import attach_gradient_bmp_media, decode_image_dhash
+
+    d = _t(spark, sf, "documents")
+    base = attach_gradient_bmp_media(d, "doc_id")
+    plant = attach_gradient_bmp_media(d, "doc_id", shift=8, ref_suffix="_p")
+    hashed = decode_image_dhash(base.unionByName(plant))
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("media_ref").alias("first_ref"),
+        )
+        .where(F.col("n_images") >= 2)
+    )
+
+
+O_MEDIA_PHASH_DEDUP = """
+WITH imgs AS (
+  SELECT cast(doc_id as varchar) AS media_ref, doc_id FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_p', doc_id FROM documents),
+hashed AS (
+  SELECT media_ref,
+         -- cast: list_sum yields HUGEINT (the r4 oracle-type trap)
+         cast(list_sum(list_transform(range(0, 56), k ->
+           CASE WHEN (13 * doc_id + 37 * ((k % 7) + 1) + 59 * (k // 7)) % 192
+                   > (13 * doc_id + 37 * (k % 7) + 59 * (k // 7)) % 192
+                THEN 1::BIGINT << k ELSE 0 END)) as bigint) AS dhash
+  FROM imgs)
+SELECT dhash, count(*) AS n_images, min(media_ref) AS first_ref
+FROM hashed GROUP BY dhash HAVING count(*) >= 2
+"""
