@@ -53,6 +53,11 @@ HEADLINE_QUERIES = (
     "text_quality",
     "crawl_round_docs",
     "graph_stats",
+    "dsir_select",
+    "ccnet_lm_buckets",
+    "semdedup",
+    "crawl_to_corpus",
+    "media_phash_dedup",
 )
 
 
