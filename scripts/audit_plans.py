@@ -70,6 +70,8 @@ AUDIT = (
     "semdedup",
     "crawl_to_corpus",
     "media_phash_dedup",
+    "sitemap_ingest",
+    "robots_parse",
     "trap_detection",
     "host_adaptive_budget",
 )

@@ -904,3 +904,32 @@ def test_media_phash_dedup_catches_all_plants(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert sum(r.n_images for r in rows) == 2 * n_docs
     assert all(r.n_images >= 2 for r in rows)
+
+
+def test_sitemap_ingest_partitions_urls_exactly(spark):
+    """Parsed locs must reproduce each host's full URL set (parse is
+    lossless), and new+dupes must partition it (the seen third)."""
+    from twawler_spark.entry_queries import q_sitemap_ingest
+
+    rows = q_sitemap_ingest(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_new + r.n_dupes == r.n_locs, r
+        assert 0 < r.n_dupes < r.n_locs  # the %3 seen slice is proper
+
+
+def test_robots_parse_blocks_exactly_the_disallowed_spaces(spark):
+    """Hosts h0-h4 carry the /page/ disallow rule: every one of their
+    /page/ URLs is blocked and nothing else; other hosts block zero.
+    Crawl-delay parses to 1 + hostnum % 7."""
+    from twawler_spark.entry_queries import q_robots_parse
+
+    rows = q_robots_parse(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == 20
+    for r in rows:
+        n = int(r.host[1:])
+        assert r.crawl_delay == 1 + n % 7, r
+        if n < 5:
+            assert r.n_rules == 2 and r.n_blocked > 0 and r.n_allowed == 0, r
+        else:
+            assert r.n_rules == 1 and r.n_blocked == 0 and r.n_allowed > 0, r

@@ -1897,3 +1897,185 @@ SELECT host, n_fetches, round(lat, 4) AS avg_latency,
          AS next_budget
 FROM per_host, fleet
 """
+
+
+# ----------------------------------------------------- sitemap ingestion
+
+
+def q_sitemap_ingest(spark, sf):
+    """Sitemap-source frontier expansion: build each host's sitemap XML
+    (one <url><loc> entry per known URL, deterministic line order),
+    PARSE the locs back out with regexp_extract_all, and anti-join the
+    parsed candidates against the seen-set — the S4-style secondary
+    discovery source feeding the same admission gate as outlinks.
+    Seen here = every URL whose event_id % 3 == 0 (the already-crawled
+    third). Output: per host, locs parsed / new / dupes.
+
+    100 TB shape: real sitemaps arrive as fetched documents, so the
+    parse is a map-only regexp over the document column; the dedup is
+    the standard bloom/anti-join admission path (P5/X5). The groupBy
+    here exists only to SYNTHESIZE the sitemap text deterministically
+    — production skips straight from fetched sitemap bytes to the
+    explode. Reference: the crawler's secondary URL sources
+    (twkit/crawler getfollowers/getfriends cursor walks) discovering
+    ids outside the timeline path."""
+    e = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(20)).cast("string"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+    )
+    lines = e.select(
+        host.alias("host"),
+        F.col("event_id"),
+        F.concat(F.lit("<url><loc>"), url, F.lit("</loc></url>")).alias("line"),
+        url.alias("url"),
+    )
+    sitemaps = lines.groupBy("host").agg(
+        F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("xml")
+    )
+    parsed = sitemaps.select(
+        "host",
+        F.explode(
+            F.expr(r"regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)")
+        ).alias("loc"),
+    ).dropDuplicates(["host", "loc"])
+    seen = lines.where(F.pmod(F.col("event_id"), F.lit(3)) == 0).select(
+        F.col("url").alias("loc")
+    ).distinct()
+    marked = parsed.join(
+        seen.withColumn("__s", F.lit(1)), "loc", "left"
+    )
+    return marked.groupBy("host").agg(
+        F.count("*").alias("n_locs"),
+        F.sum(F.when(F.col("__s").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(F.when(F.col("__s").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dupes"),
+    )
+
+
+O_SITEMAP_INGEST = """
+WITH lines AS (
+  SELECT 'h' || cast(user_id % 20 as varchar) AS host, event_id,
+         'https://h' || cast(user_id % 20 as varchar) || '.example.com/p/'
+           || cast(event_id as varchar) AS url
+  FROM events),
+sitemaps AS (
+  SELECT host,
+         string_agg('<url><loc>' || url || '</loc></url>', chr(10)
+                    ORDER BY '<url><loc>' || url || '</loc></url>') AS xml
+  FROM lines GROUP BY host),
+parsed AS (
+  SELECT DISTINCT host,
+         unnest(regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)) AS loc
+  FROM sitemaps),
+seen AS (SELECT DISTINCT url AS loc FROM lines WHERE event_id % 3 = 0)
+SELECT host, count(*) AS n_locs,
+       cast(sum(CASE WHEN s.loc IS NULL THEN 1 ELSE 0 END) as bigint) AS n_new,
+       cast(sum(CASE WHEN s.loc IS NOT NULL THEN 1 ELSE 0 END) as bigint) AS n_dupes
+FROM parsed p LEFT JOIN seen s USING (loc)
+GROUP BY host
+"""
+
+
+# ------------------------------------------------------- robots parsing
+
+
+def q_robots_parse(spark, sf):
+    """robots.txt parsing + gating in one plan: synthesize each host's
+    robots file (User-agent, per-host Disallow rules — the id-bearing
+    /page/ spaces of hosts h0-h4 are disallowed, which is exactly the
+    trap_detection verdict — and a Crawl-delay directive), PARSE the
+    directives back out with line regexps, and gate the host's URL set
+    against the parsed prefixes. Output per host: parsed crawl_delay,
+    rule count, blocked/allowed URL counts.
+
+    100 TB shape: robots files are one tiny doc per host — the parsed
+    rule table broadcasts onto the frontier scan (the engine's robots
+    gate, plans/round.py, consumes exactly this shape); the URL gate
+    is a map-side starts_with over the broadcast prefix list.
+    Reference: the politeness/backoff layer (twkit/utils.py) plus the
+    per-host fetch gating of crawl-tweets.sh."""
+    e = _t(spark, sf, "events")
+    hostnum = F.pmod(F.col("user_id"), F.lit(20))
+    host = F.concat(F.lit("h"), hostnum.cast("string"))
+    path = F.when(
+        hostnum < 5,
+        F.concat(F.lit("/page/"), F.col("event_id").cast("string"),
+                 F.lit("/"), F.col("event_type")),
+    ).otherwise(F.concat(F.lit("/cat/"), F.col("event_type")))
+    urls = e.select(host.alias("host"), path.alias("path")).dropDuplicates()
+    hosts = urls.select("host").distinct()
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(
+                F.substring("host", 2, 10).cast("int") < 5,
+                F.lit("Disallow: /page/\n"),
+            ).otherwise(F.lit("")),
+            F.lit("Disallow: /private/\n"),
+            F.lit("Crawl-delay: "),
+            (1 + F.pmod(F.substring("host", 2, 10).cast("int"), F.lit(7))).cast(
+                "string"
+            ),
+        ).alias("txt"),
+    )
+    parsed = robots.select(
+        "host",
+        F.expr(r"regexp_extract_all(txt, 'Disallow: ([^\\n]+)', 1)").alias("rules"),
+        F.regexp_extract("txt", r"Crawl-delay: (\d+)", 1)
+        .cast("long")
+        .alias("crawl_delay"),
+    )
+    gated = urls.join(F.broadcast(parsed), "host").select(
+        "host",
+        "crawl_delay",
+        F.size("rules").alias("n_rules"),
+        F.when(
+            F.exists("rules", lambda r: F.col("path").startswith(r)), 1
+        )
+        .otherwise(0)
+        .alias("blocked"),
+    )
+    return gated.groupBy("host", "crawl_delay", "n_rules").agg(
+        F.sum("blocked").cast("long").alias("n_blocked"),
+        F.sum(1 - F.col("blocked")).cast("long").alias("n_allowed"),
+    )
+
+
+O_ROBOTS_PARSE = r"""
+WITH u AS (
+  SELECT DISTINCT 'h' || cast(user_id % 20 as varchar) AS host,
+         CASE WHEN user_id % 20 < 5
+              THEN '/page/' || cast(event_id as varchar) || '/' || event_type
+              ELSE '/cat/' || event_type END AS path
+  FROM events),
+robots AS (
+  SELECT host,
+         'User-agent: *' || chr(10)
+         || CASE WHEN cast(substring(host, 2) as int) < 5
+                 THEN 'Disallow: /page/' || chr(10) ELSE '' END
+         || 'Disallow: /private/' || chr(10)
+         || 'Crawl-delay: '
+         || cast(1 + cast(substring(host, 2) as int) % 7 as varchar) AS txt
+  FROM (SELECT DISTINCT host FROM u)),
+parsed AS (
+  SELECT host,
+         regexp_extract_all(txt, 'Disallow: ([^\n]+)', 1) AS rules,
+         cast(regexp_extract(txt, 'Crawl-delay: (\d+)', 1) as bigint)
+           AS crawl_delay
+  FROM robots),
+gated AS (
+  SELECT u.host, crawl_delay, len(rules) AS n_rules,
+         CASE WHEN len(list_filter(rules, r -> starts_with(u.path, r))) > 0
+              THEN 1 ELSE 0 END AS blocked
+  FROM u JOIN parsed ON u.host = parsed.host)
+SELECT host, crawl_delay, n_rules,
+       cast(sum(blocked) as bigint) AS n_blocked,
+       cast(sum(1 - blocked) as bigint) AS n_allowed
+FROM gated GROUP BY host, crawl_delay, n_rules
+"""

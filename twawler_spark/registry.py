@@ -88,6 +88,8 @@ QUERIES: dict[str, QueryFn] = {
     # outside the r5 window (full at 50) — locally verified every round,
     # first in line for the r6 rotation
     "media_phash_dedup": tq.q_media_phash_dedup,
+    "sitemap_ingest": eq.q_sitemap_ingest,
+    "robots_parse": eq.q_robots_parse,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -240,6 +242,8 @@ ORACLES: dict[str, str] = {
     "semdedup": tq.O_SEMDEDUP,
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
     "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
+    "sitemap_ingest": eq.O_SITEMAP_INGEST,
+    "robots_parse": eq.O_ROBOTS_PARSE,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,
