@@ -933,3 +933,38 @@ def test_robots_parse_blocks_exactly_the_disallowed_spaces(spark):
             assert r.n_rules == 2 and r.n_blocked > 0 and r.n_allowed == 0, r
         else:
             assert r.n_rules == 1 and r.n_blocked == 0 and r.n_allowed > 0, r
+
+
+def test_audio_fp_gain_invariant_and_matches_formula():
+    """Audio fingerprint property suite (no Spark): gain-shifted twins
+    hash identically; the byte-decode path agrees with the closed-form
+    window formula."""
+    from twawler_spark.operators.multimodal import (
+        AFP_WINDOWS,
+        audio_fingerprint_bytes,
+        make_tone_wav,
+        tone_amplitude,
+    )
+
+    def oracle(i):
+        fp = 0
+        for w in range(AFP_WINDOWS - 1):
+            if tone_amplitude(i, w + 1) > tone_amplitude(i, w):
+                fp |= 1 << w
+        return fp
+
+    for i in range(0, 400, 7):
+        base = audio_fingerprint_bytes(make_tone_wav(i, 0))
+        assert base == audio_fingerprint_bytes(make_tone_wav(i, 10)), i
+        assert base == oracle(i), i
+
+
+def test_audio_fp_dedup_catches_all_plants(spark):
+    """Every gain-shifted plant must bucket with its base clip: total
+    bucket membership covers all 2N clips, no singleton buckets."""
+    from twawler_spark.training_queries import q_audio_fp_dedup
+
+    rows = q_audio_fp_dedup(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r.n_clips for r in rows) == 2 * n_docs
+    assert all(r.n_clips >= 2 for r in rows)

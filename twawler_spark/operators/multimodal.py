@@ -678,3 +678,100 @@ def decode_image_dhash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema="media_ref string, dhash long")
+
+
+# ------------------------------------------- audio fingerprint (energy-delta)
+
+AFP_WINDOWS = 16   # energy windows -> 15-bit fingerprint
+AFP_WINDOW_LEN = 25  # samples per window (400-sample clips @8kHz)
+
+
+def tone_amplitude(doc_id: int, w: int) -> int:
+    """Fixture per-window amplitude ramp, bounded to 180 so a +gain
+    plant never clips int16 and never reorders adjacent windows —
+    shared by builder, test, and SQL oracle (the audio analog of
+    gradient_brightness)."""
+    return (11 * doc_id + 29 * w) % 180
+
+
+def make_tone_wav(doc_id: int, gain: int = 0) -> bytes:
+    """Real mono PCM16 WAV whose per-window energy follows
+    tone_amplitude + gain: each AFP_WINDOW_LEN-sample window is a
+    constant-amplitude block (energy = len * amplitude exactly)."""
+    samples = []
+    for w in range(AFP_WINDOWS):
+        samples.extend([tone_amplitude(doc_id, w) + gain] * AFP_WINDOW_LEN)
+    return make_wav(8000, [samples])
+
+
+def audio_fingerprint_bytes(buf: bytes) -> int:
+    """Energy-delta fingerprint of one PCM16 WAV from bytes alone (the
+    public Shazam-family shape: band/frame energy deltas -> sign bits):
+    RIFF chunk walk, de-interleave, window the first channel into
+    AFP_WINDOW_LEN blocks, bit w = [energy(w+1) > energy(w)]. Gain-
+    shift invariant on non-clipping audio — the near-dup property."""
+    import struct
+
+    import numpy as np
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, nch, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid, size = struct.unpack_from("<4sI", buf, pos)
+        body = buf[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, nch, _, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    frames = np.frombuffer(data, dtype="<i2").reshape(-1, nch).astype(np.int64)
+    c0 = np.abs(frames[:, 0])
+    n_win = len(c0) // AFP_WINDOW_LEN
+    energies = c0[: n_win * AFP_WINDOW_LEN].reshape(n_win, AFP_WINDOW_LEN).sum(axis=1)
+    fp = 0
+    for w in range(n_win - 1):
+        if energies[w + 1] > energies[w]:
+            fp |= 1 << w
+    return fp
+
+
+def attach_tone_wav_media(
+    df: DataFrame, id_col: str = "doc_id", gain: int = 0, ref_suffix: str = ""
+) -> DataFrame:
+    """Deterministic tone-WAV payload per row (optionally gain-shifted +
+    ref-suffixed: the audio near-dup plant — different bytes, same
+    fingerprint)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_ref": ids.astype(str) + ref_suffix,
+                    "payload": [make_tone_wav(int(i), gain) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="media_ref string, payload binary")
+
+
+def decode_audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Arrow-batched energy-delta fingerprint over the binary audio
+    column — the audio twin of decode_image_dhash."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "afp": pd.array(
+                        [audio_fingerprint_bytes(bytes(b)) for b in pdf["payload"]],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_ref string, afp long")

@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "media_phash_dedup": tq.q_media_phash_dedup,
     "sitemap_ingest": eq.q_sitemap_ingest,
     "robots_parse": eq.q_robots_parse,
+    "audio_fp_dedup": tq.q_audio_fp_dedup,
     "silent_clusters": cq.q_silent_clusters,
     "word_daily_series": cq.q_word_daily_series,
     "curation_aliases": cq.q_curation_aliases,
@@ -244,6 +245,7 @@ ORACLES: dict[str, str] = {
     "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
     "sitemap_ingest": eq.O_SITEMAP_INGEST,
     "robots_parse": eq.O_ROBOTS_PARSE,
+    "audio_fp_dedup": tq.O_AUDIO_FP_DEDUP,
     "silent_clusters": cq.O_SILENT_CLUSTERS,
     "word_daily_series": cq.O_WORD_DAILY_SERIES,
     "curation_aliases": cq.O_CURATION_ALIASES,

@@ -2812,3 +2812,55 @@ hashed AS (
 SELECT dhash, count(*) AS n_images, min(media_ref) AS first_ref
 FROM hashed GROUP BY dhash HAVING count(*) >= 2
 """
+
+
+# ------------------------------------------------ audio fingerprint dedup
+
+
+def q_audio_fp_dedup(spark, sf):
+    """Audio near-dup via energy-delta fingerprinting (the public
+    Shazam-family shape: window energies -> delta sign bits): every
+    document gets a REAL mono PCM16 WAV plus a gain-shifted plant
+    ('_q': different bytes — every sample moved — so byte/content-id
+    dedup misses it; identical fingerprint, since a non-clipping gain
+    preserves every energy ordering). Decode is real byte work — RIFF
+    chunk walk, numpy de-interleave, window-energy reduction — inside
+    the sanctioned Arrow surface (multimodal.py:audio_fingerprint_bytes).
+    Output: one audit row per fingerprint bucket with >= 2 members.
+
+    100 TB shape: map-only hashing over the binary column + one
+    groupBy on the fingerprint key — identical topology to
+    media_phash_dedup and the MinHash bands. Reference analog: the
+    media integrity/dedup sweeps over fetched payloads (S10)."""
+    from .operators.multimodal import attach_tone_wav_media, decode_audio_fingerprint
+
+    d = _t(spark, sf, "documents")
+    base = attach_tone_wav_media(d, "doc_id")
+    plant = attach_tone_wav_media(d, "doc_id", gain=10, ref_suffix="_q")
+    hashed = decode_audio_fingerprint(base.unionByName(plant))
+    return (
+        hashed.groupBy("afp")
+        .agg(
+            F.count("*").alias("n_clips"),
+            F.min("media_ref").alias("first_ref"),
+        )
+        .where(F.col("n_clips") >= 2)
+    )
+
+
+O_AUDIO_FP_DEDUP = """
+WITH clips AS (
+  SELECT cast(doc_id as varchar) AS media_ref, doc_id FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_q', doc_id FROM documents),
+hashed AS (
+  SELECT media_ref,
+         -- cast: list_sum yields HUGEINT (the r4 oracle-type trap)
+         cast(list_sum(list_transform(range(0, 15), w ->
+           CASE WHEN (11 * doc_id + 29 * (w + 1)) % 180
+                   > (11 * doc_id + 29 * w) % 180
+                THEN 1::BIGINT << w ELSE 0 END)) as bigint) AS afp
+  FROM clips)
+SELECT afp, count(*) AS n_clips, min(media_ref) AS first_ref
+FROM hashed GROUP BY afp HAVING count(*) >= 2
+"""
