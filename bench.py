@@ -426,6 +426,34 @@ def main() -> int:
         f"in {admit_bloom_dt:.2f}s")
     assert n_admit_bloom == n_admit_exact, "bloom admission must equal exact"
 
+    # cuckoo tier: same broadcast probe protocol, uint16 fingerprints —
+    # ~80x lower fpp shrinks the exact-confirm remainder, and the table
+    # supports in-place retraction (no rebuild on purge/retry sweeps).
+    # The timed arm includes a 0.1%-of-frontier delete+reinsert cycle,
+    # the per-round retraction cost the Bloom tier cannot express.
+    from twawler_spark.operators.cuckoo_filter import BroadcastCuckoo
+
+    t0 = time.time()
+    cuckoo = BroadcastCuckoo.build(seen_big, n_keys=n_urls)
+    log(f"one-time cuckoo build: {n_urls} keys, "
+        f"{cuckoo.table.nbytes >> 20} MiB in {time.time()-t0:.1f}s")
+    retract = (
+        frontier.where(F.pmod(F.col("url_hash"), F.lit(1000)) == 3)
+        .select("url_hash").toPandas()["url_hash"].to_numpy()
+    )
+    t0 = time.time()
+    cuckoo.delete_keys(retract)
+    cuckoo.insert_keys(retract)
+    retract_dt = time.time() - t0
+    log(f"cuckoo retract+reinsert ({len(retract)} keys): {retract_dt:.2f}s")
+    admit_op(cands, seen_big, bloom=cuckoo).count()
+    t0 = time.time()
+    n_admit_cuckoo = admit_op(cands, seen_big, bloom=cuckoo).count()
+    admit_cuckoo_dt = time.time() - t0 + retract_dt
+    log(f"admit cuckoo probe+confirm (+retraction cycle): {n_admit_cuckoo} "
+        f"admitted in {admit_cuckoo_dt:.2f}s")
+    assert n_admit_cuckoo == n_admit_exact, "cuckoo admission must equal exact"
+
     # sharded-cogroup tier: the >=10^9-key path where the filter no longer
     # broadcasts (~15 GB of bits at 10^10) — co-partitioned shard probe,
     # shuffle-join confirm. Benchmarked at the same shape so the tier
@@ -457,6 +485,7 @@ def main() -> int:
         "sched_round_headline": round(med, 3),
         "admit_seenbig_exact": round(admit_exact_dt, 3),
         "admit_seenbig_bloom": round(admit_bloom_dt, 3),
+        "admit_seenbig_cuckoo": round(admit_cuckoo_dt, 3),
         "admit_seenbig_sharded": round(admit_sharded_dt, 3),
         "bloom_delta_update": round(update_dt, 3),
     }

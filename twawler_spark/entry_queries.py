@@ -132,6 +132,52 @@ FROM adm GROUP BY 1
 """
 
 
+def q_admit_cuckoo_retract(spark, sf):
+    """Seen-set retraction admission via the cuckoo tier (P5/X5; the
+    north rule's 'bloom/cuckoo' deletable half). Reference shape:
+    retrydeletedtweets.py un-marks misidentified rows so they get
+    re-crawled — a RETRACTION from the seen-set, which a Bloom filter
+    can only honor by rebuilding from all surviving keys; the cuckoo
+    filter deletes the plan-bounded retraction slice in place.
+
+    seen = event ids not divisible by 3; retract every 7th of those;
+    candidates = even event ids. Admission = cuckoo prefilter (post-
+    delete) + exact confirm against the survivors, so the result is
+    EXACT — any approximate leak (false negative from a bad delete)
+    would flip the oracle hash."""
+    from .operators.admission import admit
+    from .operators.cuckoo_filter import BroadcastCuckoo
+
+    ev = _t(spark, sf, "events").select(F.col("event_id").alias("url_hash"))
+    seen = ev.where(F.pmod(F.col("url_hash"), F.lit(3)) != 0).distinct()
+    retract = seen.where(F.pmod(F.col("url_hash"), F.lit(7)) == 0)
+    survivors = seen.where(F.pmod(F.col("url_hash"), F.lit(7)) != 0)
+    cands = ev.where(F.pmod(F.col("url_hash"), F.lit(2)) == 0).distinct()
+    ck = BroadcastCuckoo.build(seen, n_keys=seen.count(), n_shards=16)
+    # plan-bounded retraction slice -> in-place delete, no rebuild
+    import numpy as np
+
+    ck.delete_keys(retract.toPandas()["url_hash"].to_numpy(dtype=np.int64))
+    adm = admit(cands, survivors, bloom=ck)
+    return adm.groupBy(F.pmod(F.col("url_hash"), F.lit(10)).alias("bucket")).agg(
+        F.count("*").alias("n_admitted"),
+        F.min("url_hash").alias("min_id"),
+        F.max("url_hash").alias("max_id"),
+    )
+
+
+O_ADMIT_CUCKOO_RETRACT = """
+WITH seen AS (SELECT DISTINCT event_id FROM events WHERE event_id % 3 != 0),
+surv AS (SELECT event_id FROM seen WHERE event_id % 7 != 0),
+cands AS (SELECT DISTINCT event_id FROM events WHERE event_id % 2 = 0),
+adm AS (SELECT event_id FROM cands
+        WHERE event_id NOT IN (SELECT event_id FROM surv))
+SELECT event_id % 10 AS bucket, count(*) AS n_admitted,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM adm GROUP BY 1
+"""
+
+
 def q_url_canonicalize(spark, sf):
     """S11/F9 URL canonicalization (deshorten.py) via the Arrow UDF.
 

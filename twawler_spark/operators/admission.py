@@ -19,13 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cuckoo_filter import BroadcastCuckoo
 from .seen_filter import BroadcastBloom, ShardedBloom
 
 
 def admit(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: BroadcastBloom | ShardedBloom | None = None,
+    bloom: BroadcastBloom | BroadcastCuckoo | ShardedBloom | None = None,
     key_col: str = "url_hash",
     confirm_broadcast: bool = True,
 ) -> DataFrame:
@@ -61,7 +62,10 @@ def admit(
         return candidates.join(
             seen_keys.hint("SHUFFLE_HASH"), key_col, "left_anti"
         )
-    if isinstance(bloom, BroadcastBloom):
+    if isinstance(bloom, (BroadcastBloom, BroadcastCuckoo)):
+        # cuckoo shares the protocol; its ~0.01% fpp shrinks the maybe
+        # set ~80x further, and delete_keys lets retraction rounds skip
+        # the full rebuild the Bloom tier would need
         flagged = bloom.probe(
             candidates.select(key_col), key_col=key_col, flag_col="__maybe_seen"
         )

@@ -174,6 +174,7 @@ QUERIES: dict[str, QueryFn] = {
     "nightowls": cq.q_nightowls,
     "crawl_budget_rank": eq.q_crawl_budget_rank,
     "crawl_admission": eq.q_crawl_admission,
+    "admit_cuckoo_retract": eq.q_admit_cuckoo_retract,
     "url_canonicalize": eq.q_url_canonicalize,
     "q6_filter_agg": eq.q_q6_filter_agg,
     "j1_pair_selfjoin": eq.q_j1_pair_selfjoin,
@@ -256,6 +257,7 @@ ORACLES: dict[str, str] = {
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
     "crawl_admission": eq.O_CRAWL_ADMISSION,
+    "admit_cuckoo_retract": eq.O_ADMIT_CUCKOO_RETRACT,
     "url_canonicalize": eq.O_URL_CANONICALIZE,
     "a1_crawl_bounds": eq.O_A1,
     "a2_counts": eq.O_A2,
@@ -376,23 +378,37 @@ _WINDOW_R5 = [
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
     "s3_stream_host_budget", "crawl_round_pack", "frontier_pagerank",
     "dedup_exact_substring",
+    # new in round 5b (post-rotation): perceptual image dedup, sitemap
+    # ingestion, robots parsing, audio fingerprint dedup — never driver-
+    # checked, so they take the slots of four thin r2-stale queries
+    # whose family siblings remain in the window (a3_distinct sibling
+    # a2_counts is r4-green; p3/p4 predicate scans share the P-family
+    # slot with p6_staleness; j6_decoration is the thin sibling of the
+    # in-window j2/j3/j9/j10 join band). All displaced queries stay
+    # locally verified via scripts/check_oracles.py every round.
+    "media_phash_dedup", "sitemap_ingest", "robots_parse",
+    "audio_fp_dedup",
     # last driver-green in r2 (stale band)
-    "a3_distinct", "a5_explode_count", "a7_interval_stats",
+    "a5_explode_count", "a7_interval_stats",
     # a12_zero_fill yields its slot to crawl_to_corpus: the zero-fill
     # shape's siblings (user_creation_dates, word_daily_series) are
     # r4-green, and the crawl->corpus composition has no driver row yet
-    "a9_degree_stats", "crawl_to_corpus", "a13_counters", "a15_lang_topk",
+    # a13_counters yields its slot to admit_cuckoo_retract (new cuckoo
+    # seen-filter tier, never driver-checked); the counters engine path
+    # stays pytest-verified via round_metrics
+    "a9_degree_stats", "crawl_to_corpus", "admit_cuckoo_retract",
+    "a15_lang_topk",
     "u_set_ops", "a10_collect_sets", "a11_timeseries",
     "j2_antijoin_groupcount", "j3_revenue_per_segment",
     "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
-    "p3_array_membership", "p4_regex", "f_scalar_suite", "f10_monthly",
+    "f_scalar_suite", "f10_monthly",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     # a8_log_buckets + viz_degree_distribution yield their slots to
     # host_adaptive_budget and semdedup: a8_histogram (same A8 family)
     # is r4-green, and viz_degree is a projection of a9_degree_stats
     # which IS in this window — never-driver-checked new operators
     # outrank a third refresh of the same family
-    "j6_decoration", "semdedup", "host_adaptive_budget",
+    "semdedup", "host_adaptive_budget",
     # earliest r3-green sentinels (fill to 50; eight r3-green sentinels
     # — dedup_jaccard/simhash/exact, s3_stream_windowed,
     # multimodal_decode, j8_synchrotrap_full, q1_pricing_summary,
