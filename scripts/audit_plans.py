@@ -74,6 +74,9 @@ AUDIT = (
     "robots_parse",
     "trap_detection",
     "host_adaptive_budget",
+    "quality_classifier",
+    "dedup_cdc",
+    "recrawl_schedule",
 )
 
 

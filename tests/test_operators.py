@@ -968,3 +968,125 @@ def test_audio_fp_dedup_catches_all_plants(spark):
     n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert sum(r.n_clips for r in rows) == 2 * n_docs
     assert all(r.n_clips >= 2 for r in rows)
+
+
+# --------------------------- round-5c: classifier / CDC / recrawl
+
+
+def test_quality_classifier_keep_flag_is_exact_sign_test(spark):
+    """sigmoid(x) >= 0.5 iff x >= 0, and x's numerator is an exact
+    integer feature-weight sum — so the keep flag must equal the sign
+    test on an independently computed integer sum for every doc.
+    Verified on a recomputation in plain Python over the raw text."""
+    import hashlib
+
+    from twawler_spark.training_queries import QC_B, QC_BIAS, QC_W
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    kept = scored = 0
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        feats = [t for t in toks if t != ""] + [
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        if not feats:
+            continue
+        s = sum(
+            QC_W[int(hashlib.md5(f.encode()).hexdigest()[:15], 16) % QC_B]
+            for f in feats
+        )
+        scored += 1
+        if s / (len(feats) * 1000.0) + QC_BIAS >= 0:
+            kept += 1
+    from twawler_spark.training_queries import q_quality_classifier
+
+    rows = q_quality_classifier(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == scored
+    assert sum(r.n_kept for r in rows) == kept
+    assert 0 < kept < scored  # the gate actually separates
+
+
+def test_dedup_cdc_realigns_after_prefix_insertion(spark):
+    """The CDC claim: a prefix insertion leaves most content shared.
+    Every planted _cdc companion and its original must be flagged
+    (coverage >= 0.5), so per source n_flagged >= 2x the planted
+    count whenever the plants dominate — lower-bound per source by
+    planted originals + companions."""
+    import duckdb
+
+    from twawler_spark.training_queries import q_dedup_cdc
+
+    rows = q_dedup_cdc(spark, SF).collect()
+    con = duckdb.connect()
+    planted = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT source, count(*) FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 4 = 0 GROUP BY source"
+        ).fetchall()
+    }
+    assert sum(r.n_flagged for r in rows) > 0
+    for r in rows:
+        # companion always flagged; original flagged unless its first
+        # (unshared) chunk exceeds half the doc — rare but possible on
+        # short docs, so lower-bound by the companion count alone
+        assert r.n_flagged >= planted.get(r.source, 0), r
+
+
+def test_dedup_cdc_boundaries_content_defined():
+    """Pure-python CDC reference: boundaries of 'qq zz ' + text are the
+    original's boundaries shifted by 6 (plus possibly new ones in the
+    first W+6 chars) — the realignment property fixed-stride windows
+    lack."""
+    from twawler_spark.training_queries import CDC_D, CDC_W, _CDC_POW
+
+    def bounds(text):
+        out = []
+        for i in range(CDC_W, len(text)):  # 1-based pos i in [W, len-1]
+            h = sum(
+                ord(text[i - 1 - j]) * _CDC_POW[j] for j in range(CDC_W)
+            )
+            if h % CDC_D == 0:
+                out.append(i)
+        return out
+
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    b0 = bounds(text)
+    b1 = bounds("qq zz " + text)
+    assert b0, "test string has no boundaries — pick another"
+    shifted = {b + 6 for b in b0 if b >= CDC_W}
+    assert shifted <= set(b1)  # every original boundary survives
+
+
+def test_recrawl_schedule_budget_and_estimator(spark):
+    """Per-host budget holds (<= RECRAWL_K rows, ranks 1..k dense) and
+    the estimator is faithful: lambda recomputed from (n, x, span)
+    matches, and staleness is monotone in rank within each host."""
+    import math
+    from collections import defaultdict
+
+    from twawler_spark.coverage_queries import RECRAWL_K, q_recrawl_schedule
+
+    rows = q_recrawl_schedule(spark, SF).collect()
+    assert rows
+    by_host = defaultdict(list)
+    for r in rows:
+        by_host[r.host].append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= RECRAWL_K
+        st = [r.staleness for r in rs]
+        assert st == sorted(st, reverse=True), (host, st)
+    # estimator faithfulness on one recomputed row
+    e = spark.read.parquet(f"{SF}/events.parquet").collect()
+    r = rows[0]
+    evs = sorted(
+        [x for x in e if x.user_id == r.user_id], key=lambda x: x.ts
+    )
+    n = len(evs)
+    x = sum(1 for v in evs if v.event_type in ("purchase", "signup", "error"))
+    span = int(evs[-1].ts.timestamp()) - int(evs[0].ts.timestamp())
+    lam = -math.log((n - x + 0.5) / (n + 0.5)) / max(span / (n - 1.0), 1.0)
+    assert r.n_visits == n and r.n_changed == x
+    assert abs(r.lambda_per_day - round(lam * 86400, 6)) < 1e-6

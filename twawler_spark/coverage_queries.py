@@ -3137,3 +3137,111 @@ SELECT id, round(rank, 6) AS pr FROM r{PR_ITERS}
 
 
 O_FRONTIER_PAGERANK = _o_frontier_pagerank()
+
+
+# =====================================================================
+# Freshness-driven adaptive recrawl scheduling (Cho & Garcia-Molina)
+# =====================================================================
+
+RECRAWL_K = 5  # per-host revisit budget per round
+RECRAWL_CHANGED = ("purchase", "signup", "error")  # mutation event types
+RECRAWL_NOW = 1706745600  # = entry_queries.CRAWL_NOW
+
+
+def q_recrawl_schedule(spark, sf):
+    """Freshness-driven adaptive recrawl scheduling (Cho &
+    Garcia-Molina, 'Effective Page Refresh Policies for Web Crawlers',
+    ACM TODS 28(4), 2003 — public): each crawlable unit's fetch
+    history (its events rows; 'changed' = mutation event types) fits a
+    Poisson change model with the continuity-corrected estimator
+    lambda = -ln((n - X + 0.5) / (n + 0.5)) / mean_interval, and the
+    revisit priority is the EXPECTED STALENESS 1 - exp(-lambda * age).
+    The round schedules the RECRAWL_K stalest units per host
+    (politeness budget), ranked on the 7-dp-rounded priority with a
+    deterministic user_id tie-break.
+
+    100 TB shape: ONE map-side-combinable groupBy(user) over the raw
+    history (count / conditional count / min / max — the mean interval
+    is span/(n-1), so no lag window ever touches the history), then
+    the J5 budgeted-take window over the tiny per-unit summary. At
+    10^10 frontier scale this staleness column feeds
+    build_two_phase_plan's salted budget rank as its ordering key;
+    here the plain per-host window IS the claim.
+
+    Reference parity: twAwler re-crawls on fixed staleness TTLs
+    (lastscan gates, addfriends.py:20-48; the crawl loop's frequency
+    score freq.py:103-133) — this replaces the fixed TTL with the
+    change-rate estimator the refresh literature recommends, keeping
+    the same scheduling surface."""
+    e = _t(spark, sf, "events")
+    hist = (
+        e.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type").isin(*RECRAWL_CHANGED), 1).otherwise(0)
+            ).alias("x"),
+            F.unix_timestamp(F.min("ts")).alias("first_e"),
+            F.unix_timestamp(F.max("ts")).alias("last_e"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    dt = F.greatest(
+        (F.col("last_e") - F.col("first_e")) / (F.col("n") - 1.0), F.lit(1.0)
+    )
+    lam = -F.log((F.col("n") - F.col("x") + 0.5) / (F.col("n") + 0.5)) / dt
+    age = F.lit(RECRAWL_NOW) - F.col("last_e")
+    pr = hist.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+            "host"
+        ),
+        "user_id",
+        F.col("n").alias("n_visits"),
+        F.col("x").alias("n_changed"),
+        lam.alias("lam"),
+        (F.lit(1.0) - F.exp(-lam * age)).alias("st"),
+    )
+    w = W.partitionBy("host").orderBy(
+        F.round(F.col("st"), 7).desc(), F.col("user_id").asc()
+    )
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= RECRAWL_K)
+        .select(
+            "host",
+            "user_id",
+            "n_visits",
+            "n_changed",
+            F.round(F.col("lam") * 86400, 6).alias("lambda_per_day"),
+            F.round(F.col("st"), 6).alias("staleness"),
+            "rnk",
+        )
+    )
+
+
+O_RECRAWL_SCHEDULE = f"""
+WITH h AS (
+  SELECT user_id, count(*) AS n,
+         cast(sum(CASE WHEN event_type IN ('purchase', 'signup', 'error')
+                       THEN 1 ELSE 0 END) as bigint) AS x,
+         cast(floor(epoch(min(ts))) as bigint) AS first_e,
+         cast(floor(epoch(max(ts))) as bigint) AS last_e
+  FROM events GROUP BY user_id HAVING count(*) >= 2),
+p AS (
+  SELECT 'h' || cast(user_id % 20 as varchar) AS host, user_id, n, x,
+         -ln((n - x + 0.5) / (n + 0.5))
+           / greatest((last_e - first_e) / (n - 1.0), 1.0) AS lam,
+         ({RECRAWL_NOW} - last_e) AS age
+  FROM h),
+r AS (
+  SELECT host, user_id, n, x, lam, 1.0 - exp(-lam * age) AS st,
+         row_number() OVER (
+           PARTITION BY host
+           ORDER BY round(1.0 - exp(-lam * age), 7) DESC, user_id ASC
+         ) AS rnk
+  FROM p)
+SELECT host, user_id, n AS n_visits, x AS n_changed,
+       round(lam * 86400, 6) AS lambda_per_day,
+       round(st, 6) AS staleness, rnk
+FROM r WHERE rnk <= {RECRAWL_K}
+"""

@@ -85,6 +85,9 @@ QUERIES: dict[str, QueryFn] = {
     "host_adaptive_budget": eq.q_host_adaptive_budget,
     "semdedup": tq.q_semdedup,
     "crawl_to_corpus": crq.q_crawl_to_corpus,
+    "quality_classifier": tq.q_quality_classifier,
+    "dedup_cdc": tq.q_dedup_cdc,
+    "recrawl_schedule": cq.q_recrawl_schedule,
     # outside the r5 window (full at 50) — locally verified every round,
     # first in line for the r6 rotation
     "media_phash_dedup": tq.q_media_phash_dedup,
@@ -243,6 +246,9 @@ ORACLES: dict[str, str] = {
     "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
     "semdedup": tq.O_SEMDEDUP,
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
+    "quality_classifier": tq.O_QUALITY_CLASSIFIER,
+    "dedup_cdc": tq.O_DEDUP_CDC,
+    "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,
     "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
     "sitemap_ingest": eq.O_SITEMAP_INGEST,
     "robots_parse": eq.O_ROBOTS_PARSE,
@@ -398,10 +404,17 @@ _WINDOW_R5 = [
     # stays pytest-verified via round_metrics
     "a9_degree_stats", "crawl_to_corpus", "admit_cuckoo_retract",
     "a15_lang_topk",
-    "u_set_ops", "a10_collect_sets", "a11_timeseries",
+    # a11_timeseries, j10_type_similarity and f10_monthly yield their
+    # slots to the three never-driver-checked round-5c operators
+    # (quality_classifier, dedup_cdc, recrawl_schedule): the A-family
+    # keeps a5/a7/a9/a10/a15 in-window, the join band keeps j2/j3/j9/j4,
+    # and the F-family keeps f_scalar_suite/f6/f8 — new operators
+    # outrank a second refresh of an already-refreshed family. All
+    # displaced queries stay locally verified via check_oracles.py.
+    "u_set_ops", "a10_collect_sets", "quality_classifier",
     "j2_antijoin_groupcount", "j3_revenue_per_segment",
-    "j9_part_cooccurrence", "j10_type_similarity", "w5_running_max",
-    "f_scalar_suite", "f10_monthly",
+    "j9_part_cooccurrence", "dedup_cdc", "w5_running_max",
+    "f_scalar_suite", "recrawl_schedule",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     # a8_log_buckets + viz_degree_distribution yield their slots to
     # host_adaptive_budget and semdedup: a8_histogram (same A8 family)

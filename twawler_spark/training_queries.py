@@ -2864,3 +2864,269 @@ hashed AS (
 SELECT afp, count(*) AS n_clips, min(media_ref) AS first_ref
 FROM hashed GROUP BY afp HAVING count(*) >= 2
 """
+
+
+# ------------------------------------------ fastText-style quality filter
+
+QC_B = 64  # hashed feature buckets (fastText ships 2M; scaled to sf)
+# Deterministic integer weight table standing in for the trained-model
+# artifact (training the classifier is out of scope — INFERENCE is the
+# pipeline stage). Integer weights keep the per-doc feature sum exact
+# on both engines: no float-accumulation-order divergence.
+QC_W = [((b * 2654435761 + 40503) % 2003) - 1001 for b in range(QC_B)]
+QC_BIAS = 0.05
+
+
+def q_quality_classifier(spark, sf):
+    """Model-based quality filtering — the fastText-architecture
+    classifier gate (Joulin et al. 2016, arXiv:1607.01759) that DCLM
+    (arXiv:2406.11794) and FineWeb-Edu (arXiv:2406.17557) run as their
+    headline curation stage: word uni+bigram features hashed into QC_B
+    buckets, doc score = sigmoid(mean bucket weight / 1000 + bias),
+    keep if score >= 0.5 (sigmoid(x) >= 0.5 iff x >= 0, so the flag
+    compares exact integer arithmetic). Output: per-(lang, source)
+    funnel audit — docs, kept, mean score.
+
+    100 TB shape: MAP-ONLY. The weight table is a plan literal (at
+    fastText's real bucket counts, a broadcast array); the score is a
+    per-row HOF fold, so the corpus NEVER shuffles — the only exchange
+    is the tiny (lang, source) rollup. Contrast dsir_select, which
+    must first ESTIMATE its bucket tables with two extra shuffles:
+    classifier inference is the cheapest filter in the funnel, which
+    is why the public pipelines run it at full crawl scale.
+
+    Reference parity: the corpus-side twin of the crawl-side quality
+    ordering (twkit/crawler/freq.py score ranking)."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    bigrams = F.when(
+        F.size(toks) < 2, F.array().cast("array<string>")
+    ).otherwise(
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+            lambda g: g.contains(" "),
+        )
+    )
+    feats = F.filter(F.concat(toks, bigrams), lambda f: f != F.lit(""))
+    wlit = F.lit(QC_W)  # the model, as a literal in the plan
+
+    def bucket(f):
+        return F.pmod(
+            F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long"),
+            F.lit(QC_B),
+        )
+
+    ssum = F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, f: acc
+        + F.element_at(wlit, (bucket(f) + 1).cast("int")).cast("long"),
+    )
+    nf = F.size(feats)
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(ssum / (nf * 1000.0) + F.lit(QC_BIAS)))
+    )
+    scored = d.select(
+        "lang", "source", nf.alias("nf"), score.alias("s")
+    ).where(F.col("nf") > 0)
+    return scored.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("s") >= 0.5, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.avg("s"), 4).alias("avg_score"),
+    )
+
+
+_QC_W_SQL = ", ".join(f"({b}, {w})" for b, w in enumerate(QC_W))
+
+O_QUALITY_CLASSIFIER = f"""
+WITH w AS (SELECT * FROM (VALUES {_QC_W_SQL}) AS w(b, wt)),
+t AS (
+  SELECT doc_id, lang, source, string_split(lower(text), ' ') AS toks
+  FROM documents),
+feats AS (
+  SELECT doc_id, lang, source,
+         ('0x' || substring(md5(f), 1, 15))::BIGINT % {QC_B} AS b
+  FROM (
+    SELECT doc_id, lang, source,
+           unnest(list_concat(toks,
+             list_filter(
+               list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                 i -> array_to_string(toks[i:i+1], ' ')),
+               g -> contains(g, ' ')))) AS f
+    FROM t)
+  WHERE f != ''),
+s AS (
+  SELECT doc_id, lang, source,
+         1.0 / (1.0 + exp(-(cast(sum(wt) as bigint)
+                            / (count(*) * 1000.0) + {QC_BIAS}))) AS s
+  FROM feats JOIN w USING (b)
+  GROUP BY doc_id, lang, source)
+SELECT lang, source, count(*) AS n_docs,
+       cast(sum(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) as bigint) AS n_kept,
+       round(avg(s), 4) AS avg_score
+FROM s GROUP BY lang, source
+"""
+
+
+# --------------------------------------- content-defined chunking dedup
+
+CDC_W = 8  # rolling-hash window (chars)
+CDC_D = 32  # boundary divisor -> expected chunk ~32 chars
+_CDC_POW = [31**j for j in range(CDC_W)]
+
+
+def q_dedup_cdc(spark, sf):
+    """Content-defined chunking dedup (Rabin chunking, LBFS —
+    Muthitacharoen et al., SOSP 2001; FastCDC, Xia et al., USENIX ATC
+    2016 — both public): chunk boundaries are set by CONTENT (a char
+    n-gram rolling hash hitting 0 mod CDC_D), not by position, so an
+    INSERTION only perturbs the chunks it touches — every boundary
+    after it realigns. That is the failure mode of fixed-stride
+    windows (dedup_exact_substring): a one-token prefix insertion
+    shifts every stride window, but CDC recovers all shared content.
+    PLANTED: every doc with doc_id%4==0 gets an `_cdc` companion with
+    a 6-char prefix insertion ('qq zz ') — different bytes at every
+    stride offset, yet CDC coverage ~1 - firstchunk/len, so both the
+    companion and its original are flagged at the 0.5 threshold.
+    Chunks = segments between boundary positions (pure Rabin form;
+    FastCDC's min/max clamps are a sequential constraint, layered in
+    production by masking the hash, not rebuilt here). A chunk is
+    SHARED if its content hash occurs in >= 2 distinct docs; doc
+    coverage = shared bytes / doc bytes.
+
+    100 TB shape: the rolling hash is a per-row O(len * W) HOF fold
+    (embarrassingly parallel, no Python); the explode emits ~len/D
+    chunk rows per doc; then ONE hash exchange on chunk content (the
+    shared-groupBy and the join back reuse it) and doc/source-keyed
+    rollups — exactly the dedup_exact_substring topology, with
+    insertion robustness the stride form lacks.
+
+    Reference parity: twAwler dedups tweets whole (unique index,
+    dumpall.py:61-81); CDC is the storage/web-archive generalization
+    for long interleaved documents."""
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    planted = d.where(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_cdc")).alias("doc_id"),
+        "source",
+        F.concat(F.lit("qq zz "), F.col("text")).alias("text"),
+    )
+    alld = orig.unionByName(planted)
+    txt = F.col("text")
+    ln = F.length(txt)
+
+    def rhash(i):  # hash of the CDC_W chars ending at 1-based pos i
+        h = F.lit(0).cast("long")
+        for j in range(CDC_W):
+            h = h + F.ascii(txt.substr(i - F.lit(j), F.lit(1))).cast(
+                "long"
+            ) * F.lit(_CDC_POW[j])
+        return h
+
+    pos = F.when(
+        ln - 1 < CDC_W, F.array().cast("array<int>")
+    ).otherwise(F.sequence(F.lit(CDC_W), (ln - 1).cast("int")))
+    bnd = F.filter(pos, lambda i: rhash(i) % CDC_D == 0)
+    bounds = F.concat(F.array(F.lit(0)), bnd, F.array(ln))
+    # Let-bind ``bounds`` via a single-element transform so the O(len*W)
+    # boundary scan is evaluated ONCE per row: Catalyst's projection
+    # collapse would otherwise inline the full expression at every
+    # element_at reference below (measured 150s -> ~2s at sf0.01).
+    chunks = F.flatten(
+        F.transform(
+            F.array(bounds),
+            lambda b: F.transform(
+                F.sequence(F.lit(1), F.size(b) - 1),
+                lambda k: txt.substr(
+                    F.element_at(b, k) + 1,
+                    F.element_at(b, k + 1) - F.element_at(b, k),
+                ),
+            ),
+        )
+    )
+    from .operators.dedup import spread_for_explode
+
+    ec = spread_for_explode(
+        alld.select("doc_id", "source", ln.alias("len"), chunks.alias("cs")),
+        "doc_id",
+    ).select("doc_id", "source", "len", F.explode("cs").alias("c"))
+    ech = ec.where(F.length("c") > 0).select(
+        "doc_id",
+        "source",
+        "len",
+        F.md5("c").alias("h"),
+        F.length("c").alias("cl"),
+    )
+    shared = (
+        ech.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cov = (
+        ech.join(shared.withColumn("s", F.lit(1)), "h", "left")
+        .groupBy("doc_id", "source", "len")
+        .agg(
+            F.sum(
+                F.when(F.col("s").isNotNull(), F.col("cl")).otherwise(0)
+            ).alias("sb")
+        )
+        .select(
+            "source", F.round(F.col("sb") / F.col("len"), 4).alias("cov")
+        )
+    )
+    return cov.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("cov") >= 0.5, 1).otherwise(0)).alias("n_flagged"),
+        F.round(F.avg("cov"), 4).alias("avg_coverage"),
+    )
+
+
+def _o_dedup_cdc() -> str:
+    rh = " + ".join(
+        f"ascii(substring(text, i - {j}, 1))::BIGINT * {_CDC_POW[j]}"
+        for j in range(CDC_W)
+    )
+    return f"""
+WITH alld AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_cdc', source, 'qq zz ' || text
+  FROM documents WHERE doc_id % 4 = 0),
+t AS (SELECT doc_id, source, text, length(text) AS len FROM alld),
+posn AS (
+  SELECT doc_id, text, len, unnest(range({CDC_W}, len)) AS i FROM t),
+bnd AS (
+  SELECT doc_id, i FROM posn WHERE ({rh}) % {CDC_D} = 0),
+bounds AS (
+  SELECT doc_id, 0 AS i FROM t
+  UNION ALL SELECT doc_id, i FROM bnd
+  UNION ALL SELECT doc_id, len FROM t),
+ch AS (
+  SELECT b.doc_id, t.source, t.len,
+         substring(t.text, b.i + 1,
+                   lead(b.i) OVER (PARTITION BY b.doc_id ORDER BY b.i)
+                   - b.i) AS c
+  FROM bounds b JOIN t USING (doc_id)),
+ech AS (
+  SELECT doc_id, source, len, md5(c) AS h, length(c) AS cl
+  FROM ch WHERE c IS NOT NULL AND length(c) > 0),
+shared AS (SELECT h FROM ech GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT ech.doc_id, ech.source,
+         round(cast(sum(CASE WHEN s.h IS NOT NULL THEN ech.cl ELSE 0 END)
+                    as bigint) * 1.0 / any_value(ech.len), 4) AS cov
+  FROM ech LEFT JOIN shared s ON ech.h = s.h
+  GROUP BY ech.doc_id, ech.source)
+SELECT source, count(*) AS n_docs,
+       cast(sum(CASE WHEN cov >= 0.5 THEN 1 ELSE 0 END) as bigint)
+         AS n_flagged,
+       round(avg(cov), 4) AS avg_coverage
+FROM cov GROUP BY source
+"""
+
+
+O_DEDUP_CDC = _o_dedup_cdc()
