@@ -77,6 +77,7 @@ AUDIT = (
     "quality_classifier",
     "dedup_cdc",
     "recrawl_schedule",
+    "warc_ingest",
 )
 
 

@@ -1090,3 +1090,36 @@ def test_recrawl_schedule_budget_and_estimator(spark):
     lam = -math.log((n - x + 0.5) / (n + 0.5)) / max(span / (n - 1.0), 1.0)
     assert r.n_visits == n and r.n_changed == x
     assert abs(r.lambda_per_day - round(lam * 86400, 6)) < 1e-6
+
+
+def test_warc_ingest_gates_types_and_flags_truncation(spark):
+    """Request records must be excluded from the response counts, and
+    exactly the doc_id%11 planted short-Content-Length records must
+    fail validation; valid payload chars equal the raw text lengths."""
+    import duckdb
+
+    from twawler_spark.entry_queries import q_warc_ingest
+
+    rows = {r.host: r for r in q_warc_ingest(spark, SF).collect()}
+    con = duckdb.connect()
+    exp = con.sql(
+        f"""
+        SELECT 'h' || cast(doc_id % 20 as varchar) AS host,
+               count(*) AS docs,
+               sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS reqs,
+               sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS bad,
+               sum(CASE WHEN doc_id % 11 != 0 THEN length(text) ELSE 0 END)
+                 AS good_chars
+        FROM read_parquet('{SF}/documents.parquet') GROUP BY 1
+        """
+    ).fetchall()
+    assert rows
+    total_bad = 0
+    for host, docs, reqs, bad, good_chars in exp:
+        r = rows[host]
+        assert r.n_records == docs + reqs, (host, r)
+        assert r.n_responses == docs, (host, r)
+        assert r.n_valid == docs - bad, (host, r)
+        assert r.payload_chars == good_chars, (host, r)
+        total_bad += bad
+    assert total_bad > 0  # the truncation plant actually fired

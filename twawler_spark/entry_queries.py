@@ -2125,3 +2125,164 @@ SELECT host, crawl_delay, n_rules,
        cast(sum(1 - blocked) as bigint) AS n_allowed
 FROM gated GROUP BY host, crawl_delay, n_rules
 """
+
+
+# ------------------------------------------------- WARC record ingestion
+
+def q_warc_ingest(spark, sf):
+    """WARC response-record ingestion (ISO 28500 / WARC 1.1 — the
+    public web-crawl interchange format; Common Crawl ships it):
+    documents are serialized as WARC records (version line, WARC-Type /
+    WARC-Target-URI / WARC-Record-ID / Content-Length headers, CRLF
+    CRLF, then the HTTP response block), every doc_id%7==0 additionally
+    emits a `request` record, and every doc_id%11==0 response DECLARES
+    a Content-Length one octet short (a truncated transfer). The parse
+    side sees only the record string: header extraction is regexp over
+    the record, the HTTP block splits on CRLFCRLF, non-response records
+    are gated out, and a record is VALID iff its declared
+    Content-Length matches the actual HTTP-block octet count. Output:
+    per-host ingest audit (records, responses, valid, payload bytes,
+    distinct URIs).
+
+    100 TB shape: MAP-ONLY — fetched WARC text is parsed with column
+    regex/split expressions (no Python), feeding the same per-host
+    rollup every ingest runs; validation failures are the refetch
+    candidates the scheduler re-admits. The synthesis half exists only
+    to make the fixture deterministic — production starts at the
+    record column. Reference: twAwler persists raw fetched JSON per
+    tweet (dumpall.py bulk insert); WARC is the crawl-archive
+    generalization of that raw-capture layer."""
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+    uri = F.concat(
+        F.lit("https://"), host, F.lit(".example.com/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"),
+        F.col("text"),
+    )
+    declared = F.when(
+        F.col("doc_id") % 11 == 0, F.length(http) - 1
+    ).otherwise(F.length(http))
+
+    def warc(wtype, block, decl):
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), F.lit(wtype),
+            F.lit("\r\nWARC-Target-URI: "), uri,
+            F.lit("\r\nWARC-Record-ID: <urn:uuid:doc-"),
+            F.col("doc_id").cast("string"),
+            F.lit(">\r\nContent-Length: "), decl.cast("string"),
+            F.lit("\r\n\r\n"), block,
+        )
+
+    req_http = F.concat(
+        F.lit("GET /doc/"), F.col("doc_id").cast("string"),
+        F.lit(" HTTP/1.1\r\nHost: "), host, F.lit("\r\n\r\n"),
+    )
+    recs = (
+        d.select(warc("response", http, declared).alias("rec"))
+        .unionAll(
+            d.where(F.col("doc_id") % 7 == 0).select(
+                warc("request", req_http, F.length(req_http)).alias("rec")
+            )
+        )
+    )
+    # ---- parse side: only `rec` is visible from here on
+    parts = F.split(F.col("rec"), "\r\n\r\n")
+    p = recs.select(
+        F.regexp_extract("rec", r"WARC-Type: ([^\r\n]+)", 1).alias("wtype"),
+        F.regexp_extract("rec", r"WARC-Target-URI: ([^\r\n]+)", 1).alias("uri"),
+        F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1)
+        .cast("long")
+        .alias("declared"),
+        (F.length(F.element_at(parts, 2)) + 4 + F.length(F.element_at(parts, 3)))
+        .cast("long")
+        .alias("actual"),
+        F.length(F.element_at(parts, 3)).cast("long").alias("body_len"),
+    )
+    p = p.select(
+        F.regexp_extract("uri", r"https://([^.]+)\.", 1).alias("host"),
+        "wtype", "uri", "declared", "actual", "body_len",
+    )
+    return p.groupBy("host").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.when(F.col("wtype") == "response", 1).otherwise(0)).alias(
+            "n_responses"
+        ),
+        F.sum(
+            F.when(
+                (F.col("wtype") == "response")
+                & (F.col("declared") == F.col("actual")),
+                1,
+            ).otherwise(0)
+        ).alias("n_valid"),
+        F.sum(
+            F.when(
+                (F.col("wtype") == "response")
+                & (F.col("declared") == F.col("actual")),
+                F.col("body_len"),
+            ).otherwise(0)
+        ).alias("payload_chars"),
+        F.countDistinct("uri").alias("n_uris"),
+    )
+
+
+O_WARC_INGEST = r"""
+WITH d AS (
+  SELECT doc_id, text, 'h' || cast(doc_id % 20 as varchar) AS host,
+         'https://h' || cast(doc_id % 20 as varchar)
+           || '.example.com/doc/' || cast(doc_id as varchar) AS uri,
+         'HTTP/1.1 200 OK' || chr(13)||chr(10) || 'Content-Type: text/plain'
+           || chr(13)||chr(10)||chr(13)||chr(10) || text AS http
+  FROM documents),
+recs AS (
+  SELECT 'WARC/1.0' || chr(13)||chr(10) || 'WARC-Type: response'
+         || chr(13)||chr(10) || 'WARC-Target-URI: ' || uri
+         || chr(13)||chr(10) || 'WARC-Record-ID: <urn:uuid:doc-'
+         || cast(doc_id as varchar) || '>'
+         || chr(13)||chr(10) || 'Content-Length: '
+         || cast(CASE WHEN doc_id % 11 = 0 THEN length(http) - 1
+                      ELSE length(http) END as varchar)
+         || chr(13)||chr(10)||chr(13)||chr(10) || http AS rec
+  FROM d
+  UNION ALL
+  SELECT 'WARC/1.0' || chr(13)||chr(10) || 'WARC-Type: request'
+         || chr(13)||chr(10) || 'WARC-Target-URI: ' || uri
+         || chr(13)||chr(10) || 'WARC-Record-ID: <urn:uuid:doc-'
+         || cast(doc_id as varchar) || '>'
+         || chr(13)||chr(10) || 'Content-Length: '
+         || cast(length('GET /doc/' || cast(doc_id as varchar)
+                 || ' HTTP/1.1' || chr(13)||chr(10) || 'Host: ' || host
+                 || chr(13)||chr(10)||chr(13)||chr(10)) as varchar)
+         || chr(13)||chr(10)||chr(13)||chr(10)
+         || 'GET /doc/' || cast(doc_id as varchar) || ' HTTP/1.1'
+         || chr(13)||chr(10) || 'Host: ' || host
+         || chr(13)||chr(10)||chr(13)||chr(10) AS rec
+  FROM d WHERE doc_id % 7 = 0),
+p AS (
+  SELECT regexp_extract(rec, 'WARC-Type: ([^\r\n]+)', 1) AS wtype,
+         regexp_extract(rec, 'WARC-Target-URI: ([^\r\n]+)', 1) AS uri,
+         cast(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) as bigint)
+           AS declared,
+         cast(length(string_split(rec,
+                chr(13)||chr(10)||chr(13)||chr(10))[2]) + 4
+              + length(string_split(rec,
+                chr(13)||chr(10)||chr(13)||chr(10))[3]) as bigint) AS actual,
+         cast(length(string_split(rec,
+                chr(13)||chr(10)||chr(13)||chr(10))[3]) as bigint) AS body_len
+  FROM recs),
+h AS (
+  SELECT regexp_extract(uri, 'https://([^.]+)\.', 1) AS host,
+         wtype, uri, declared, actual, body_len
+  FROM p)
+SELECT host, count(*) AS n_records,
+       cast(sum(CASE WHEN wtype = 'response' THEN 1 ELSE 0 END) as bigint)
+         AS n_responses,
+       cast(sum(CASE WHEN wtype = 'response' AND declared = actual
+                     THEN 1 ELSE 0 END) as bigint) AS n_valid,
+       cast(sum(CASE WHEN wtype = 'response' AND declared = actual
+                     THEN body_len ELSE 0 END) as bigint) AS payload_chars,
+       count(DISTINCT uri) AS n_uris
+FROM h GROUP BY host
+"""

@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_classifier": tq.q_quality_classifier,
     "dedup_cdc": tq.q_dedup_cdc,
     "recrawl_schedule": cq.q_recrawl_schedule,
+    "warc_ingest": eq.q_warc_ingest,
     # outside the r5 window (full at 50) — locally verified every round,
     # first in line for the r6 rotation
     "media_phash_dedup": tq.q_media_phash_dedup,
@@ -249,6 +250,7 @@ ORACLES: dict[str, str] = {
     "quality_classifier": tq.O_QUALITY_CLASSIFIER,
     "dedup_cdc": tq.O_DEDUP_CDC,
     "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,
+    "warc_ingest": eq.O_WARC_INGEST,
     "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
     "sitemap_ingest": eq.O_SITEMAP_INGEST,
     "robots_parse": eq.O_ROBOTS_PARSE,
@@ -413,7 +415,9 @@ _WINDOW_R5 = [
     # displaced queries stay locally verified via check_oracles.py.
     "u_set_ops", "a10_collect_sets", "quality_classifier",
     "j2_antijoin_groupcount", "j3_revenue_per_segment",
-    "j9_part_cooccurrence", "dedup_cdc", "w5_running_max",
+    # w5_running_max also yields (W-family siblings w2/w3 are r4-green)
+    # to warc_ingest, the never-driver-checked WARC ingestion source
+    "j9_part_cooccurrence", "dedup_cdc", "warc_ingest",
     "f_scalar_suite", "recrawl_schedule",
     "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
     # a8_log_buckets + viz_degree_distribution yield their slots to
