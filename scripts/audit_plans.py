@@ -78,6 +78,9 @@ AUDIT = (
     "dedup_cdc",
     "recrawl_schedule",
     "warc_ingest",
+    "boilerplate_strip",
+    "dedup_containment",
+    "graph_harmonic",
 )
 
 

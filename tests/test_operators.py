@@ -1123,3 +1123,55 @@ def test_warc_ingest_gates_types_and_flags_truncation(spark):
         assert r.payload_chars == good_chars, (host, r)
         total_bad += bad
     assert total_bad > 0  # the truncation plant actually fired
+
+
+def test_boilerplate_strip_finds_exactly_the_footers(spark):
+    """Every host's planted footer line must be detected (its df equals
+    the host's doc count); natural token-window lines stay under the
+    0.5 fraction, so n_boiler_lines == 1 and boiler instances == docs
+    per host — unless the corpus happens to repeat a window line in
+    half a host's docs, which the lower bound tolerates."""
+    import duckdb
+
+    from twawler_spark.training_queries import q_boilerplate_strip
+
+    rows = {r.host: r for r in q_boilerplate_strip(spark, SF).collect()}
+    con = duckdb.connect()
+    docs_per_host = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT 'h' || cast(doc_id % 20 as varchar), count(*) "
+            f"FROM read_parquet('{SF}/documents.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert rows
+    for host, n in docs_per_host.items():
+        r = rows[host]
+        assert r.n_boiler_lines >= 1, (host, r)  # the footer
+        assert r.n_boiler_instances >= n, (host, r)
+        assert r.chars_removed >= n * len("footer nav contact about h0"), r
+
+
+def test_dedup_containment_catches_interior_slices(spark):
+    """Every planted _ct companion (interior token slice) must appear
+    as a contained pair at containment 1.0 — the asymmetric case
+    minhash resemblance misses. Per source, n_contained >= planted
+    count; avg containment in (0, 1]."""
+    import duckdb
+
+    from twawler_spark.training_queries import q_dedup_containment
+
+    rows = q_dedup_containment(spark, SF).collect()
+    con = duckdb.connect()
+    planted = {
+        r[0]: r[1]
+        for r in con.sql(
+            f"SELECT source, count(*) FROM read_parquet('{SF}/documents.parquet') "
+            "WHERE doc_id % 6 = 0 GROUP BY source"
+        ).fetchall()
+    }
+    got = {r.src1: r for r in rows}
+    assert sum(r.n_contained for r in rows) >= sum(planted.values())
+    for src, cnt in planted.items():
+        assert src in got and got[src].n_contained >= cnt, (src, cnt)
+        assert 0 < got[src].avg_containment <= 1.0

@@ -3245,3 +3245,65 @@ SELECT host, user_id, n AS n_visits, x AS n_changed,
        round(st, 6) AS staleness, rnk
 FROM r WHERE rnk <= {RECRAWL_K}
 """
+
+
+# =====================================================================
+# Sampled harmonic / closeness centrality over the mention graph
+# =====================================================================
+
+def q_graph_harmonic(spark, sf):
+    """Sampled harmonic + closeness centrality (Boldi & Vigna, 'Axioms
+    for Centrality', Internet Mathematics 2014 — harmonic centrality
+    H(u) = Σ 1/d(u,v) is THE distance centrality that stays
+    well-defined on disconnected graphs, which web/mention graphs
+    always are; closeness is reported alongside in the Wasserman-Faust
+    reach-normalized form). Exact all-pairs is quadratic; the standard
+    big-graph practice is exact BFS from a deterministic seed sample —
+    the SAME one-BFS-all-seeds expansion graph_bfs_ecc already uses
+    (operators/graph.py:multi_source_bfs — seed is a column, so K
+    seeds cost one BFS, not K).
+
+    100 TB shape: identical to graph_bfs_ecc — edges hash-partitioned
+    on src once and persisted, level-synchronous frontier joins,
+    anti-join first-visit claims, per-level localCheckpoint; the
+    centrality itself is one groupBy(seed) over the distance table.
+
+    Reference parity: networkstatistics.py:66-85 computes whole-graph
+    igraph metrics (closeness among them) on the exported edge list;
+    this is that analytics surface at a scale igraph cannot load."""
+    from .operators.graph import multi_source_bfs
+
+    e = _t(spark, sf, "events")
+    dst = 1 + F.pmod(F.col("event_id") * 7, F.lit(149))
+    edges = (
+        e.select(F.col("user_id").alias("src"), dst.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "seed bigint")
+    dist = multi_source_bfs(seeds, edges, BFS_CAP)
+    reached = dist.where(F.col("d") > 0)
+    return reached.groupBy("seed").agg(
+        F.count("*").alias("n_reached"),
+        F.round(F.sum(1.0 / F.col("d")), 4).alias("harmonic"),
+        F.round(F.count("*") / F.sum("d"), 6).alias("closeness"),
+    )
+
+
+O_GRAPH_HARMONIC = f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id != 1 + (event_id * 7) % 149),
+seeds AS (SELECT unnest([{", ".join(str(s) for s in BFS_SEEDS)}]) AS seed),
+walk(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT w.seed, e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node WHERE w.d < {BFS_CAP}),
+dist AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2),
+reached AS (SELECT seed, d FROM dist WHERE d > 0)
+SELECT seed, count(*) AS n_reached,
+       round(sum(1.0 / d), 4) AS harmonic,
+       round(count(*) * 1.0 / sum(d), 6) AS closeness
+FROM reached GROUP BY seed
+"""

@@ -89,6 +89,8 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_cdc": tq.q_dedup_cdc,
     "recrawl_schedule": cq.q_recrawl_schedule,
     "warc_ingest": eq.q_warc_ingest,
+    "boilerplate_strip": tq.q_boilerplate_strip,
+    "dedup_containment": tq.q_dedup_containment,
     # outside the r5 window (full at 50) — locally verified every round,
     # first in line for the r6 rotation
     "media_phash_dedup": tq.q_media_phash_dedup,
@@ -101,6 +103,9 @@ QUERIES: dict[str, QueryFn] = {
     "graph_stats": cq.q_graph_stats,
     "frontier_pagerank": cq.q_frontier_pagerank,
     "graph_bfs_ecc": cq.q_graph_bfs_ecc,
+    # r5c: shares graph_bfs_ecc's driver-green BFS core; the new rollup
+    # is locally gated, first in line for the r6 window
+    "graph_harmonic": cq.q_graph_harmonic,
     "graph_girth_sampled": cq.q_graph_girth_sampled,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
@@ -251,6 +256,8 @@ ORACLES: dict[str, str] = {
     "dedup_cdc": tq.O_DEDUP_CDC,
     "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,
     "warc_ingest": eq.O_WARC_INGEST,
+    "boilerplate_strip": tq.O_BOILERPLATE_STRIP,
+    "dedup_containment": tq.O_DEDUP_CONTAINMENT,
     "media_phash_dedup": tq.O_MEDIA_PHASH_DEDUP,
     "sitemap_ingest": eq.O_SITEMAP_INGEST,
     "robots_parse": eq.O_ROBOTS_PARSE,
@@ -261,6 +268,7 @@ ORACLES: dict[str, str] = {
     "graph_stats": cq.O_GRAPH_STATS,
     "frontier_pagerank": cq.O_FRONTIER_PAGERANK,
     "graph_bfs_ecc": cq.O_GRAPH_BFS_ECC,
+    "graph_harmonic": cq.O_GRAPH_HARMONIC,
     "graph_girth_sampled": cq.O_GRAPH_GIRTH,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,
@@ -413,8 +421,11 @@ _WINDOW_R5 = [
     # and the F-family keeps f_scalar_suite/f6/f8 — new operators
     # outrank a second refresh of an already-refreshed family. All
     # displaced queries stay locally verified via check_oracles.py.
-    "u_set_ops", "a10_collect_sets", "quality_classifier",
-    "j2_antijoin_groupcount", "j3_revenue_per_segment",
+    # a10_collect_sets (set-agg family keeps u_set_ops) and
+    # j3_revenue_per_segment (join band keeps j2/j9/j4) also yield, to
+    # the never-driver-checked boilerplate_strip and dedup_containment
+    "u_set_ops", "boilerplate_strip", "quality_classifier",
+    "j2_antijoin_groupcount", "dedup_containment",
     # w5_running_max also yields (W-family siblings w2/w3 are r4-green)
     # to warc_ingest, the never-driver-checked WARC ingestion source
     "j9_part_cooccurrence", "dedup_cdc", "warc_ingest",

@@ -3130,3 +3130,262 @@ FROM cov GROUP BY source
 
 
 O_DEDUP_CDC = _o_dedup_cdc()
+
+
+# ------------------------------------------------ boilerplate stripping
+
+BP_FRAC = 0.5  # a line repeated in >= this fraction of a host's docs
+
+
+def q_boilerplate_strip(spark, sf):
+    """Per-host boilerplate removal (the CCNet / jusText /
+    RefinedWeb-style template-line strip — public: Wenzek et al.
+    arXiv:1911.00359 §3.1 dedups repeated paragraphs per snapshot;
+    jusText, Pomikálek 2011, classifies header/footer blocks): a line
+    is BOILERPLATE for a host when it appears in >= BP_FRAC of that
+    host's documents (nav bars, footers, cookie banners — content
+    repeated by the TEMPLATE, not the author). Differs from
+    line_dedup, which drops global re-occurrences but keeps the first
+    copy: boilerplate removal drops EVERY instance, because the first
+    footer is as worthless as the thousandth. PLANTED: every doc
+    carries its host's footer as a final line; every footer line must
+    be detected (df = host doc count), and the natural token-window
+    lines stay below the threshold.
+
+    100 TB shape: the heavy exchanges all key on (host, line) — the
+    line document-frequency aggregation (countDistinct = one expand
+    round) and the audit join back; host doc counts are a tiny
+    broadcast. A mega-host's df table is still one row per DISTINCT
+    line and the instance stream never groups globally, so template
+    skew lands on (host, line) keys, which the footer plant shows are
+    high-cardinality within a host.
+
+    Reference parity: the reference strips retweet prefixes /
+    t.co wrappers before analytics (twkit/utils tweet text cleanup);
+    per-template boilerplate is the web-corpus generalization."""
+    d = _t(spark, sf, "documents")
+    host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
+    toks = F.split(F.col("text"), " ")
+    nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
+    content_lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+    )
+    footer = F.concat(F.lit("footer nav contact about "), host)
+    lines = F.concat(content_lines, F.array(footer))
+    ex = d.select(
+        host.alias("host"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(lines).alias("line"),
+    )
+    hd = ex.groupBy("host").agg(F.countDistinct("doc_id").alias("n_docs"))
+    df = ex.groupBy("host", "line").agg(
+        F.countDistinct("doc_id").alias("ldf"), F.count("*").alias("inst")
+    )
+    boiler = df.join(F.broadcast(hd), "host").where(
+        F.col("ldf") >= BP_FRAC * F.col("n_docs")
+    )
+    audit = (
+        ex.join(
+            boiler.select("host", "line").withColumn("b", F.lit(1)),
+            ["host", "line"],
+            "left",
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_line_instances"),
+            F.sum(F.when(F.col("b").isNotNull(), 1).otherwise(0)).alias(
+                "n_boiler_instances"
+            ),
+            F.countDistinct(
+                F.when(F.col("b").isNotNull(), F.col("line"))
+            ).alias("n_boiler_lines"),
+            F.sum(
+                F.when(F.col("b").isNotNull(), F.length("line")).otherwise(0)
+            ).alias("chars_removed"),
+        )
+    )
+    return audit.select(
+        "host",
+        "n_line_instances",
+        "n_boiler_instances",
+        "n_boiler_lines",
+        "chars_removed",
+        F.round(
+            F.col("n_boiler_instances") / F.col("n_line_instances"), 4
+        ).alias("boiler_frac"),
+    )
+
+
+O_BOILERPLATE_STRIP = f"""
+WITH d AS (
+  SELECT cast(doc_id as varchar) AS doc_id,
+         'h' || cast(doc_id % 20 as varchar) AS host,
+         string_split(text, ' ') AS toks
+  FROM documents),
+ex AS (
+  SELECT host, doc_id, unnest(list_append(
+    list_transform(
+      range(0, cast(ceil(len(toks) / {float(LINE_W)}) as int)),
+      j -> array_to_string(toks[(j * {LINE_W} + 1):(j * {LINE_W} + {LINE_W})], ' ')),
+    'footer nav contact about ' || host)) AS line
+  FROM d),
+hd AS (SELECT host, count(DISTINCT doc_id) AS n_docs FROM ex GROUP BY host),
+ldf AS (
+  SELECT host, line, count(DISTINCT doc_id) AS ldf
+  FROM ex GROUP BY host, line),
+boiler AS (
+  SELECT ldf.host, ldf.line
+  FROM ldf JOIN hd ON ldf.host = hd.host
+  WHERE ldf.ldf >= {BP_FRAC} * hd.n_docs),
+audit AS (
+  SELECT ex.host,
+         count(*) AS n_line_instances,
+         cast(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           AS n_boiler_instances,
+         count(DISTINCT CASE WHEN b.line IS NOT NULL THEN ex.line END)
+           AS n_boiler_lines,
+         cast(sum(CASE WHEN b.line IS NOT NULL THEN length(ex.line)
+                       ELSE 0 END) as bigint) AS chars_removed
+  FROM ex LEFT JOIN boiler b ON ex.host = b.host AND ex.line = b.line
+  GROUP BY ex.host)
+SELECT host, n_line_instances, n_boiler_instances, n_boiler_lines,
+       chars_removed,
+       round(n_boiler_instances * 1.0 / n_line_instances, 4) AS boiler_frac
+FROM audit
+"""
+
+
+# --------------------------------------------- containment near-dup
+
+CONT_SH = 5  # tokens per shingle (same as the minhash tier)
+CONT_T = 0.9  # containment threshold
+CONT_DF_CAP = 64  # stop-shingle document-frequency cap
+
+
+def q_dedup_containment(spark, sf):
+    """CONTAINMENT detection (Broder 1997, 'On the resemblance and
+    containment of documents' — public): c(A,B) = |S(A) ∩ S(B)| /
+    |S(A)|. Resemblance-based near-dup (minhash LSH) is blind to a
+    SMALL document contained in a big one — the union dominates and
+    Jaccard collapses even at containment 1.0 — so quote extraction /
+    boilerplate fragments / partial scrapes need this asymmetric form.
+    PLANTED: every doc with doc_id%6==0 gets a `_ct` companion
+    carrying an interior slice of its tokens (not a prefix — prefix
+    tricks are exact_substring's fixture): every companion shingle
+    occurs in the original, containment exactly 1.0.
+
+    100 TB shape: distinct (doc, shingle-hash) rows, document
+    frequency per shingle, STOP-SHINGLE CAP (df > CONT_DF_CAP dropped
+    — the standard guard, else one viral quote yields df² candidate
+    pairs), pair-count aggregation on the shared-shingle join, sizes
+    joined back. Candidate work is Σ df² over surviving shingles —
+    bounded by the cap, never all-pairs. Same topology as
+    dedup_jaccard with the asymmetric denominator.
+
+    Reference parity: twAwler flags retweet/quote containment via the
+    retweet entity (docstring of j1); shingle containment recovers the
+    same relation for UNMARKED copies."""
+    d = _t(spark, sf, "documents")
+    orig = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text"
+    )
+    toks0 = F.split(F.col("text"), " ")
+    planted = d.where(F.col("doc_id") % 6 == 0).select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_ct")).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(toks0, 6, 4 * CONT_SH)).alias("text"),
+    )
+    alld = orig.unionByName(planted)
+    toks = F.split(F.col("text"), " ")
+    nsh = F.greatest(F.size(toks) - CONT_SH + 1, F.lit(1))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nsh),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONT_SH))),
+        )
+    )
+    ew = alld.select(
+        "doc_id", "source", F.explode(shingles).alias("h")
+    )
+    sizes = ew.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    keep = (
+        ew.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("sdf"))
+        .where((F.col("sdf") >= 2) & (F.col("sdf") <= CONT_DF_CAP))
+        .select("h")
+    )
+    e2 = ew.join(keep, "h")
+    pairs = (
+        e2.alias("a")
+        .join(e2.alias("b"), "h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            F.col("a.source").alias("src1"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("d1"), F.col("sz").alias("s1")),
+            "d1",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("d2"), F.col("sz").alias("s2")),
+            "d2",
+        )
+        .select(
+            "src1",
+            F.greatest(
+                F.col("inter") / F.col("s1"), F.col("inter") / F.col("s2")
+            ).alias("cmax"),
+        )
+    )
+    return scored.groupBy("src1").agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("cmax") >= CONT_T, 1).otherwise(0)).alias(
+            "n_contained"
+        ),
+        F.round(F.avg("cmax"), 4).alias("avg_containment"),
+    )
+
+
+O_DEDUP_CONTAINMENT = f"""
+WITH alld AS (
+  SELECT cast(doc_id as varchar) AS doc_id, source, text FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_ct', source,
+         array_to_string((string_split(text, ' '))[6:{5 + 4 * CONT_SH}], ' ')
+  FROM documents WHERE doc_id % 6 = 0),
+t AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks,
+         greatest(len(string_split(text, ' ')) - {CONT_SH} + 1, 1) AS nsh
+  FROM alld),
+ew AS (
+  SELECT DISTINCT doc_id, source,
+         md5(array_to_string(toks[i:(i + {CONT_SH} - 1)], ' ')) AS h
+  FROM (SELECT doc_id, source, toks, unnest(range(1, nsh + 1)) AS i FROM t)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM ew GROUP BY doc_id),
+keep AS (
+  SELECT h FROM ew GROUP BY h
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {CONT_DF_CAP}),
+e2 AS (SELECT ew.* FROM ew JOIN keep USING (h)),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, a.source AS src1,
+         count(*) AS inter
+  FROM e2 a JOIN e2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.source),
+scored AS (
+  SELECT p.src1,
+         greatest(p.inter * 1.0 / s1.sz, p.inter * 1.0 / s2.sz) AS cmax
+  FROM pairs p
+  JOIN sizes s1 ON p.d1 = s1.doc_id
+  JOIN sizes s2 ON p.d2 = s2.doc_id)
+SELECT src1, count(*) AS n_candidate_pairs,
+       cast(sum(CASE WHEN cmax >= {CONT_T} THEN 1 ELSE 0 END) as bigint)
+         AS n_contained,
+       round(avg(cmax), 4) AS avg_containment
+FROM scored GROUP BY src1
+"""
