@@ -81,6 +81,7 @@ AUDIT = (
     "boilerplate_strip",
     "dedup_containment",
     "graph_harmonic",
+    "span_corruption",
 )
 
 

@@ -1175,3 +1175,96 @@ def test_dedup_containment_catches_interior_slices(spark):
     for src, cnt in planted.items():
         assert src in got and got[src].n_contained >= cnt, (src, cnt)
         assert 0 < got[src].avg_containment <= 1.0
+
+
+def test_graph_harmonic_matches_python_bfs(spark):
+    """Third implementation: plain-python BFS over the same synthetic
+    mention edges must reproduce n_reached, harmonic, and closeness
+    for every seed."""
+    import duckdb
+    from collections import deque
+
+    from twawler_spark.coverage_queries import (
+        BFS_CAP,
+        BFS_SEEDS,
+        q_graph_harmonic,
+    )
+
+    con = duckdb.connect()
+    edges = con.sql(
+        f"SELECT DISTINCT user_id, 1 + (event_id * 7) % 149 FROM "
+        f"read_parquet('{SF}/events.parquet') "
+        f"WHERE user_id != 1 + (event_id * 7) % 149"
+    ).fetchall()
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, []).append(t)
+    rows = {r.seed: r for r in q_graph_harmonic(spark, SF).collect()}
+    for seed in BFS_SEEDS:
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            u = q.popleft()
+            if dist[u] >= BFS_CAP:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        reached = [d for n, d in dist.items() if d > 0]
+        if not reached:
+            assert seed not in rows
+            continue
+        r = rows[seed]
+        assert r.n_reached == len(reached)
+        assert abs(r.harmonic - round(sum(1.0 / d for d in reached), 4)) < 1e-9
+        assert (
+            abs(r.closeness - round(len(reached) / sum(reached), 6)) < 1e-9
+        )
+
+
+def test_span_corruption_accounting_identity(spark):
+    """input_tokens + target_tokens == total_tokens + 2*n_spans (each
+    span adds one sentinel to both sides), masked fraction lands near
+    1/SC_MOD, and a python recomputation of one source's counters
+    matches exactly."""
+    import hashlib
+
+    from twawler_spark.training_queries import (
+        SC_MOD,
+        SC_SPAN,
+        q_span_corruption,
+    )
+
+    rows = q_span_corruption(spark, SF).collect()
+    assert rows
+    tot_m = tot_n = 0
+    for r in rows:
+        assert (
+            r.input_tokens + r.target_tokens
+            == r.total_tokens + 2 * r.n_spans
+        ), r
+        tot_m += r.masked_tokens
+        tot_n += r.total_tokens
+    frac = tot_m / tot_n
+    assert 0.5 / SC_MOD < frac < 2.0 / SC_MOD  # near 1/7, loose band
+    # exact recomputation for one source
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    src = rows[0].source
+    n_docs = m = s = n_tok = 0
+    for d in docs:
+        if d.source != src:
+            continue
+        n = len(d.text.split(" "))
+        n_docs += 1
+        n_tok += n
+        nb = -(-n // SC_SPAN)
+        for b in range(nb):
+            h = int(hashlib.md5(f"{d.doc_id}:{b}".encode()).hexdigest()[:15], 16)
+            if h % SC_MOD == 0:
+                m += min(SC_SPAN, n - b * SC_SPAN)
+                s += 1
+    r = [x for x in rows if x.source == src][0]
+    assert (r.n_docs, r.total_tokens, r.masked_tokens, r.n_spans) == (
+        n_docs, n_tok, m, s,
+    )

@@ -106,6 +106,9 @@ QUERIES: dict[str, QueryFn] = {
     # r5c: shares graph_bfs_ecc's driver-green BFS core; the new rollup
     # is locally gated, first in line for the r6 window
     "graph_harmonic": cq.q_graph_harmonic,
+    # r5c: map-only objective planning; same hash family as train_split
+    # (driver-green), locally gated, queued for the r6 window
+    "span_corruption": tq.q_span_corruption,
     "graph_girth_sampled": cq.q_graph_girth_sampled,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
@@ -269,6 +272,7 @@ ORACLES: dict[str, str] = {
     "frontier_pagerank": cq.O_FRONTIER_PAGERANK,
     "graph_bfs_ecc": cq.O_GRAPH_BFS_ECC,
     "graph_harmonic": cq.O_GRAPH_HARMONIC,
+    "span_corruption": tq.O_SPAN_CORRUPTION,
     "graph_girth_sampled": cq.O_GRAPH_GIRTH,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,

@@ -3389,3 +3389,109 @@ SELECT src1, count(*) AS n_candidate_pairs,
        round(avg(cmax), 4) AS avg_containment
 FROM scored GROUP BY src1
 """
+
+
+# --------------------------------------------- span-corruption planning
+
+SC_SPAN = 3  # tokens per corruption block (T5 mean noise span length)
+SC_MOD = 7  # a block is masked when its hash % SC_MOD == 0 (~14.3%)
+
+
+def q_span_corruption(spark, sf):
+    """Span-corruption planning (the T5 denoising objective, Raffel et
+    al. 2020, arXiv:1910.10683 §3.1.4; UL2's R-denoiser,
+    arXiv:2205.05131): partition each document's token stream into
+    SC_SPAN-token blocks, mask the blocks selected by a DETERMINISTIC
+    portable hash (md5(doc_id:block) % SC_MOD == 0 — the paper's iid
+    noise sampling made reproducible across engines and runs, the same
+    determinism-over-RNG trade train_split makes), and account the
+    corrupted-input/target sequence lengths: each masked span costs
+    one sentinel on BOTH sides, so input = kept + spans, target =
+    masked + spans. Output: per-source corruption audit — the numbers
+    a pretraining pipeline needs to provision token budgets for a
+    denoising objective.
+
+    100 TB shape: MAP-ONLY — the mask plan is a per-row HOF fold over
+    the block index (no Python, no shuffle); the only exchange is the
+    per-source rollup. The actual corrupted-text emission is the same
+    transform with concat_ws instead of counts — identical plan.
+
+    Reference parity: none in twAwler (crawl-side); this is the
+    training-pipeline objective-planning stage over the fetched
+    corpus, downstream of sequence_packing."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    nb = F.ceil(n / F.lit(float(SC_SPAN))).cast("int")
+    blocks = F.sequence(F.lit(0), nb - 1)
+    masked = F.filter(
+        blocks,
+        lambda b: F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(":"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(SC_MOD),
+        )
+        == 0,
+    )
+    mtoks = F.aggregate(
+        masked,
+        F.lit(0),
+        lambda acc, b: acc + F.least(F.lit(SC_SPAN), n - b * SC_SPAN),
+    )
+    nspans = F.size(masked)
+    per = d.select(
+        "source",
+        n.alias("n"),
+        mtoks.alias("m"),
+        nspans.alias("s"),
+    )
+    return per.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").alias("total_tokens"),
+        F.sum("m").alias("masked_tokens"),
+        F.sum("s").alias("n_spans"),
+        F.sum(F.col("n") - F.col("m") + F.col("s")).alias("input_tokens"),
+        F.sum(F.col("m") + F.col("s")).alias("target_tokens"),
+        F.round(F.avg(F.col("m") / F.col("n")), 4).alias("avg_corrupt_frac"),
+    )
+
+
+O_SPAN_CORRUPTION = f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n,
+         cast(ceil(len(string_split(text, ' ')) / {float(SC_SPAN)}) as int)
+           AS nb
+  FROM documents),
+b AS (
+  SELECT doc_id, source, n, unnest(range(0, nb)) AS blk FROM t),
+m AS (
+  SELECT doc_id, source, n,
+         CASE WHEN ('0x' || substring(md5(cast(doc_id as varchar) || ':'
+                      || cast(blk as varchar)), 1, 15))::BIGINT
+                   % {SC_MOD} = 0
+              THEN least({SC_SPAN}, n - blk * {SC_SPAN}) ELSE 0 END AS mt
+  FROM b),
+per AS (
+  SELECT doc_id, source, any_value(n) AS n,
+         cast(sum(mt) as bigint) AS m,
+         cast(sum(CASE WHEN mt > 0 THEN 1 ELSE 0 END) as bigint) AS s
+  FROM m GROUP BY doc_id, source)
+SELECT source, count(*) AS n_docs,
+       cast(sum(n) as bigint) AS total_tokens,
+       cast(sum(m) as bigint) AS masked_tokens,
+       cast(sum(s) as bigint) AS n_spans,
+       cast(sum(n - m + s) as bigint) AS input_tokens,
+       cast(sum(m + s) as bigint) AS target_tokens,
+       round(avg(m * 1.0 / n), 4) AS avg_corrupt_frac
+FROM per GROUP BY source
+"""
