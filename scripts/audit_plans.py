@@ -82,6 +82,7 @@ AUDIT = (
     "dedup_containment",
     "graph_harmonic",
     "span_corruption",
+    "inverted_index_export",
 )
 
 

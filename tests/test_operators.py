@@ -1268,3 +1268,28 @@ def test_span_corruption_accounting_identity(spark):
     assert (r.n_docs, r.total_tokens, r.masked_tokens, r.n_spans) == (
         n_docs, n_tok, m, s,
     )
+
+
+def test_inverted_index_postings_consistent(spark):
+    """df <= cf, doc-id range ordered, and one term's posting stats
+    recomputed from the raw text match exactly."""
+    from collections import Counter
+
+    from twawler_spark.training_queries import IDX_MIN_DF, q_inverted_index_export
+
+    rows = q_inverted_index_export(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert IDX_MIN_DF <= r.df <= r.cf and r.first_doc <= r.last_doc
+    probe = max(rows, key=lambda r: r.cf)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cf = 0
+    dfs = set()
+    first = last = None
+    for d in docs:
+        c = Counter(t for t in d.text.lower().split(" ") if t)
+        if c[probe.term]:
+            cf += c[probe.term]
+            dfs.add(d.doc_id)
+    assert (probe.df, probe.cf) == (len(dfs), cf)
+    assert (probe.first_doc, probe.last_doc) == (min(dfs), max(dfs))

@@ -109,6 +109,9 @@ QUERIES: dict[str, QueryFn] = {
     # r5c: map-only objective planning; same hash family as train_split
     # (driver-green), locally gated, queued for the r6 window
     "span_corruption": tq.q_span_corruption,
+    # r5c: the S14 index-build half (connector out of scope); one-
+    # exchange groupBy twin of hashtag_export (r4-green), locally gated
+    "inverted_index_export": tq.q_inverted_index_export,
     "graph_girth_sampled": cq.q_graph_girth_sampled,
     # Band 0b — reworked in round 4 (re-verify after implementation change)
     "dialogues": cq.q_dialogues,
@@ -273,6 +276,7 @@ ORACLES: dict[str, str] = {
     "graph_bfs_ecc": cq.O_GRAPH_BFS_ECC,
     "graph_harmonic": cq.O_GRAPH_HARMONIC,
     "span_corruption": tq.O_SPAN_CORRUPTION,
+    "inverted_index_export": tq.O_INVERTED_INDEX_EXPORT,
     "graph_girth_sampled": cq.O_GRAPH_GIRTH,
     "crawl_score": eq.O_CRAWL_SCORE,
     "crawl_budget_rank": eq.O_CRAWL_BUDGET_RANK,

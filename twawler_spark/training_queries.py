@@ -3495,3 +3495,63 @@ SELECT source, count(*) AS n_docs,
        round(avg(m * 1.0 / n), 4) AS avg_corrupt_frac
 FROM per GROUP BY source
 """
+
+
+# --------------------------------------------- inverted index export
+
+IDX_MIN_DF = 5  # export terms appearing in >= this many docs
+
+
+def q_inverted_index_export(spark, sf):
+    """Inverted-index build/export — the index half of the reference's
+    Elasticsearch sink (S14, uservectors_to_elasticsearch.py; the
+    connector itself stays out of scope per SURVEY §2.1, but the
+    posting-list construction is engine work and belongs here; the
+    classic MapReduce/Spark inverted-index shape is public folklore,
+    e.g. Dean & Ghemawat 2004 §2 lists it as THE canonical example):
+    explode (term, doc, positions), aggregate posting statistics per
+    term, keep terms with document frequency >= IDX_MIN_DF. Output per
+    term: df, collection frequency, posting doc-id range — the scalar
+    projection of the posting list (the list itself is the same
+    aggregation with collect_list, elided so the oracle compares
+    scalars).
+
+    100 TB shape: ONE exchange on term (map-side combinable counts);
+    at warehouse scale the postings are written
+    bucketBy(term)/sortBy(doc_id) so query-time term lookups are
+    partition-pruned single-bucket scans and merges of sorted posting
+    runs never re-sort — the same co-bucketed discipline as the
+    frontier/seen layout (X5). Low-df long tail dominates the row
+    count but NOT the bytes; the df gate models the index's stopword/
+    minimum-support policy, applied AFTER the aggregation (it cannot
+    push below the groupBy).
+
+    Reference parity: uservectors_to_elasticsearch.py exports per-user
+    vectors into an index; this builds the index-side structure for
+    the text surface."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    ex = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(toks).alias("term"),
+    ).where(F.col("term") != "")
+    idx = ex.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+    return idx.where(F.col("df") >= IDX_MIN_DF)
+
+
+O_INVERTED_INDEX_EXPORT = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+idx AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf,
+         min(doc_id) AS first_doc, max(doc_id) AS last_doc
+  FROM ex WHERE term != '' GROUP BY term)
+SELECT term, df, cf, first_doc, last_doc
+FROM idx WHERE df >= {IDX_MIN_DF}
+"""
