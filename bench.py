@@ -58,6 +58,15 @@ HEADLINE_QUERIES = (
     "semdedup",
     "crawl_to_corpus",
     "media_phash_dedup",
+    # round-5c tier
+    "quality_classifier",
+    "dedup_cdc",
+    "dedup_containment",
+    "boilerplate_strip",
+    "recrawl_schedule",
+    "warc_ingest",
+    "span_corruption",
+    "inverted_index_export",
 )
 
 
