@@ -3018,35 +3018,52 @@ def q_dedup_cdc(spark, sf):
     txt = F.col("text")
     ln = F.length(txt)
 
-    def rhash(i):  # hash of the CDC_W chars ending at 1-based pos i
-        h = F.lit(0).cast("long")
-        for j in range(CDC_W):
-            h = h + F.ascii(txt.substr(i - F.lit(j), F.lit(1))).cast(
-                "long"
-            ) * F.lit(_CDC_POW[j])
-        return h
-
-    pos = F.when(
-        ln - 1 < CDC_W, F.array().cast("array<int>")
-    ).otherwise(F.sequence(F.lit(CDC_W), (ln - 1).cast("int")))
-    bnd = F.filter(pos, lambda i: rhash(i) % CDC_D == 0)
-    bounds = F.concat(F.array(F.lit(0)), bnd, F.array(ln))
-    # Let-bind ``bounds`` via a single-element transform so the O(len*W)
-    # boundary scan is evaluated ONCE per row: Catalyst's projection
-    # collapse would otherwise inline the full expression at every
-    # element_at reference below (measured 150s -> ~2s at sf0.01).
-    chunks = F.flatten(
-        F.transform(
-            F.array(bounds),
-            lambda b: F.transform(
-                F.sequence(F.lit(1), F.size(b) - 1),
-                lambda k: txt.substr(
-                    F.element_at(b, k) + 1,
-                    F.element_at(b, k + 1) - F.element_at(b, k),
-                ),
-            ),
-        )
+    # Codepoint array, built ONCE per row. The naive form — W calls of
+    # ascii(substr(text, i-j, 1)) per candidate position — is O(len^2 * W)
+    # per row because UTF8String.substr seeks codepoint offsets from the
+    # start of the string (O(position) per call). split(text, '') walks the
+    # string once and element_at on the resulting array is O(1), so the
+    # boundary scan drops to O(len * W). Hash VALUES are bit-identical
+    # (same codepoints, same polynomial), so the DuckDB oracle is
+    # untouched. Measured 28.6 s -> ~4 s for the sf0.1 run.
+    codes_expr = F.transform(
+        F.split(txt, ""), lambda c: F.ascii(c).cast("long")
     )
+
+    def chunks_from(cd):
+        def rhash(i):  # hash of the CDC_W chars ending at 1-based pos i
+            h = F.lit(0).cast("long")
+            for j in range(CDC_W):
+                h = h + F.element_at(
+                    cd, (i - F.lit(j)).cast("int")
+                ) * F.lit(_CDC_POW[j])
+            return h
+
+        pos = F.when(
+            ln - 1 < CDC_W, F.array().cast("array<int>")
+        ).otherwise(F.sequence(F.lit(CDC_W), (ln - 1).cast("int")))
+        bnd = F.filter(pos, lambda i: rhash(i) % CDC_D == 0)
+        bounds = F.concat(F.array(F.lit(0)), bnd, F.array(ln))
+        # Let-bind ``bounds`` via a single-element transform so the
+        # boundary scan is evaluated ONCE per row: Catalyst's projection
+        # collapse would otherwise inline the full expression at every
+        # element_at reference below (measured 150s -> ~2s at sf0.01).
+        return F.flatten(
+            F.transform(
+                F.array(bounds),
+                lambda b: F.transform(
+                    F.sequence(F.lit(1), F.size(b) - 1),
+                    lambda k: txt.substr(
+                        F.element_at(b, k) + 1,
+                        F.element_at(b, k + 1) - F.element_at(b, k),
+                    ),
+                ),
+            )
+        )
+
+    # Same single-element-transform trick let-binds the codes array, so
+    # split() runs once per row rather than once per rhash term.
+    chunks = F.flatten(F.transform(F.array(codes_expr), chunks_from))
     from .operators.dedup import spread_for_explode
 
     ec = spread_for_explode(
