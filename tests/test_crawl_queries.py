@@ -106,3 +106,48 @@ def test_crawl_to_corpus_funnel_is_monotone(spark):
         assert r.n_fetched >= r.n_quality >= r.n_kept >= 0, r
         assert r.n_sequences == r.n_tokens // CORPUS_SEQ_LEN, r
     assert sum(r.n_kept for r in rows) > 0
+
+
+def test_bfs_depth_semantics(spark):
+    """Depth 0 is exactly the seed set; every depth-d node has an
+    in-edge from some depth-(d-1) node and NO in-edge from any
+    shallower-settled assignment (min-distance property, checked via a
+    third implementation: plain-Python BFS over the collected edges)."""
+    rows = {r["depth"]: r for r in crq.q_crawl_bfs_depth(spark, SF).collect()}
+    assert rows[0]["n_nodes"] == len(crq.BFS_SEEDS)
+    assert rows[0]["sum_node"] == sum(crq.BFS_SEEDS)
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = {
+        (r[0] % crq.BFS_MOD, (r[1] * 31 + r[2]) % crq.BFS_MOD)
+        for r in li.select("l_orderkey", "l_partkey", "l_suppkey").collect()
+    }
+    adj = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    dist = {s: 0 for s in crq.BFS_SEEDS}
+    frontier = set(crq.BFS_SEEDS)
+    for d in range(1, crq.BFS_MAX_DEPTH + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        frontier = nxt - dist.keys()
+        for n in frontier:
+            dist[n] = d
+    from collections import Counter
+
+    want = Counter(dist.values())
+    got = {d: r["n_nodes"] for d, r in rows.items()}
+    assert got == dict(want)
+
+
+def test_dust_rules_recover_generative_truth(spark):
+    """The fixture's generative rule is: content = f(path, page),
+    independent of sid/ref. The miner must emit sid and ref as
+    ignorable (support > 0, zero counterexamples) and page as
+    content-bearing (every collapse is a counterexample)."""
+    rows = {r["param"]: r for r in crq.q_dust_rules(spark, SF).collect()}
+    assert set(rows) == set(crq.DUST_PARAMS)
+    assert rows["sid"]["ignorable"] and rows["sid"]["n_collapsed"] > 0
+    assert rows["ref"]["ignorable"] and rows["ref"]["n_conflicts"] == 0
+    assert not rows["page"]["ignorable"]
+    assert rows["page"]["n_conflicts"] == rows["page"]["n_collapsed"] > 0

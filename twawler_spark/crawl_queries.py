@@ -686,3 +686,215 @@ SELECT host,
                   / {CORPUS_SEQ_LEN}.0) as bigint) AS n_sequences
 FROM m GROUP BY host
 """
+
+
+# --------------------------------------- query 7: hop-bounded BFS depth
+
+BFS_MOD = 20011
+BFS_MAX_DEPTH = 4
+BFS_SEEDS = (0, 5000, 10000, 15000, 20000)
+
+
+def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
+    """Hop-limited frontier expansion: min hop distance from the seed
+    set over a link graph, the depth-gating primitive of a focused
+    crawl (the reference bounds expansion by tracked-set membership,
+    addfollowers.py one-hop; a web crawler bounds it by hop count).
+    Distributed BFS: per level, one join frontier⋈edges on src + one
+    anti-join against the settled set; the frontier SHRINKS as
+    distances settle, so rounds get cheaper — same O(log/hop shuffle
+    rounds) family as the large/small-star connected components
+    (operators/graph.py), but directed, seeded, and depth-bounded.
+
+    100 TB shape: edges shuffle-partition by src once and stay put;
+    each level's frontier is tiny relative to the graph and broadcasts;
+    the settled set grows but the anti-join keys on node. Lineage is
+    cut per level with a lazy localCheckpoint exactly like the CC
+    operator. Graph: deterministic 60k-edge projection of lineitem
+    onto a 20011-node id space; seeds are 5 fixed ids."""
+    li = _t(spark, sf, "lineitem")
+    edges = li.select(
+        F.pmod(F.col("l_orderkey").cast("long"), F.lit(BFS_MOD)).alias("src"),
+        F.pmod(
+            F.col("l_partkey").cast("long") * 31 + F.col("l_suppkey").cast("long"),
+            F.lit(BFS_MOD),
+        ).alias("dst"),
+    ).dropDuplicates(["src", "dst"])
+    dist = spark.createDataFrame(
+        [(s, 0) for s in BFS_SEEDS], "node long, depth int"
+    )
+    frontier = dist.select("node")
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"))
+            .dropDuplicates(["node"])
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("node").cast("long").alias("sum_node"),
+    )
+
+
+O_CRAWL_BFS_DEPTH = f"""
+WITH RECURSIVE e AS (
+  SELECT DISTINCT l_orderkey % {BFS_MOD} AS src,
+         (l_partkey * 31 + l_suppkey) % {BFS_MOD} AS dst
+  FROM lineitem),
+bfs(node, depth) AS (
+  SELECT unnest({list(BFS_SEEDS)})::BIGINT AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst, b.depth + 1 FROM bfs b JOIN e ON e.src = b.node
+  WHERE b.depth < {BFS_MAX_DEPTH}),
+md AS (SELECT node, min(depth) AS depth FROM bfs GROUP BY node)
+SELECT depth, count(*) AS n_nodes, cast(sum(node) as bigint) AS sum_node
+FROM md GROUP BY depth
+"""
+
+
+# ------------------------------------ query 8: DUST URL-rule mining
+
+DUST_PARAMS = ("page", "sid", "ref")
+
+
+def _dust_stream(prefix: str, col, mod: int):
+    """Independent deterministic stream from a key column via the
+    md5-prefix trick (same portable-hash pattern as _crawl_fixture's
+    url_hash): 60-bit positive value mod ``mod``."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix + ":"), col.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(mod),
+    )
+
+
+def q_dust_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """DUST rule mining ("Different URLs with Similar Text",
+    Bar-Yossef et al. WWW'07): from a crawl log of (url, content
+    fingerprint) rows, decide per URL parameter whether it is
+    content-IRRELEVANT (safe to strip before the seen-set probe, which
+    shrinks the 10^10 frontier) or content-BEARING. For each candidate
+    param k: canonicalize every url with k stripped (path + sorted
+    residual params), group by that key, and count groups that
+    collapsed >=2 urls (support) vs collapsed groups holding >1
+    distinct fingerprint (counterexamples). A rule is emitted only
+    with support > 0 and zero counterexamples. NO pair join — one
+    groupBy per candidate param, map-side-combinable, vs the naive
+    all-pairs-within-duplicate-cluster formulation.
+
+    Fixture: a deterministic crawl log over documents' doc_ids where
+    content truly depends on (path, page) and never on (sid, ref) —
+    the miner must recover exactly that. Reference parity: the same
+    canonicalize-before-dedup role as URL expansion (S11,
+    functions/urls.py); this learns the strip rules instead of
+    hardcoding them."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    path_id = _dust_stream("dustp", did, 97)
+    page = _dust_stream("dustg", did, 2)
+    sid = _dust_stream("dusts", did, 5)
+    ref = F.when(_dust_stream("dustr", did, 4) == 0, _dust_stream("dustv", did, 3))
+    fp = F.md5(F.concat(path_id.cast("string"), F.lit(":"), page.cast("string")))
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(path_id, F.lit(20)).cast("string"),
+        F.lit(".example.com/p/"),
+        path_id.cast("string"),
+        F.lit("?page="),
+        page.cast("string"),
+        F.lit("&sid="),
+        sid.cast("string"),
+        F.when(
+            ref.isNotNull(), F.concat(F.lit("&ref="), ref.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(fp.alias("fp"), url.alias("url")).dropDuplicates(["url"])
+
+    def branch(k: str) -> DataFrame:
+        path = F.split(F.col("url"), "\\?").getItem(0)
+        kvs = F.split(F.split(F.col("url"), "\\?").getItem(1), "&")
+        kept = F.filter(kvs, lambda x: ~x.startswith(k + "="))
+        key2 = F.concat(path, F.lit("|"), F.array_join(F.array_sort(kept), "&"))
+        g = urls.groupBy(key2.alias("key2")).agg(
+            F.countDistinct("url").alias("nu"),
+            F.countDistinct("fp").alias("nf"),
+        )
+        return (
+            g.agg(
+                F.sum(F.when(F.col("nu") >= 2, 1).otherwise(0))
+                .cast("long")
+                .alias("n_collapsed"),
+                F.sum(F.when((F.col("nu") >= 2) & (F.col("nf") > 1), 1).otherwise(0))
+                .cast("long")
+                .alias("n_conflicts"),
+            )
+            .select(
+                F.lit(k).alias("param"),
+                "n_collapsed",
+                "n_conflicts",
+                ((F.col("n_collapsed") > 0) & (F.col("n_conflicts") == 0)).alias(
+                    "ignorable"
+                ),
+            )
+        )
+
+    out = branch(DUST_PARAMS[0])
+    for k in DUST_PARAMS[1:]:
+        out = out.unionByName(branch(k))
+    return out
+
+
+def _build_o_dust() -> str:
+    h = (
+        "('0x' || substr(md5('{p}:' || cast(doc_id as varchar)), 1, 15))::BIGINT"
+        " % {m}"
+    )
+    branches = []
+    for k in DUST_PARAMS:
+        branches.append(f"""
+SELECT '{k}' AS param, n_collapsed, n_conflicts,
+       n_collapsed > 0 AND n_conflicts = 0 AS ignorable FROM (
+  SELECT cast(sum(CASE WHEN nu >= 2 THEN 1 ELSE 0 END) as bigint) AS n_collapsed,
+         cast(sum(CASE WHEN nu >= 2 AND nf > 1 THEN 1 ELSE 0 END) as bigint)
+           AS n_conflicts
+  FROM (
+    SELECT count(distinct url) AS nu, count(distinct fp) AS nf FROM (
+      SELECT url, fp,
+             split_part(url, '?', 1) || '|' ||
+             array_to_string(list_sort(list_filter(
+               string_split(split_part(url, '?', 2), '&'),
+               x -> NOT starts_with(x, '{k}='))), '&') AS key2
+      FROM urls) GROUP BY key2))""")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         {h.format(p='dustp', m=97)} AS path_id,
+         {h.format(p='dustg', m=2)} AS page,
+         {h.format(p='dusts', m=5)} AS sid,
+         CASE WHEN {h.format(p='dustr', m=4)} = 0
+              THEN {h.format(p='dustv', m=3)} END AS ref
+  FROM documents),
+urls AS (
+  SELECT DISTINCT
+         md5(cast(path_id as varchar) || ':' || cast(page as varchar)) AS fp,
+         'https://h' || cast(path_id % 20 as varchar) || '.example.com/p/' ||
+         cast(path_id as varchar) || '?page=' || cast(page as varchar) ||
+         '&sid=' || cast(sid as varchar) ||
+         CASE WHEN ref IS NOT NULL THEN '&ref=' || cast(ref as varchar)
+              ELSE '' END AS url
+  FROM u)
+{' UNION ALL '.join(branches)}
+"""
+
+
+O_DUST_RULES = _build_o_dust()

@@ -85,6 +85,8 @@ QUERIES: dict[str, QueryFn] = {
     "host_adaptive_budget": eq.q_host_adaptive_budget,
     "semdedup": tq.q_semdedup,
     "crawl_to_corpus": crq.q_crawl_to_corpus,
+    "crawl_bfs_depth": crq.q_crawl_bfs_depth,
+    "dust_rules": crq.q_dust_rules,
     "quality_classifier": tq.q_quality_classifier,
     "dedup_cdc": tq.q_dedup_cdc,
     "recrawl_schedule": cq.q_recrawl_schedule,
@@ -258,6 +260,8 @@ ORACLES: dict[str, str] = {
     "host_adaptive_budget": eq.O_HOST_ADAPTIVE_BUDGET,
     "semdedup": tq.O_SEMDEDUP,
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
+    "crawl_bfs_depth": crq.O_CRAWL_BFS_DEPTH,
+    "dust_rules": crq.O_DUST_RULES,
     "quality_classifier": tq.O_QUALITY_CLASSIFIER,
     "dedup_cdc": tq.O_DEDUP_CDC,
     "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,
