@@ -712,6 +712,8 @@ def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     cut per level with a lazy localCheckpoint exactly like the CC
     operator. Graph: deterministic 60k-edge projection of lineitem
     onto a 20011-node id space; seeds are 5 fixed ids."""
+    from .operators.graph import bfs_min_depth
+
     li = _t(spark, sf, "lineitem")
     edges = li.select(
         F.pmod(F.col("l_orderkey").cast("long"), F.lit(BFS_MOD)).alias("src"),
@@ -720,21 +722,8 @@ def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(BFS_MOD),
         ).alias("dst"),
     ).dropDuplicates(["src", "dst"])
-    dist = spark.createDataFrame(
-        [(s, 0) for s in BFS_SEEDS], "node long, depth int"
-    )
-    frontier = dist.select("node")
-    for d in range(1, BFS_MAX_DEPTH + 1):
-        nxt = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
-            .select(F.col("e.dst").alias("node"))
-            .dropDuplicates(["node"])
-            .join(dist.select("node"), "node", "left_anti")
-            .withColumn("depth", F.lit(d).cast("int"))
-        )
-        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt.select("node")
+    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "node long")
+    dist = bfs_min_depth(seeds, edges, BFS_MAX_DEPTH)
     return dist.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node"),

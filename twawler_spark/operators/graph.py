@@ -99,3 +99,35 @@ def multi_source_bfs(
         frontier = nxt
     edges_p.unpersist()
     return dist
+
+
+def bfs_min_depth(
+    seeds: DataFrame,
+    edges: DataFrame,
+    max_depth: int,
+) -> DataFrame:
+    """(node, depth) — min hop distance from the seed SET, pooled.
+
+    The hop-limit primitive of a focused crawl: unlike
+    multi_source_bfs (state keyed by (seed, node) — one distance
+    surface per source, for eccentricity bounds), all seeds here share
+    one frontier and one settled set, so state is O(nodes reached),
+    not O(nodes x seeds). Per level: one join of the shrinking
+    frontier against the src-partitioned edge table + one anti-join
+    against the settled set; lineage cut per level with a lazy
+    localCheckpoint (the CC-operator pattern above)."""
+    dist = seeds.select(F.col("node"), F.lit(0).cast("int").alias("depth"))
+    frontier = dist.select("node")
+    edges_p = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    for d in range(1, max_depth + 1):
+        nxt = (
+            frontier.alias("f")
+            .join(edges_p.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(F.col("e.dst").alias("node"))
+            .dropDuplicates(["node"])
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("depth", F.lit(d).cast("int"))
+        )
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist
