@@ -67,6 +67,9 @@ HEADLINE_QUERIES = (
     "warc_ingest",
     "span_corruption",
     "inverted_index_export",
+    # round-5d tier
+    "crawl_bfs_depth",
+    "dust_rules",
 )
 
 

@@ -83,6 +83,8 @@ AUDIT = (
     "graph_harmonic",
     "span_corruption",
     "inverted_index_export",
+    "crawl_bfs_depth",
+    "dust_rules",
 )
 
 
