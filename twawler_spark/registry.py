@@ -424,8 +424,12 @@ _WINDOW_R5 = [
     # a13_counters yields its slot to admit_cuckoo_retract (new cuckoo
     # seen-filter tier, never driver-checked); the counters engine path
     # stays pytest-verified via round_metrics
-    "a9_degree_stats", "crawl_to_corpus", "admit_cuckoo_retract",
-    "a15_lang_topk",
+    # a9_degree_stats + a15_lang_topk yield their slots to the two
+    # never-driver-checked round-5d operators (crawl_bfs_depth,
+    # dust_rules): the A-family keeps a5/a7 in-window and both
+    # displaced queries stay locally verified via check_oracles.py
+    "crawl_bfs_depth", "crawl_to_corpus", "admit_cuckoo_retract",
+    "dust_rules",
     # a11_timeseries, j10_type_similarity and f10_monthly yield their
     # slots to the three never-driver-checked round-5c operators
     # (quality_classifier, dedup_cdc, recrawl_schedule): the A-family
