@@ -70,6 +70,7 @@ HEADLINE_QUERIES = (
     # round-5d tier
     "crawl_bfs_depth",
     "dust_rules",
+    "bpe_merges",
 )
 
 

@@ -85,6 +85,7 @@ AUDIT = (
     "inverted_index_export",
     "crawl_bfs_depth",
     "dust_rules",
+    "bpe_merges",
 )
 
 

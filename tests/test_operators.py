@@ -1293,3 +1293,47 @@ def test_inverted_index_postings_consistent(spark):
             dfs.add(d.doc_id)
     assert (probe.df, probe.cf) == (len(dfs), cf)
     assert (probe.first_doc, probe.last_doc) == (min(dfs), max(dfs))
+
+
+def test_bpe_merges_third_implementation(spark):
+    """The learned merges must equal a plain-Python BPE trainer run on
+    the same corpus (token-level pair counting, deterministic
+    tie-break, greedy leftmost non-overlapping rewrite)."""
+    from twawler_spark.training_queries import BPE_ITERS, q_bpe_merges
+
+    docs = [
+        r["text"].split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    docs = [[t for t in d if t] for d in docs]
+    want = []
+    for _ in range(BPE_ITERS):
+        from collections import Counter
+
+        cnt = Counter()
+        for d in docs:
+            for j in range(len(d) - 1):
+                cnt[(d[j], d[j + 1])] += 1
+        (a, b), n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        out_docs = []
+        for d in docs:
+            nd, j = [], 0
+            while j < len(d):
+                if j + 1 < len(d) and d[j] == a and d[j + 1] == b:
+                    nd.append(a + "_" + b)
+                    j += 2
+                else:
+                    nd.append(d[j])
+                    j += 1
+            out_docs.append(nd)
+        docs = out_docs
+        want.append((a, b, n, sum(len(d) for d in docs)))
+    rows = sorted(q_bpe_merges(spark, SF).collect(), key=lambda r: r["iter"])
+    got = [
+        (r["left_tok"], r["right_tok"], r["n_pairs"], r["corpus_tokens_after"])
+        for r in rows
+    ]
+    assert got == want
+    # merges must actually shrink the corpus, monotonically
+    totals = [r["corpus_tokens_after"] for r in rows]
+    assert all(x > y for x, y in zip(totals, totals[1:]))

@@ -114,9 +114,14 @@ def bfs_min_depth(
     one frontier and one settled set, so state is O(nodes reached),
     not O(nodes x seeds). Per level: one join of the shrinking
     frontier against the src-partitioned edge table + one anti-join
-    against the settled set; lineage cut per level with a lazy
-    localCheckpoint (the CC-operator pattern above)."""
-    dist = seeds.select(F.col("node"), F.lit(0).cast("int").alias("depth"))
+    against the settled set; lineage cut per level with an eager
+    localCheckpoint (each level forces the previous one anyway, and
+    eager state lets the edge cache be released before returning —
+    the same discipline as multi_source_bfs above). Terminates early
+    when a level drains."""
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint(eager=True)
     frontier = dist.select("node")
     edges_p = edges.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     for d in range(1, max_depth + 1):
@@ -127,7 +132,11 @@ def bfs_min_depth(
             .dropDuplicates(["node"])
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("depth", F.lit(d).cast("int"))
+            .localCheckpoint(eager=True)
         )
-        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt.select("node")
+    edges_p.unpersist()
     return dist

@@ -87,6 +87,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_to_corpus": crq.q_crawl_to_corpus,
     "crawl_bfs_depth": crq.q_crawl_bfs_depth,
     "dust_rules": crq.q_dust_rules,
+    "bpe_merges": tq.q_bpe_merges,
     "quality_classifier": tq.q_quality_classifier,
     "dedup_cdc": tq.q_dedup_cdc,
     "recrawl_schedule": cq.q_recrawl_schedule,
@@ -262,6 +263,7 @@ ORACLES: dict[str, str] = {
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
     "crawl_bfs_depth": crq.O_CRAWL_BFS_DEPTH,
     "dust_rules": crq.O_DUST_RULES,
+    "bpe_merges": tq.O_BPE_MERGES,
     "quality_classifier": tq.O_QUALITY_CLASSIFIER,
     "dedup_cdc": tq.O_DEDUP_CDC,
     "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,

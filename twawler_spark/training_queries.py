@@ -3572,3 +3572,124 @@ idx AS (
 SELECT term, df, cf, first_doc, last_doc
 FROM idx WHERE df >= {IDX_MIN_DF}
 """
+
+
+# ------------------------------------------------ BPE merge learning
+
+BPE_ITERS = 3
+
+
+def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer training: learn the first BPE_ITERS merge rules over
+    the corpus (Sennrich et al., "Neural Machine Translation of Rare
+    Words with Subword Units" — the BPE training loop every modern
+    tokenizer runs, here at word granularity, i.e. the word2phrase
+    multi-word-expression variant of the same algorithm). Per
+    iteration: count every adjacent token pair (one explode + one
+    groupBy), take the argmax under a deterministic tie-break, and
+    apply the merge as a GREEDY NON-OVERLAPPING leftmost rewrite.
+
+    The rewrite trick that keeps both engines identical and shuffle-
+    free: sequences are encoded as double-space-joined strings with a
+    two-space border, and merge (a,b) is the literal replacement
+    ' a  b ' -> ' a_b ' — left-to-right non-overlapping string replace
+    IS the BPE merge semantics, including consecutive occurrences
+    ('a b a b' merges twice, 'l l l' merges once). Each iteration's
+    survivor sequences are lazily localCheckpoint'ed so iteration i+1
+    re-reads materialized state, not a 3x-replayed lineage.
+
+    100 TB shape: per merge = one map-side-combinable pair count + a
+    1-row broadcast + a map-only rewrite; the corpus shuffles once per
+    merge and only on the tiny pair table. Output: (iter, left_tok,
+    right_tok, n_pairs, corpus_tokens_after) — token totals prove the
+    rewrites actually applied."""
+    d = _t(spark, sf, "documents")
+    toks0 = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    s = d.select(
+        "doc_id",
+        F.concat(F.lit("  "), F.array_join(toks0, "  "), F.lit("  ")).alias("seq"),
+    )
+    n_toks = F.size(F.filter(F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""))
+    out = None
+    for i in range(1, BPE_ITERS + 1):
+        t = s.select("doc_id", F.filter(
+            F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""
+        ).alias("toks")).where(F.size("toks") >= 2)
+        pairs = t.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 1),
+                    lambda j: F.struct(
+                        F.element_at(F.col("toks"), j).alias("a"),
+                        F.element_at(F.col("toks"), j + 1).alias("b"),
+                    ),
+                )
+            ).alias("pr")
+        ).select("pr.a", "pr.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+        )
+        s = (
+            s.crossJoin(F.broadcast(top))
+            .select(
+                "doc_id",
+                F.replace(
+                    F.col("seq"),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("  "), F.col("b"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("a"), F.lit("_"), F.col("b"), F.lit(" ")),
+                ).alias("seq"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        after = s.agg(F.sum(n_toks).cast("long").alias("corpus_tokens_after"))
+        row = top.crossJoin(after).select(
+            F.lit(i).alias("iter"),
+            F.col("a").alias("left_tok"),
+            F.col("b").alias("right_tok"),
+            F.col("cnt").cast("long").alias("n_pairs"),
+            "corpus_tokens_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _build_o_bpe() -> str:
+    its = []
+    for i in range(BPE_ITERS):
+        its.append(f"""
+t{i} AS (SELECT doc_id, list_filter(string_split(trim(seq), '  '), x -> x != '') AS toks FROM s{i}),
+p{i + 1} AS (
+  SELECT pr.a AS a, pr.b AS b, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  j -> {{'a': toks[j], 'b': toks[j + 1]}})) AS pr
+    FROM t{i} WHERE len(toks) >= 2)
+  GROUP BY pr.a, pr.b),
+m{i + 1} AS (SELECT a, b, cnt FROM p{i + 1} ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+s{i + 1} AS (
+  SELECT doc_id,
+         replace(seq, ' ' || m.a || '  ' || m.b || ' ',
+                      ' ' || m.a || '_' || m.b || ' ') AS seq
+  FROM s{i}, m{i + 1} m)""")
+    rows = " UNION ALL ".join(
+        f"""SELECT {i + 1} AS iter, a AS left_tok, b AS right_tok,
+  cast(cnt as bigint) AS n_pairs,
+  (SELECT cast(sum(len(list_filter(string_split(trim(seq), '  '),
+                                   x -> x != ''))) as bigint)
+   FROM s{i + 1}) AS corpus_tokens_after
+FROM m{i + 1}"""
+        for i in range(BPE_ITERS)
+    )
+    return f"""
+WITH s0 AS (
+  SELECT doc_id,
+         '  ' || array_to_string(list_filter(string_split(text, ' '),
+                                             x -> x != ''), '  ') || '  ' AS seq
+  FROM documents),{",".join(its)}
+{rows}
+"""
+
+
+O_BPE_MERGES = _build_o_bpe()
