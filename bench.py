@@ -71,6 +71,8 @@ HEADLINE_QUERIES = (
     "crawl_bfs_depth",
     "dust_rules",
     "bpe_merges",
+    "graph_hits",
+    "corpus_sample",
 )
 
 

@@ -86,6 +86,8 @@ AUDIT = (
     "crawl_bfs_depth",
     "dust_rules",
     "bpe_merges",
+    "graph_hits",
+    "corpus_sample",
 )
 
 

@@ -1337,3 +1337,58 @@ def test_bpe_merges_third_implementation(spark):
     # merges must actually shrink the corpus, monotonically
     totals = [r["corpus_tokens_after"] for r in rows]
     assert all(x > y for x, y in zip(totals, totals[1:]))
+
+
+def test_graph_hits_third_implementation(spark):
+    """HITS scores must match a plain-python mutual-reinforcement loop
+    (L1 normalization each half-step) to the rounding precision."""
+    from twawler_spark.coverage_queries import HITS_ITERS, q_graph_hits
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    edges = {
+        (r["user_id"], 1 + (r["event_id"] * 7) % 149)
+        for r in ev
+        if r["user_id"] != 1 + (r["event_id"] * 7) % 149
+    }
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    a = {n: 1.0 / len(nodes) for n in nodes}
+    h = {}
+    for _ in range(HITS_ITERS):
+        h = {n: sum(a[t] for s, t in edges if s == n) for n in nodes}
+        tot = sum(h.values())
+        h = {n: v / tot for n, v in h.items()}
+        a = {n: sum(h[s] for s, t in edges if t == n) for n in nodes}
+        tot = sum(a.values())
+        a = {n: v / tot for n, v in a.items()}
+    rows = {r["id"]: r for r in q_graph_hits(spark, SF).collect()}
+    assert set(rows) == set(nodes)
+    for n in nodes:
+        assert abs(rows[n]["hub"] - h[n]) < 2e-6, (n, rows[n]["hub"], h[n])
+        assert abs(rows[n]["auth"] - a[n]) < 2e-6, (n, rows[n]["auth"], a[n])
+
+
+def test_corpus_sample_exact_allocation(spark):
+    """Every stratum selects exactly max(1, round(frac*n)) docs, and the
+    selection equals the naive python sort-by-hash carve."""
+    import hashlib
+
+    from twawler_spark.training_queries import SAMPLE_FRAC, q_corpus_sample
+
+    docs = [
+        (r["source"], int(r["doc_id"]))
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    ]
+    bysrc = {}
+    for src, did in docs:
+        key = int(hashlib.md5(f"smp:{did}".encode()).hexdigest()[:15], 16)
+        bysrc.setdefault(src, []).append((key, did))
+    rows = {r["source"]: r for r in q_corpus_sample(spark, SF).collect()}
+    assert set(rows) == set(bysrc)
+    for src, lst in bysrc.items():
+        lst.sort()
+        n_alloc = max(1, round(len(lst) * SAMPLE_FRAC))
+        want = lst[:n_alloc]
+        r = rows[src]
+        assert r["n_docs"] == len(lst)
+        assert r["n_alloc"] == r["n_selected"] == n_alloc
+        assert r["sum_selected_ids"] == sum(d for _, d in want)

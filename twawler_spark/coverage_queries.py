@@ -3139,6 +3139,105 @@ SELECT id, round(rank, 6) AS pr FROM r{PR_ITERS}
 O_FRONTIER_PAGERANK = _o_frontier_pagerank()
 
 
+HITS_ITERS = 2
+
+
+def q_graph_hits(spark, sf):
+    """HITS hubs/authorities (Kleinberg 1999) over the same mention
+    graph as frontier_pagerank — the other classic link-analysis
+    crawl-ordering signal: authorities are seed-quality targets, high
+    hub scores flag directory/link-farm pages a trap-aware frontier
+    deprioritizes. HITS_ITERS mutual-reinforcement iterations from the
+    uniform vector, L1-normalized after every half-step (the scale
+    factor is a 1-row aggregate broadcast, so normalization costs no
+    second pass over the graph).
+
+    100 TB shape: identical to PageRank's — per half-step one
+    (src|dst)-keyed join of the O(|nodes|) score vector onto the edge
+    list + one aggregation; the edge list never moves and can stay
+    bucketed. Fixed iteration count keeps it one Catalyst plan."""
+    e = _t(spark, sf, "events")
+    edges = (
+        e.select(
+            F.col("user_id").alias("src"),
+            (1 + F.pmod(F.col("event_id") * 7, F.lit(149))).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    auth = nodes.crossJoin(nn).select("id", (F.lit(1.0) / F.col("n")).alias("a"))
+    hub = None
+    for _ in range(HITS_ITERS):
+        hraw = (
+            edges.join(auth, edges["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("x"))
+        )
+        hs = hraw.agg(F.sum("x").alias("s"))
+        hub = (
+            nodes.join(hraw, nodes["id"] == hraw["src"], "left")
+            .crossJoin(hs)
+            .select("id", (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("h"))
+        )
+        araw = (
+            edges.join(hub, edges["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("x"))
+        )
+        as_ = araw.agg(F.sum("x").alias("s"))
+        auth = (
+            nodes.join(araw, nodes["id"] == araw["dst"], "left")
+            .crossJoin(as_)
+            .select("id", (F.coalesce("x", F.lit(0.0)) / F.col("s")).alias("a"))
+        )
+    return (
+        nodes.join(hub, "id")
+        .join(auth, "id")
+        .select("id", F.round("h", 6).alias("hub"), F.round("a", 6).alias("auth"))
+    )
+
+
+def _o_graph_hits() -> str:
+    its = []
+    for i in range(HITS_ITERS):
+        its.append(f"""
+hraw{i} AS (
+  SELECT e.src AS id, sum(a.a) AS x FROM edges e JOIN a{i} a ON e.dst = a.id
+  GROUP BY e.src),
+hs{i} AS (SELECT sum(x) AS s FROM hraw{i}),
+h{i + 1} AS (
+  SELECT nodes.id, coalesce(x, 0) / s AS h
+  FROM nodes CROSS JOIN hs{i} LEFT JOIN hraw{i} ON nodes.id = hraw{i}.id),
+araw{i} AS (
+  SELECT e.dst AS id, sum(h.h) AS x FROM edges e JOIN h{i + 1} h ON e.src = h.id
+  GROUP BY e.dst),
+as{i} AS (SELECT sum(x) AS s FROM araw{i}),
+a{i + 1} AS (
+  SELECT nodes.id, coalesce(x, 0) / s AS a
+  FROM nodes CROSS JOIN as{i} LEFT JOIN araw{i} ON nodes.id = araw{i}.id)""")
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, 1 + (event_id * 7) % 149 AS dst
+  FROM events WHERE user_id <> 1 + (event_id * 7) % 149),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+a0 AS (SELECT id, 1.0 / n AS a FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT nodes.id, round(h{HITS_ITERS}.h, 6) AS hub, round(a{HITS_ITERS}.a, 6) AS auth
+FROM nodes JOIN h{HITS_ITERS} ON nodes.id = h{HITS_ITERS}.id
+JOIN a{HITS_ITERS} ON nodes.id = a{HITS_ITERS}.id
+"""
+
+
+O_GRAPH_HITS = _o_graph_hits()
+
+
 # =====================================================================
 # Freshness-driven adaptive recrawl scheduling (Cho & Garcia-Molina)
 # =====================================================================

@@ -88,6 +88,8 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_bfs_depth": crq.q_crawl_bfs_depth,
     "dust_rules": crq.q_dust_rules,
     "bpe_merges": tq.q_bpe_merges,
+    "graph_hits": cq.q_graph_hits,
+    "corpus_sample": tq.q_corpus_sample,
     "quality_classifier": tq.q_quality_classifier,
     "dedup_cdc": tq.q_dedup_cdc,
     "recrawl_schedule": cq.q_recrawl_schedule,
@@ -264,6 +266,8 @@ ORACLES: dict[str, str] = {
     "crawl_bfs_depth": crq.O_CRAWL_BFS_DEPTH,
     "dust_rules": crq.O_DUST_RULES,
     "bpe_merges": tq.O_BPE_MERGES,
+    "graph_hits": cq.O_GRAPH_HITS,
+    "corpus_sample": tq.O_CORPUS_SAMPLE,
     "quality_classifier": tq.O_QUALITY_CLASSIFIER,
     "dedup_cdc": tq.O_DEDUP_CDC,
     "recrawl_schedule": cq.O_RECRAWL_SCHEDULE,

@@ -3693,3 +3693,97 @@ WITH s0 AS (
 
 
 O_BPE_MERGES = _build_o_bpe()
+
+
+# ------------------------------------- stratified exact-allocation sample
+
+SAMPLE_FRAC = 0.2
+SAMPLE_SHIFT = 52  # 60-bit md5-prefix key >> 52 = 256 order-aligned buckets
+
+
+def q_corpus_sample(spark, sf):
+    """Deterministic stratified sampling with EXACT allocation: per
+    source stratum take exactly max(1, round(frac*n)) documents, chosen
+    by portable-hash order — the eval-set / ablation carve a dataset
+    build repeats constantly. Distinct from train_split (hash-mod =
+    binomial stratum counts, not exact) and token_budget_select
+    (budgeted by tokens, not proportional by count).
+
+    Scale shape, same discipline as token_budget_select: the naive
+    plan is one per-stratum GLOBAL window over all rows — a
+    single-partition sort per stratum that dies on a skewed 100 TB
+    stratum. Here the 60-bit sample key's top 8 bits form 256
+    order-aligned buckets: per-(stratum, bucket) counts cumulate in a
+    tiny broadcastable table, sub-boundary buckets pass whole, and
+    row_number runs only WITHIN (stratum, bucket) partitions — never a
+    per-stratum global sort. The DuckDB oracle is the naive global
+    row_number spec; the hash match proves the bucketed plan computes
+    exactly the spec."""
+    d = _t(spark, sf, "documents")
+    key = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("smp:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+    )
+    base = d.select(
+        "source", F.col("doc_id").cast("long").alias("doc_id"), key.alias("key")
+    ).withColumn("b", F.shiftright("key", SAMPLE_SHIFT))
+    alloc = base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.round(F.col("n_docs") * SAMPLE_FRAC).cast("long"),
+        ).alias("n_alloc"),
+    )
+    bs = base.groupBy("source", "b").agg(F.count(F.lit(1)).alias("bc"))
+    wb = (
+        W.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bcum = bs.withColumn("cum", F.sum("bc").over(wb)).select(
+        "source", "b", (F.col("cum") - F.col("bc")).alias("before")
+    )
+    j = base.join(F.broadcast(bcum), ["source", "b"]).join(
+        F.broadcast(alloc), "source"
+    )
+    wdoc = W.partitionBy("source", "b").orderBy("key", "doc_id")
+    sel = (
+        j.where(F.col("before") < F.col("n_alloc"))
+        .withColumn("rk", F.row_number().over(wdoc))
+        .where(F.col("before") + F.col("rk") <= F.col("n_alloc"))
+    )
+    return sel.groupBy("source", "n_docs", "n_alloc").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("doc_id").cast("long").alias("sum_selected_ids"),
+    )
+
+
+O_CORPUS_SAMPLE = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         ('0x' || substr(md5('smp:' || cast(doc_id as varchar)), 1, 15))::BIGINT AS key
+  FROM documents),
+alloc AS (
+  SELECT source, count(*) AS n_docs,
+         greatest(1, cast(round(count(*) * {SAMPLE_FRAC}) as bigint)) AS n_alloc
+  FROM base GROUP BY source),
+rk AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY key, doc_id) AS rk
+  FROM base),
+sel AS (
+  SELECT rk.source, rk.doc_id FROM rk JOIN alloc USING (source)
+  WHERE rk <= n_alloc)
+SELECT a.source, a.n_docs, a.n_alloc,
+       count(*) AS n_selected,
+       cast(sum(doc_id) as bigint) AS sum_selected_ids
+FROM sel s JOIN alloc a ON s.source = a.source
+GROUP BY a.source, a.n_docs, a.n_alloc
+"""
