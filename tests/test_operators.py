@@ -1392,3 +1392,53 @@ def test_corpus_sample_exact_allocation(spark):
         assert r["n_docs"] == len(lst)
         assert r["n_alloc"] == r["n_selected"] == n_alloc
         assert r["sum_selected_ids"] == sum(d for _, d in want)
+
+
+def test_bfs_min_depth_edge_semantics(spark):
+    """Direct operator unit test: min-over-paths wins, seeds stay depth
+    0 even when re-reachable, unreachable nodes are absent, and the
+    loop drain-exits before max_depth without inventing levels."""
+    from twawler_spark.operators.graph import bfs_min_depth
+
+    #   1 -> 2 -> 3 -> 4      1 -> 4 (shortcut: depth(4) must be 1)
+    #   3 -> 1 (back-edge to a seed: must stay depth 0)
+    #   9 isolated (unreachable: absent)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (3, 1), (9, 9)],
+        "src long, dst long",
+    ).where("src != 9")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["depth"] for r in bfs_min_depth(seeds, edges, 10).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_dust_key2_param_positions(spark):
+    """The canonicalize-with-param-stripped key must behave at every
+    param position: first, middle, last, and when stripping empties the
+    param list entirely."""
+    from pyspark.sql import functions as F
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h/p?page=1&sid=2&ref=3",),
+            ("https://h/p?sid=9",),
+        ],
+        "url string",
+    )
+
+    def key2(k):
+        path = F.split(F.col("url"), "\\?").getItem(0)
+        kvs = F.split(F.split(F.col("url"), "\\?").getItem(1), "&")
+        kept = F.filter(kvs, lambda x: ~x.startswith(k + "="))
+        return F.concat(path, F.lit("|"), F.array_join(F.array_sort(kept), "&"))
+
+    rows = urls.select(
+        key2("page").alias("nopage"),
+        key2("sid").alias("nosid"),
+        key2("ref").alias("noref"),
+    ).collect()
+    assert rows[0]["nopage"] == "https://h/p|ref=3&sid=2"
+    assert rows[0]["nosid"] == "https://h/p|page=1&ref=3"
+    assert rows[0]["noref"] == "https://h/p|page=1&sid=2"
+    assert rows[1]["nosid"] == "https://h/p|"
+    assert rows[1]["nopage"] == "https://h/p|sid=9"
