@@ -73,6 +73,7 @@ HEADLINE_QUERIES = (
     "bpe_merges",
     "graph_hits",
     "corpus_sample",
+    "crawl_backlog",
 )
 
 

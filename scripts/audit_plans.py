@@ -88,6 +88,7 @@ AUDIT = (
     "bpe_merges",
     "graph_hits",
     "corpus_sample",
+    "crawl_backlog",
 )
 
 

@@ -151,3 +151,20 @@ def test_dust_rules_recover_generative_truth(spark):
     assert rows["ref"]["ignorable"] and rows["ref"]["n_conflicts"] == 0
     assert not rows["page"]["ignorable"]
     assert rows["page"]["n_conflicts"] == rows["page"]["n_collapsed"] > 0
+
+
+def test_backlog_conserves_frontier(spark):
+    """Per host: scheduled + blocked + waiting == active; total
+    scheduled equals the plan size; robots-blocked rows appear only on
+    hosts that actually carry deny rules (hn%5==0 or hn%10==0)."""
+    rows = crq.q_crawl_backlog(spark, SF).collect()
+    _, plan = crq._plan(spark, SF)
+    for r in rows:
+        assert r["n_scheduled"] + r["n_blocked"] + r["n_waiting"] == r["n_active"]
+        hn = int(r["host"][1:])
+        if r["n_blocked"] > 0:
+            assert hn % 5 == 0
+        if r["n_waiting"] > 0:
+            assert r["est_rounds_to_drain"] >= 1
+            assert r["max_waiting_hours_idle"] is not None
+    assert sum(r["n_scheduled"] for r in rows) == plan.count()

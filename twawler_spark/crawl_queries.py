@@ -887,3 +887,98 @@ urls AS (
 
 
 O_DUST_RULES = _build_o_dust()
+
+
+# --------------------------------------- query 9: frontier backlog audit
+
+
+def q_crawl_backlog(spark: SparkSession, sf: str) -> DataFrame:
+    """Operational fairness/starvation audit of the politeness queue:
+    per host, how much ACTIVE frontier did this round leave behind
+    (n_waiting), how much is permanently robots-blocked (n_blocked),
+    how many rounds the backlog needs at the host's budget
+    (est_rounds_to_drain = the queue-drain estimator an operator
+    watches), and the staleness of the oldest waiting URL. The
+    reference's equivalent operational view is the crawl-state scan
+    behind lasttime.py/following.py (who is overdue and why).
+
+    Shape: the deny-map broadcast + one left-semi-style plan join +
+    one groupBy(host) — no new shuffle over the frontier beyond the
+    plan membership probe; at 10^10 the plan side is budget-bounded
+    (tiny) and broadcasts."""
+    from .operators.admission import robots_deny_map
+
+    frontier, budgets, robots = _crawl_fixture(spark, sf)
+    _, plan = _plan(spark, sf)
+    deny = robots_deny_map(robots)
+    hours_idle = F.greatest(
+        (F.lit(CRAWL_NOW) - _epoch(F.col("latest_ts"))) / 3600.0, F.lit(0.0)
+    )
+    f2 = frontier.join(F.broadcast(deny), "host", "left").select(
+        "url_hash",
+        "host",
+        hours_idle.alias("hours_idle"),
+        F.when(F.col("deny_prefixes").isNull(), F.lit(False))
+        .otherwise(
+            F.exists(
+                F.col("deny_prefixes"), lambda p: F.startswith(F.col("path"), p)
+            )
+        )
+        .alias("blocked"),
+    )
+    sched = plan.select("url_hash").distinct().withColumn("__s", F.lit(True))
+    j = f2.join(F.broadcast(sched), "url_hash", "left").withColumn(
+        "sched", F.coalesce("__s", F.lit(False))
+    )
+    waiting = ~F.col("blocked") & ~F.col("sched")
+    per = j.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("sched"), 1).otherwise(0)).cast("long").alias("n_scheduled"),
+        F.sum(F.when(F.col("blocked") & ~F.col("sched"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_blocked"),
+        F.sum(F.when(waiting, 1).otherwise(0)).cast("long").alias("n_waiting"),
+        F.round(F.max(F.when(waiting, F.col("hours_idle"))), 4).alias(
+            "max_waiting_hours_idle"
+        ),
+    )
+    return per.join(F.broadcast(budgets), "host").select(
+        "host",
+        "n_active",
+        "n_scheduled",
+        "n_blocked",
+        "n_waiting",
+        F.ceil(F.col("n_waiting") / F.col("budget_per_round"))
+        .cast("long")
+        .alias("est_rounds_to_drain"),
+        "max_waiting_hours_idle",
+    )
+
+
+O_CRAWL_BACKLOG = f"""
+WITH {_SQL_PLAN_BASE},
+fb AS (
+  SELECT url_hash, host, hn,
+         greatest(({CRAWL_NOW} - latest_e) / 3600.0, 0.0) AS hours_idle,
+         ((hn % 5 = 0 AND path LIKE '/u/1%')
+          OR (hn % 10 = 0 AND path LIKE '/u/3%')) AS blocked
+  FROM f),
+s AS (SELECT DISTINCT url_hash, true AS sched0 FROM plan),
+j AS (
+  SELECT fb.*, coalesce(sched0, false) AS sched
+  FROM fb LEFT JOIN s USING (url_hash)),
+per AS (
+  SELECT host, hn, count(*) AS n_active,
+         cast(sum(CASE WHEN sched THEN 1 ELSE 0 END) as bigint) AS n_scheduled,
+         cast(sum(CASE WHEN blocked AND NOT sched THEN 1 ELSE 0 END) as bigint)
+           AS n_blocked,
+         cast(sum(CASE WHEN NOT blocked AND NOT sched THEN 1 ELSE 0 END) as bigint)
+           AS n_waiting,
+         round(max(CASE WHEN NOT blocked AND NOT sched THEN hours_idle END), 4)
+           AS max_waiting_hours_idle
+  FROM j GROUP BY host, hn)
+SELECT host, n_active, n_scheduled, n_blocked, n_waiting,
+       cast(ceil(n_waiting / (2 + hn % 4)) as bigint) AS est_rounds_to_drain,
+       max_waiting_hours_idle
+FROM per
+"""

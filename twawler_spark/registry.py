@@ -86,6 +86,7 @@ QUERIES: dict[str, QueryFn] = {
     "semdedup": tq.q_semdedup,
     "crawl_to_corpus": crq.q_crawl_to_corpus,
     "crawl_bfs_depth": crq.q_crawl_bfs_depth,
+    "crawl_backlog": crq.q_crawl_backlog,
     "dust_rules": crq.q_dust_rules,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
@@ -264,6 +265,7 @@ ORACLES: dict[str, str] = {
     "semdedup": tq.O_SEMDEDUP,
     "crawl_to_corpus": crq.O_CRAWL_TO_CORPUS,
     "crawl_bfs_depth": crq.O_CRAWL_BFS_DEPTH,
+    "crawl_backlog": crq.O_CRAWL_BACKLOG,
     "dust_rules": crq.O_DUST_RULES,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
