@@ -74,6 +74,7 @@ HEADLINE_QUERIES = (
     "graph_hits",
     "corpus_sample",
     "crawl_backlog",
+    "dust_apply",
 )
 
 

@@ -89,6 +89,7 @@ AUDIT = (
     "graph_hits",
     "corpus_sample",
     "crawl_backlog",
+    "dust_apply",
 )
 
 

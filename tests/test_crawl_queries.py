@@ -168,3 +168,40 @@ def test_backlog_conserves_frontier(spark):
             assert r["est_rounds_to_drain"] >= 1
             assert r["max_waiting_hours_idle"] is not None
     assert sum(r["n_scheduled"] for r in rows) == plan.count()
+
+
+def test_dust_apply_never_merges_content(spark):
+    """Applying only the learned content-irrelevant rules must never
+    collapse two URLs with different fingerprints: recompute the
+    fixture in python and assert every canonical group is
+    fingerprint-pure, and that the per-host savings match."""
+    import hashlib
+
+    def stream(p, did, m):
+        return int(hashlib.md5(f"{p}:{did}".encode()).hexdigest()[:15], 16) % m
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id").collect()
+    canon_groups = {}
+    hosts = {}
+    for r in docs:
+        did = int(r["doc_id"])
+        pid, pg = stream("dustp", did, 97), stream("dustg", did, 2)
+        sid = stream("dusts", did, 5)
+        ref = stream("dustv", did, 3) if stream("dustr", did, 4) == 0 else None
+        url = f"https://h{pid % 20}.example.com/p/{pid}?page={pg}&sid={sid}"
+        if ref is not None:
+            url += f"&ref={ref}"
+        fp = f"{pid}:{pg}"
+        canon = f"https://h{pid % 20}.example.com/p/{pid}|page={pg}"
+        canon_groups.setdefault(canon, {"urls": set(), "fps": set()})
+        canon_groups[canon]["urls"].add(url)
+        canon_groups[canon]["fps"].add(fp)
+        hosts.setdefault(f"h{pid % 20}.example.com", set()).add(url)
+    for g in canon_groups.values():
+        assert len(g["fps"]) == 1  # fingerprint-pure: no content merged
+    rows = {r["host"]: r for r in crq.q_dust_apply(spark, SF).collect()}
+    for host, urls in hosts.items():
+        canon_n = len({c for c, g in canon_groups.items() if g["urls"] & urls})
+        assert rows[host]["n_urls"] == len(urls)
+        assert rows[host]["n_canonical"] == canon_n
+        assert rows[host]["n_fetches_saved"] == len(urls) - canon_n

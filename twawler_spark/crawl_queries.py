@@ -982,3 +982,99 @@ SELECT host, n_active, n_scheduled, n_blocked, n_waiting,
        max_waiting_hours_idle
 FROM per
 """
+
+
+# ---------------------------------- query 10: DUST rules applied
+
+
+def q_dust_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Close the DUST loop: APPLY the params dust_rules learned as
+    content-irrelevant (sid, ref — zero counterexamples in the same
+    fixture) to the crawl log and measure what the frontier gains: per
+    host, distinct URLs before vs after rule-canonicalization and the
+    fetches saved (the whole point of DUST — every collapsed URL is a
+    fetch the politeness budget never has to spend). The content-
+    bearing param (page) is NOT stripped, so no two different
+    fingerprints ever collapse — asserted by the intent test.
+
+    Shape: map-only canonicalization (same split/filter/sort HOFs as
+    the miner) + one groupBy(host) with two distinct counts."""
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    path_id = _dust_stream("dustp", did, 97)
+    page = _dust_stream("dustg", did, 2)
+    sid = _dust_stream("dusts", did, 5)
+    ref = F.when(_dust_stream("dustr", did, 4) == 0, _dust_stream("dustv", did, 3))
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(path_id, F.lit(20)).cast("string"),
+        F.lit(".example.com/p/"),
+        path_id.cast("string"),
+        F.lit("?page="),
+        page.cast("string"),
+        F.lit("&sid="),
+        sid.cast("string"),
+        F.when(
+            ref.isNotNull(), F.concat(F.lit("&ref="), ref.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select(url.alias("url")).dropDuplicates(["url"])
+    path = F.split(F.col("url"), "\\?").getItem(0)
+    kvs = F.split(F.split(F.col("url"), "\\?").getItem(1), "&")
+    kept = F.filter(
+        kvs, lambda x: ~x.startswith("sid=") & ~x.startswith("ref=")
+    )
+    canon = F.concat(path, F.lit("|"), F.array_join(F.array_sort(kept), "&"))
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    return (
+        urls.select(host.alias("host"), F.col("url"), canon.alias("canon"))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("canon").alias("n_canonical"),
+            (F.countDistinct("url") - F.countDistinct("canon")).alias(
+                "n_fetches_saved"
+            ),
+        )
+    )
+
+
+def _build_o_dust_apply() -> str:
+    h = (
+        "('0x' || substr(md5('{p}:' || cast(doc_id as varchar)), 1, 15))::BIGINT"
+        " % {m}"
+    )
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         {h.format(p='dustp', m=97)} AS path_id,
+         {h.format(p='dustg', m=2)} AS page,
+         {h.format(p='dusts', m=5)} AS sid,
+         CASE WHEN {h.format(p='dustr', m=4)} = 0
+              THEN {h.format(p='dustv', m=3)} END AS ref
+  FROM documents),
+urls AS (
+  SELECT DISTINCT
+         'https://h' || cast(path_id % 20 as varchar) || '.example.com/p/' ||
+         cast(path_id as varchar) || '?page=' || cast(page as varchar) ||
+         '&sid=' || cast(sid as varchar) ||
+         CASE WHEN ref IS NOT NULL THEN '&ref=' || cast(ref as varchar)
+              ELSE '' END AS url
+  FROM u),
+keyed AS (
+  SELECT url,
+         regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+         split_part(url, '?', 1) || '|' ||
+         array_to_string(list_sort(list_filter(
+           string_split(split_part(url, '?', 2), '&'),
+           x -> NOT starts_with(x, 'sid=') AND NOT starts_with(x, 'ref='))), '&')
+           AS canon
+  FROM urls)
+SELECT host, count(distinct url) AS n_urls,
+       count(distinct canon) AS n_canonical,
+       count(distinct url) - count(distinct canon) AS n_fetches_saved
+FROM keyed GROUP BY host
+"""
+
+
+O_DUST_APPLY = _build_o_dust_apply()

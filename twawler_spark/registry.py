@@ -88,6 +88,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_bfs_depth": crq.q_crawl_bfs_depth,
     "crawl_backlog": crq.q_crawl_backlog,
     "dust_rules": crq.q_dust_rules,
+    "dust_apply": crq.q_dust_apply,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -267,6 +268,7 @@ ORACLES: dict[str, str] = {
     "crawl_bfs_depth": crq.O_CRAWL_BFS_DEPTH,
     "crawl_backlog": crq.O_CRAWL_BACKLOG,
     "dust_rules": crq.O_DUST_RULES,
+    "dust_apply": crq.O_DUST_APPLY,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
