@@ -427,7 +427,14 @@ _WINDOW_R5 = [
     "media_phash_dedup", "sitemap_ingest", "robots_parse",
     "audio_fp_dedup",
     # last driver-green in r2 (stale band)
-    "a5_explode_count", "a7_interval_stats",
+    # round-5d swaps: the five remaining never-driver-checked r5d
+    # queries (bpe_merges, graph_hits, corpus_sample, crawl_backlog,
+    # dust_apply) outrank r2-stale refreshes whose families keep a
+    # representative in-window (A keeps a5; F keeps f_scalar_suite;
+    # J keeps j4). Displaced: a7_interval_stats, f6_bigram_topk,
+    # f8_urlparse, j9_part_cooccurrence, j2_antijoin_groupcount — all
+    # locally verified every round via scripts/check_oracles.py.
+    "a5_explode_count", "bpe_merges",
     # a12_zero_fill yields its slot to crawl_to_corpus: the zero-fill
     # shape's siblings (user_creation_dates, word_daily_series) are
     # r4-green, and the crawl->corpus composition has no driver row yet
@@ -451,12 +458,12 @@ _WINDOW_R5 = [
     # j3_revenue_per_segment (join band keeps j2/j9/j4) also yield, to
     # the never-driver-checked boilerplate_strip and dedup_containment
     "u_set_ops", "boilerplate_strip", "quality_classifier",
-    "j2_antijoin_groupcount", "dedup_containment",
+    "crawl_backlog", "dedup_containment",
     # w5_running_max also yields (W-family siblings w2/w3 are r4-green)
     # to warc_ingest, the never-driver-checked WARC ingestion source
-    "j9_part_cooccurrence", "dedup_cdc", "warc_ingest",
+    "dust_apply", "dedup_cdc", "warc_ingest",
     "f_scalar_suite", "recrawl_schedule",
-    "p6_staleness", "f6_bigram_topk", "f8_urlparse", "j4_missing_parents",
+    "p6_staleness", "graph_hits", "corpus_sample", "j4_missing_parents",
     # a8_log_buckets + viz_degree_distribution yield their slots to
     # host_adaptive_budget and semdedup: a8_histogram (same A8 family)
     # is r4-green, and viz_degree is a projection of a9_degree_stats
