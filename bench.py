@@ -75,6 +75,7 @@ HEADLINE_QUERIES = (
     "corpus_sample",
     "crawl_backlog",
     "dust_apply",
+    "host_graph_rank",
 )
 
 

@@ -90,6 +90,7 @@ AUDIT = (
     "corpus_sample",
     "crawl_backlog",
     "dust_apply",
+    "host_graph_rank",
 )
 
 

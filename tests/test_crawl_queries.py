@@ -205,3 +205,49 @@ def test_dust_apply_never_merges_content(spark):
         assert rows[host]["n_urls"] == len(urls)
         assert rows[host]["n_canonical"] == canon_n
         assert rows[host]["n_fetches_saved"] == len(urls) - canon_n
+
+
+def test_host_graph_rank_third_implementation(spark):
+    """Weighted host-PageRank must match a plain-python recomputation
+    from the engine's own collected edge weights, and conserve rank
+    mass (sum == 1)."""
+    from twawler_spark.plans.fetcher import discover_outlinks, fetch_results
+    from pyspark.sql import functions as F
+
+    _, plan = crq._plan(spark, SF)
+    links = discover_outlinks(fetch_results(plan), crq.N_HOSTS).dropDuplicates(
+        ["src_hash", "url"]
+    )
+    src = plan.select("url_hash", F.col("host").alias("src_host"))
+    rows = (
+        links.join(src, links["src_hash"] == src["url_hash"])
+        .select(
+            "src_host",
+            F.concat(
+                F.lit("h"), F.regexp_extract("url", r"^https://h([0-9]+)\.", 1)
+            ).alias("dst_host"),
+        )
+        .collect()
+    )
+    from collections import Counter
+
+    w = Counter((r["src_host"], r["dst_host"]) for r in rows)
+    nodes = sorted({s for s, _ in w} | {t for _, t in w})
+    n = len(nodes)
+    ow = Counter()
+    for (s, _), c in w.items():
+        ow[s] += c
+    rank = {h: 1.0 / n for h in nodes}
+    d = crq.HG_DAMPING
+    for _ in range(crq.HG_ITERS):
+        dmass = sum(rank[h] for h in nodes if h not in ow)
+        cin = {h: 0.0 for h in nodes}
+        for (s, t), c in w.items():
+            cin[t] += rank[s] * c / ow[s]
+        rank = {h: (1 - d) / n + d * (cin[h] + dmass / n) for h in nodes}
+    got = {r["host"]: r for r in crq.q_host_graph_rank(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    for h in nodes:
+        assert abs(got[h]["rank"] - rank[h]) < 2e-6, (h, got[h]["rank"], rank[h])
+        assert got[h]["out_links"] == ow.get(h, 0)
+    assert abs(sum(r["rank"] for r in got.values()) - 1.0) < 1e-4

@@ -1078,3 +1078,146 @@ FROM keyed GROUP BY host
 
 
 O_DUST_APPLY = _build_o_dust_apply()
+
+
+# ----------------------------- query 11: host-graph authority ranking
+
+HG_ITERS = 2
+HG_DAMPING = 0.85
+
+
+def q_host_graph_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-level authority for budget shaping: collapse one round's
+    discovered outlinks to a WEIGHTED host->host graph (edge weight =
+    distinct links from src host to dst host) and run HG_ITERS weighted
+    PageRank iterations — the domain-granularity signal a crawler uses
+    to split the global fetch budget across hosts (frontier_pagerank
+    ranks URLs; this ranks the politeness domains themselves). Output
+    per host: out/in link-weight totals and the 6dp rank.
+
+    100 TB shape: the host graph is |hosts|^2-bounded, tiny relative to
+    the URL frontier — the ONLY pass over big data is the outlink
+    groupBy; every rank iteration moves an O(|hosts|) vector. Dangling
+    hosts (in-links only) redistribute their mass uniformly, exactly as
+    frontier_pagerank does."""
+    from .plans.fetcher import discover_outlinks
+
+    _, plan = _plan(spark, sf)
+    results = fetch_results(plan)
+    links = discover_outlinks(results, N_HOSTS).dropDuplicates(["src_hash", "url"])
+    src = plan.select("url_hash", F.col("host").alias("src_host"))
+    dst_host = F.concat(
+        F.lit("h"), F.regexp_extract(F.col("url"), r"^https://h([0-9]+)\.", 1)
+    )
+    edges = (
+        links.join(src, links["src_hash"] == src["url_hash"])
+        .select("src_host", dst_host.alias("dst_host"))
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    outw = edges.groupBy("src_host").agg(F.sum("w").cast("double").alias("ow"))
+    ranks = nodes.crossJoin(nn).select("host", (F.lit(1.0) / F.col("n")).alias("rank"))
+    d = HG_DAMPING
+    for _ in range(HG_ITERS):
+        withow = ranks.join(
+            outw, ranks["host"] == outw["src_host"], "left"
+        ).select(ranks["host"].alias("host"), "rank", "ow")
+        dang = withow.where(F.col("ow").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass")
+        )
+        contribs = (
+            edges.join(
+                withow.where(F.col("ow").isNotNull()),
+                edges["src_host"] == F.col("host"),
+            )
+            .groupBy("dst_host")
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("cin"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["host"] == contribs["dst_host"], "left")
+            .crossJoin(dang)
+            .crossJoin(nn)
+            .select(
+                "host",
+                (
+                    F.lit(1 - d) / F.col("n")
+                    + F.lit(d)
+                    * (F.coalesce("cin", F.lit(0.0)) + F.col("dmass") / F.col("n"))
+                ).alias("rank"),
+            )
+        )
+    inw = edges.groupBy("dst_host").agg(F.sum("w").alias("iw"))
+    return (
+        nodes.join(outw, nodes["host"] == outw["src_host"], "left")
+        .join(inw, nodes["host"] == inw["dst_host"], "left")
+        .join(ranks, "host")
+        .select(
+            "host",
+            F.coalesce(F.col("ow"), F.lit(0.0)).cast("long").alias("out_links"),
+            F.coalesce(F.col("iw"), F.lit(0)).cast("long").alias("in_links"),
+            F.round("rank", 6).alias("rank"),
+        )
+    )
+
+
+def _build_o_host_graph() -> str:
+    n_out = f"({_stream('u', docspec._S_NOUT)}) % 4"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    oid = f"(({_stream('u', docspec._S_OUTID, 'j')}) % 281474976710656::HUGEINT)::BIGINT"
+    link = (
+        f"'https://h' || cast({th} as varchar) || '.example.com/o/' || "
+        f"cast({oid} as varchar)"
+    )
+    d = HG_DAMPING
+    its = []
+    for i in range(HG_ITERS):
+        its.append(f"""
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dmass
+  FROM r{i} LEFT JOIN outw ON r{i}.host = outw.src_host WHERE ow IS NULL),
+c{i} AS (
+  SELECT e.dst_host, sum(r.rank * e.w / o.ow) AS cin
+  FROM edges e JOIN r{i} r ON e.src_host = r.host
+  JOIN outw o ON e.src_host = o.src_host
+  GROUP BY e.dst_host),
+r{i + 1} AS (
+  SELECT nodes.host,
+         {1 - d} / n + {d} * (coalesce(cin, 0) + dmass / n) AS rank
+  FROM nodes CROSS JOIN nn CROSS JOIN d{i}
+  LEFT JOIN c{i} ON nodes.host = c{i}.dst_host)""")
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT host, u, ({n_out})::BIGINT AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT host AS src_host, u, unnest(range(0, nout)) AS j FROM ok),
+dl AS (SELECT DISTINCT src_host, u, {link} AS url FROM lj),
+edges AS (
+  SELECT src_host,
+         'h' || regexp_extract(url, 'https://h([0-9]+)\\.', 1) AS dst_host,
+         count(*) AS w
+  FROM dl GROUP BY src_host, dst_host),
+nodes AS (SELECT src_host AS host FROM edges UNION SELECT dst_host FROM edges),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+outw AS (SELECT src_host, sum(w)::DOUBLE AS ow FROM edges GROUP BY src_host),
+inw AS (SELECT dst_host, sum(w) AS iw FROM edges GROUP BY dst_host),
+r0 AS (SELECT host, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+{",".join(its)}
+SELECT nodes.host,
+       cast(coalesce(ow, 0) as bigint) AS out_links,
+       cast(coalesce(iw, 0) as bigint) AS in_links,
+       round(r{HG_ITERS}.rank, 6) AS rank
+FROM nodes
+LEFT JOIN outw ON nodes.host = outw.src_host
+LEFT JOIN inw ON nodes.host = inw.dst_host
+JOIN r{HG_ITERS} ON nodes.host = r{HG_ITERS}.host
+"""
+
+
+O_HOST_GRAPH_RANK = _build_o_host_graph()

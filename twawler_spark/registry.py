@@ -89,6 +89,7 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_backlog": crq.q_crawl_backlog,
     "dust_rules": crq.q_dust_rules,
     "dust_apply": crq.q_dust_apply,
+    "host_graph_rank": crq.q_host_graph_rank,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -269,6 +270,7 @@ ORACLES: dict[str, str] = {
     "crawl_backlog": crq.O_CRAWL_BACKLOG,
     "dust_rules": crq.O_DUST_RULES,
     "dust_apply": crq.O_DUST_APPLY,
+    "host_graph_rank": crq.O_HOST_GRAPH_RANK,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
