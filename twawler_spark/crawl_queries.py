@@ -1109,11 +1109,15 @@ def q_host_graph_rank(spark: SparkSession, sf: str) -> DataFrame:
     dst_host = F.concat(
         F.lit("h"), F.regexp_extract(F.col("url"), r"^https://h([0-9]+)\.", 1)
     )
+    # the host-graph is |hosts|^2-bounded: checkpoint it once so the
+    # rank iterations (which reference it 2x per round) and the in/out
+    # rollups never re-execute the outlink-discovery Arrow stage
     edges = (
         links.join(src, links["src_hash"] == src["url_hash"])
         .select("src_host", dst_host.alias("dst_host"))
         .groupBy("src_host", "dst_host")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src_host").alias("host"))
