@@ -76,6 +76,7 @@ HEADLINE_QUERIES = (
     "crawl_backlog",
     "dust_apply",
     "host_graph_rank",
+    "ivf_balance",
 )
 
 

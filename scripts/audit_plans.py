@@ -91,6 +91,7 @@ AUDIT = (
     "crawl_backlog",
     "dust_apply",
     "host_graph_rank",
+    "ivf_balance",
 )
 
 

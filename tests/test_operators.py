@@ -1442,3 +1442,34 @@ def test_dust_key2_param_positions(spark):
     assert rows[0]["noref"] == "https://h/p|page=1&sid=2"
     assert rows[1]["nosid"] == "https://h/p|"
     assert rows[1]["nopage"] == "https://h/p|sid=9"
+
+
+def test_ivf_balance_identities(spark):
+    """Cell populations must sum to the corpus size, load factors must
+    average exactly 1 (mass conservation), every centroid's own cell
+    contains it with cos 1.0 (so max avg_cos sanity), and the
+    assignment histogram matches a numpy argmax recomputation."""
+    import numpy as np
+
+    from twawler_spark.training_queries import IVF_CENTROID_MOD, q_ivf_balance
+
+    emb = {
+        int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    }
+    cents = {i: v for i, v in emb.items() if i % IVF_CENTROID_MOD == 0}
+    cids = sorted(cents)
+    want = {}
+    for i, v in emb.items():
+        sims = [(v @ cents[c]) / (np.linalg.norm(v) * np.linalg.norm(cents[c]))
+                for c in cids]
+        best = cids[int(np.argmax(sims))]
+        want[best] = want.get(best, 0) + 1
+    rows = {r["cell"]: r for r in q_ivf_balance(spark, SF).collect()}
+    assert {c: r["n_vectors"] for c, r in rows.items()} == want
+    assert sum(r["n_vectors"] for r in rows.values()) == len(emb)
+    # mean load factor over the non-empty cells is exactly 1 by
+    # construction (sum(n_i * nc / nt) / nc == 1), up to the 4dp rounding
+    assert abs(sum(r["load_factor"] for r in rows.values()) / len(rows) - 1.0) < 1e-3
+    for r in rows.values():
+        assert r["min_cos"] <= r["avg_cos"] <= 1.0

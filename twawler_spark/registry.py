@@ -90,6 +90,7 @@ QUERIES: dict[str, QueryFn] = {
     "dust_rules": crq.q_dust_rules,
     "dust_apply": crq.q_dust_apply,
     "host_graph_rank": crq.q_host_graph_rank,
+    "ivf_balance": tq.q_ivf_balance,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -271,6 +272,7 @@ ORACLES: dict[str, str] = {
     "dust_rules": crq.O_DUST_RULES,
     "dust_apply": crq.O_DUST_APPLY,
     "host_graph_rank": crq.O_HOST_GRAPH_RANK,
+    "ivf_balance": tq.O_IVF_BALANCE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -3787,3 +3787,93 @@ SELECT a.source, a.n_docs, a.n_alloc,
 FROM sel s JOIN alloc a ON s.source = a.source
 GROUP BY a.source, a.n_docs, a.n_alloc
 """
+
+
+# -------------------------------------------------- IVF index health
+
+
+def q_ivf_balance(spark, sf):
+    """IVF index-health audit: per cell its population, load factor vs
+    the uniform ideal (n_vectors·C/N — the probe-cost skew indicator:
+    a 3x-loaded cell makes every probe that hits it 3x the work), and
+    the assignment-quality cosines (avg/min similarity of members to
+    their own centroid — a cell whose min_cos sags needs a quantizer
+    re-seed). The audit every IVF deployment runs before trusting
+    recall numbers; ivf_probe_pruned in bench.py measures the pruning
+    RATIO, this measures the balance that ratio depends on.
+
+    Shape: the same map-side broadcast-fold cell assignment as
+    ivf_assign (corpus never shuffles to pick cells) + one
+    groupBy(cell) over C<<N rows of output; the load-factor join is a
+    1-row broadcast."""
+    from .operators.dedup import spread_for_explode
+    from .operators.similarity import _vec_norm, ivf_assign, ivf_centroids
+
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id")
+    cents = ivf_centroids(e, IVF_CENTROID_MOD)
+    assign = ivf_assign(e, cents)
+    vn = e.withColumn("__vn", _vec_norm(F.col("embedding")))
+    j = assign.join(vn, "vec_id").join(
+        F.broadcast(cents), assign["cell"] == cents["cid"]
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = dot / (F.col("__vn") * F.col("cnorm"))
+    per = (
+        j.select("cell", cos.alias("cos"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos"), 4).alias("avg_cos"),
+            F.round(F.min("cos"), 4).alias("min_cos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_vectors").alias("nt"), F.count(F.lit(1)).alias("nc")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vectors",
+        F.round(F.col("n_vectors") * F.col("nc") / F.col("nt"), 4).alias(
+            "load_factor"
+        ),
+        "avg_cos",
+        "min_cos",
+    )
+
+
+O_IVF_BALANCE = f"""
+WITH vn AS (
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::double * embedding[i]::double), (x, y) -> x + y)) AS nrm
+  FROM embeddings),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec, nrm AS cnorm
+  FROM vn WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+assign AS (
+  SELECT cell, cos FROM (
+    SELECT v.vec_id, c.cid AS cell,
+           {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {_o_cos('v.embedding', 'c.cvec', 'v.nrm', 'c.cnorm')} DESC,
+                      c.cid ASC) AS rn
+    FROM vn v CROSS JOIN cents c) WHERE rn = 1),
+per AS (
+  SELECT cell, count(*) AS n_vectors,
+         round(avg(cos), 4) AS avg_cos,
+         round(min(cos), 4) AS min_cos
+  FROM assign GROUP BY cell),
+tot AS (SELECT sum(n_vectors) AS nt, count(*) AS nc FROM per)
+SELECT cell, n_vectors,
+       round(n_vectors * nc / nt, 4) AS load_factor,
+       avg_cos, min_cos
+FROM per CROSS JOIN tot
+"""
