@@ -1473,3 +1473,38 @@ def test_ivf_balance_identities(spark):
     assert abs(sum(r["load_factor"] for r in rows.values()) / len(rows) - 1.0) < 1e-3
     for r in rows.values():
         assert r["min_cos"] <= r["avg_cos"] <= 1.0
+
+
+def test_bpe_encoding_replace_is_greedy_merge():
+    """Property test of the encoding trick bpe_merges relies on: for
+    ANY token sequence and any merge pair, leftmost non-overlapping
+    string replace over the double-space encoding equals the greedy
+    token-level BPE merge — including consecutive occurrences
+    ('a b a b' merges twice) and self-overlaps ('l l l' merges once).
+    python str.replace has the same leftmost non-overlapping semantics
+    as Spark's F.replace and DuckDB's replace()."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = st.sampled_from(["a", "b", "l", "xy"])
+
+    def greedy(toks, a, b):
+        out, j = [], 0
+        while j < len(toks):
+            if j + 1 < len(toks) and toks[j] == a and toks[j + 1] == b:
+                out.append(a + "_" + b)
+                j += 2
+            else:
+                out.append(toks[j])
+                j += 1
+        return out
+
+    @settings(max_examples=300, deadline=None)
+    @given(toks=st.lists(tok, min_size=0, max_size=12), a=tok, b=tok)
+    def prop(toks, a, b):
+        seq = "  " + "  ".join(toks) + "  "
+        rewritten = seq.replace(f" {a}  {b} ", f" {a}_{b} ")
+        got = [t for t in rewritten.strip().split("  ") if t]
+        assert got == greedy(toks, a, b), (toks, a, b, got)
+
+    prop()
