@@ -438,7 +438,11 @@ _WINDOW_R5 = [
     # J keeps j4). Displaced: a7_interval_stats, f6_bigram_topk,
     # f8_urlparse, j9_part_cooccurrence, j2_antijoin_groupcount — all
     # locally verified every round via scripts/check_oracles.py.
-    "a5_explode_count", "bpe_merges",
+    # a5_explode_count yields to ivf_balance (its explode+count twin
+    # hashtag_export is r4-green) and u_set_ops yields to
+    # host_graph_rank (U3's set_follower_candidates is r4-green) — the
+    # last two never-driver-checked r5d operators take the slots
+    "ivf_balance", "bpe_merges",
     # a12_zero_fill yields its slot to crawl_to_corpus: the zero-fill
     # shape's siblings (user_creation_dates, word_daily_series) are
     # r4-green, and the crawl->corpus composition has no driver row yet
@@ -461,7 +465,7 @@ _WINDOW_R5 = [
     # a10_collect_sets (set-agg family keeps u_set_ops) and
     # j3_revenue_per_segment (join band keeps j2/j9/j4) also yield, to
     # the never-driver-checked boilerplate_strip and dedup_containment
-    "u_set_ops", "boilerplate_strip", "quality_classifier",
+    "host_graph_rank", "boilerplate_strip", "quality_classifier",
     "crawl_backlog", "dedup_containment",
     # w5_running_max also yields (W-family siblings w2/w3 are r4-green)
     # to warc_ingest, the never-driver-checked WARC ingestion source
