@@ -3322,9 +3322,13 @@ def q_dedup_containment(spark, sf):
             lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONT_SH))),
         )
     )
+    # the exploded shingle table feeds sizes, the df-cap filter, AND
+    # both sides of the candidate self-join — checkpoint it once so the
+    # md5 shingle computation runs a single time, not 5x through lineage
+    # (at warehouse scale this is the materialized shingle index)
     ew = alld.select(
         "doc_id", "source", F.explode(shingles).alias("h")
-    )
+    ).localCheckpoint(eager=False)
     sizes = ew.groupBy("doc_id").agg(F.count("*").alias("sz"))
     keep = (
         ew.groupBy("h")
