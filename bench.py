@@ -77,6 +77,7 @@ HEADLINE_QUERIES = (
     "dust_apply",
     "host_graph_rank",
     "ivf_balance",
+    "word_bursts",
 )
 
 

@@ -92,6 +92,7 @@ AUDIT = (
     "dust_apply",
     "host_graph_rank",
     "ivf_balance",
+    "word_bursts",
 )
 
 

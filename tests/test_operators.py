@@ -1508,3 +1508,35 @@ def test_bpe_encoding_replace_is_greedy_merge():
         assert got == greedy(toks, a, b), (toks, a, b, got)
 
     prop()
+
+
+def test_word_bursts_third_implementation(spark):
+    """Burst rows must equal a plain-python recomputation from the
+    collected daily series (trailing window mean/std, z threshold)."""
+    from twawler_spark.coverage_queries import (
+        BURST_MIN_HIST,
+        BURST_WIN,
+        BURST_Z,
+        q_word_bursts,
+        q_word_daily_series,
+    )
+
+    series = {}
+    for r in q_word_daily_series(spark, SF).collect():
+        series.setdefault(r["word"], []).append((r["day"], r["n_docs"]))
+    want = set()
+    for word, days in series.items():
+        days.sort()
+        for i, (day, n) in enumerate(days):
+            hist = [v for _, v in days[max(0, i - BURST_WIN) : i]]
+            if len(hist) < BURST_MIN_HIST:
+                continue
+            mean = sum(hist) / len(hist)
+            var = max(sum(v * v for v in hist) / len(hist) - mean * mean, 0)
+            z = (n - mean) / max(var ** 0.5, 0.5)
+            if z >= BURST_Z:
+                want.add((word, day, n))
+    got = {
+        (r["word"], r["day"], r["n_docs"]) for r in q_word_bursts(spark, SF).collect()
+    }
+    assert got == want and got

@@ -3406,3 +3406,72 @@ SELECT seed, count(*) AS n_reached,
        round(count(*) * 1.0 / sum(d), 6) AS closeness
 FROM reached GROUP BY seed
 """
+
+
+BURST_Z = 1.5
+BURST_WIN = 7
+BURST_MIN_HIST = 5
+
+
+def q_word_bursts(spark, sf):
+    """Burst detection over the tracked-word daily series (the
+    trend-ACCELERATION view on top of s9's trend snapshot — Kleinberg
+    burst detection in its z-score form): a (word, day) bursts when its
+    count exceeds the trailing BURST_WIN-day baseline by >= BURST_Z
+    standard deviations, with at least BURST_MIN_HIST days of history.
+
+    Cross-engine float parity by construction: the window aggregates
+    are INTEGER sums (count, sum n, sum n^2); mean/variance derive from
+    them with the identical double expressions on both engines, so the
+    z filter can never disagree at the boundary (the same trick as
+    recrawl_schedule's rounded-rank tie-break, applied to variance).
+    The 0.5 std floor keeps flat-history words finite. Scale shape:
+    one window per word partition over the zero-filled series — the
+    series itself is one scan + hash agg (q_word_daily_series)."""
+    series = q_word_daily_series(spark, sf)
+    win = (
+        W.partitionBy("word")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-BURST_WIN, -1)
+    )
+    w = series.select(
+        "word",
+        "day",
+        "n_docs",
+        F.count(F.lit(1)).over(win).alias("c"),
+        F.sum("n_docs").over(win).alias("s1"),
+        F.sum(F.col("n_docs") * F.col("n_docs")).over(win).alias("s2"),
+    ).where(F.col("c") >= BURST_MIN_HIST)
+    mean = F.col("s1") * 1.0 / F.col("c")
+    sd = F.sqrt(
+        F.greatest(F.col("s2") * 1.0 / F.col("c") - mean * mean, F.lit(0.0))
+    )
+    z = (F.col("n_docs") - mean) / F.greatest(sd, F.lit(0.5))
+    return w.where(z >= BURST_Z).select(
+        "word",
+        "day",
+        "n_docs",
+        F.round(mean, 4).alias("baseline_mean"),
+        F.round(z, 4).alias("z"),
+    )
+
+
+O_WORD_BURSTS = f"""
+WITH series AS ({O_WORD_DAILY_SERIES}),
+w AS (
+  SELECT word, day, n_docs,
+         count(*) OVER win AS c,
+         sum(n_docs) OVER win AS s1,
+         sum(n_docs * n_docs) OVER win AS s2
+  FROM series
+  WINDOW win AS (PARTITION BY word ORDER BY day ASC
+                 ROWS BETWEEN {BURST_WIN} PRECEDING AND 1 PRECEDING)),
+z AS (
+  SELECT word, day, n_docs,
+         s1 * 1.0 / c AS mean,
+         sqrt(greatest(s2 * 1.0 / c - (s1 * 1.0 / c) * (s1 * 1.0 / c), 0)) AS sd
+  FROM w WHERE c >= {BURST_MIN_HIST})
+SELECT word, day, n_docs, round(mean, 4) AS baseline_mean,
+       round((n_docs - mean) / greatest(sd, 0.5), 4) AS z
+FROM z WHERE (n_docs - mean) / greatest(sd, 0.5) >= {BURST_Z}
+"""

@@ -91,6 +91,7 @@ QUERIES: dict[str, QueryFn] = {
     "dust_apply": crq.q_dust_apply,
     "host_graph_rank": crq.q_host_graph_rank,
     "ivf_balance": tq.q_ivf_balance,
+    "word_bursts": cq.q_word_bursts,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -273,6 +274,7 @@ ORACLES: dict[str, str] = {
     "dust_apply": crq.O_DUST_APPLY,
     "host_graph_rank": crq.O_HOST_GRAPH_RANK,
     "ivf_balance": tq.O_IVF_BALANCE,
+    "word_bursts": cq.O_WORD_BURSTS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
