@@ -472,7 +472,10 @@ _WINDOW_R5 = [
     # w5_running_max also yields (W-family siblings w2/w3 are r4-green)
     # to warc_ingest, the never-driver-checked WARC ingestion source
     "dust_apply", "dedup_cdc", "warc_ingest",
-    "f_scalar_suite", "recrawl_schedule",
+    # f_scalar_suite (r2-green, F-family keeps f2/f3 evidence r3 and the
+    # suite is re-verified locally every round) yields its refresh slot
+    # to word_bursts, the last never-driver-checked round-5d query
+    "word_bursts", "recrawl_schedule",
     "p6_staleness", "graph_hits", "corpus_sample", "j4_missing_parents",
     # a8_log_buckets + viz_degree_distribution yield their slots to
     # host_adaptive_budget and semdedup: a8_histogram (same A8 family)
