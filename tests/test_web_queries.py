@@ -1,0 +1,123 @@
+"""Intent tests for the round-5e web-scale wave (web_queries.py) —
+the DuckDB oracles prove Spark==SQL; these prove the semantics:
+anchor aggregation bounds, interleaved keep-rule consistency, sitemap
+coverage conservation, component validity, longest-match blocking."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from twawler_spark import docspec
+from twawler_spark import web_queries as wq
+
+SF = "/root/testdata/sf0.001"
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=100, deadline=None)
+def test_anchored_outlinks_preserve_url_identity(uh):
+    """Adding anchors must not perturb the url stream the seen-set
+    invariants key on."""
+    anchored = docspec.outlinks_anchored(uh, n_hosts=100)
+    assert docspec.outlinks(uh, n_hosts=100) == [u for u, _ in anchored]
+    for _, anchor in anchored:
+        assert anchor in docspec.VOCAB
+
+
+def test_anchor_text_topk_bounds(spark):
+    rows = [r.asDict() for r in wq.q_anchor_text(spark, SF).collect()]
+    assert rows
+    per_tgt = {}
+    for r in rows:
+        assert 1 <= r["rnk"] <= 3
+        assert 1 <= r["n_src_hosts"] <= r["n_links"]
+        per_tgt.setdefault(r["target_host"], []).append(r)
+    for tgt, grp in per_tgt.items():
+        grp.sort(key=lambda r: r["rnk"])
+        assert [g["rnk"] for g in grp] == list(range(1, len(grp) + 1))
+        # ranks follow (n_links desc, n_src_hosts desc, anchor asc)
+        keys = [(-g["n_links"], -g["n_src_hosts"], g["anchor"]) for g in grp]
+        assert keys == sorted(keys), tgt
+
+
+def test_interleaved_filter_consistency(spark):
+    from twawler_spark import crawl_queries as crq
+
+    rows = [r.asDict() for r in wq.q_interleaved_filter(spark, SF).collect()]
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_media_boiler"] <= r["n_media"]
+        want = (
+            r["n_text"] >= 1
+            and r["n_words"] >= wq.MIN_WORDS
+            and (r["n_media"] - r["n_media_boiler"]) <= wq.MAX_REAL_MEDIA
+        )
+        assert r["keep"] == want, r
+    # span conservation vs the driver-oracled docs query (same plan)
+    docs = {
+        d["doc_id"]: d["n_spans"]
+        for d in crq.q_crawl_round_docs(spark, SF).collect()
+    }
+    assert set(docs) == {r["doc_id"] for r in rows}
+    for r in rows:
+        assert r["n_text"] + r["n_media"] == docs[r["doc_id"]], r
+
+
+def test_sitemap_coverage_conservation(spark):
+    rows = [r.asDict() for r in wq.q_sitemap_coverage(spark, SF).collect()]
+    assert rows
+    for r in rows:
+        assert r["n_fetched"] + r["n_pending"] == r["n_sitemap"], r
+        assert 0 <= r["coverage_pct"] <= 100.0
+        assert r["n_orphan"] >= 0
+
+
+def test_host_components_valid_partition(spark):
+    rows = [r.asDict() for r in wq.q_host_components(spark, SF).collect()]
+    assert len(rows) == 20  # every host classified exactly once
+    comp_of = {r["host"]: r["component"] for r in rows}
+    # the component id is itself a host, and THAT host is its own root
+    for host, comp in comp_of.items():
+        assert comp in comp_of, (host, comp)
+        assert comp_of[comp] == comp
+    # component = min member (large/small-star invariant)
+    members = {}
+    for host, comp in comp_of.items():
+        members.setdefault(comp, []).append(int(host[1:]))
+    for comp, ms in members.items():
+        assert int(comp[1:]) == min(ms), (comp, ms)
+    for r in rows:
+        assert r["is_root"] == (r["host"] == r["component"])
+
+
+def test_url_blocklist_longest_match(spark):
+    """Third implementation: recompute the longest-dot-suffix match per
+    host in plain Python from the events table and compare rollups."""
+    import duckdb
+    from collections import Counter
+
+    rows = {r["blocked_by"]: r.asDict() for r in wq.q_url_blocklist(spark, SF).collect()}
+    assert "allowed" in rows
+
+    uids = [
+        u
+        for (u,) in duckdb.sql(
+            f"SELECT user_id FROM '{SF}/events.parquet'"
+        ).fetchall()
+    ]
+    urls_per_entry: Counter = Counter()
+    hosts_per_entry: dict[str, set] = {}
+    for u in uids:
+        host = f"s{u % 7}.d{u % 11}.{['com', 'net', 'org'][u % 3]}"
+        sufs = [host, host.split(".", 1)[1]]
+        matches = [s for s in sufs if s in wq.BLOCKLIST]
+        entry = max(matches, key=len) if matches else "allowed"
+        urls_per_entry[entry] += 1
+        hosts_per_entry.setdefault(entry, set()).add(host)
+    assert {
+        k: (len(hosts_per_entry[k]), urls_per_entry[k]) for k in urls_per_entry
+    } == {k: (r["n_hosts"], r["n_urls"]) for k, r in rows.items()}
+    # conservation: blocked + allowed == all events
+    assert sum(r["n_urls"] for r in rows.values()) == len(uids)

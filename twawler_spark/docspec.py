@@ -37,6 +37,7 @@ _S_MEDIA = 8
 _S_NOUT = 11
 _S_OUTHOST = 12
 _S_OUTID = 13
+_S_ANCHOR = 14
 
 VOCAB = [
     "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf", "hotel",
@@ -102,8 +103,11 @@ def synth_docs(url_hash: int, round_no: int) -> list[tuple[str, list]]:
     return out
 
 
-def outlinks(url_hash: int, n_hosts: int) -> list[str]:
-    """Canonical outlink URLs discovered by a successful fetch."""
+def outlinks_anchored(url_hash: int, n_hosts: int) -> list[tuple[str, str]]:
+    """[(url, anchor_word)] discovered by a successful fetch — the
+    anchor word is the source page's link text for that outlink (a
+    deterministic independent stream, so it never perturbs the url
+    identity that ``outlinks`` and the seen-set invariants key on)."""
     if fetch_status(url_hash) != 200:
         return []
     u = to_unsigned64(url_hash)
@@ -111,8 +115,14 @@ def outlinks(url_hash: int, n_hosts: int) -> list[str]:
     for j in range(stream64(u, _S_NOUT) % (MAX_OUTLINKS + 1)):
         th = stream64(u, _S_OUTHOST, j) % n_hosts
         oid = stream64(u, _S_OUTID, j) % (1 << 48)
-        links.append(f"https://h{th}.example.com/o/{oid}")
+        anchor = VOCAB[stream64(u, _S_ANCHOR, j) % _V]
+        links.append((f"https://h{th}.example.com/o/{oid}", anchor))
     return links
+
+
+def outlinks(url_hash: int, n_hosts: int) -> list[str]:
+    """Canonical outlink URLs discovered by a successful fetch."""
+    return [url for url, _anchor in outlinks_anchored(url_hash, n_hosts)]
 
 
 STATE_OF_STATUS = {200: "active", 404: "dead", 403: "protected", 429: "suspended"}

@@ -103,15 +103,37 @@ def discover_outlinks(results: DataFrame, n_hosts: int) -> DataFrame:
     streams, which have no Spark builtin — so this stage uses a pandas
     UDF after all, but on the RESULTS table (≤ plan size), not on docs.
     """
+    if "host" not in results.columns:
+        results = results.withColumn("host", F.lit(""))
+    return discover_outlinks_anchored(results, n_hosts).select("src_hash", "url")
+
+
+def discover_outlinks_anchored(results: DataFrame, n_hosts: int) -> DataFrame:
+    """Outlink expansion carrying the source host and the link's anchor
+    word (docspec.outlinks_anchored) — the input of anchor-text
+    aggregation and host-graph construction. Same Arrow surface as
+    ``discover_outlinks`` (the fetch-synthesis site), same ≤plan-size
+    input bound."""
     import pandas as pd  # noqa: F811
 
     def run(it):
         for pdf in it:
             rows = []
-            for uh in pdf["url_hash"]:
-                for url in docspec.outlinks(int(uh), n_hosts):
-                    rows.append({"src_hash": int(uh), "url": url})
-            yield pd.DataFrame(rows, columns=["src_hash", "url"])
+            for uh, host in zip(pdf["url_hash"], pdf["host"]):
+                for url, anchor in docspec.outlinks_anchored(int(uh), n_hosts):
+                    rows.append(
+                        {
+                            "src_hash": int(uh),
+                            "src_host": host,
+                            "url": url,
+                            "anchor": anchor,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["src_hash", "src_host", "url", "anchor"]
+            )
 
-    ok = results.where(F.col("status") == 200).select("url_hash")
-    return ok.mapInPandas(run, schema="src_hash long, url string")
+    ok = results.where(F.col("status") == 200).select("url_hash", "host")
+    return ok.mapInPandas(
+        run, schema="src_hash long, src_host string, url string, anchor string"
+    )

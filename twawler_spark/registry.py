@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import coverage_queries as cq
+from . import web_queries as wq
 from . import crawl_queries as crq
 from . import entry_queries as eq
 from . import training_queries as tq
@@ -92,6 +93,12 @@ QUERIES: dict[str, QueryFn] = {
     "host_graph_rank": crq.q_host_graph_rank,
     "ivf_balance": tq.q_ivf_balance,
     "word_bursts": cq.q_word_bursts,
+    # round-5e web-scale wave (web_queries.py)
+    "anchor_text": wq.q_anchor_text,
+    "interleaved_filter": wq.q_interleaved_filter,
+    "sitemap_coverage": wq.q_sitemap_coverage,
+    "host_components": wq.q_host_components,
+    "url_blocklist": wq.q_url_blocklist,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -275,6 +282,11 @@ ORACLES: dict[str, str] = {
     "host_graph_rank": crq.O_HOST_GRAPH_RANK,
     "ivf_balance": tq.O_IVF_BALANCE,
     "word_bursts": cq.O_WORD_BURSTS,
+    "anchor_text": wq.O_ANCHOR_TEXT,
+    "interleaved_filter": wq.O_INTERLEAVED_FILTER,
+    "sitemap_coverage": wq.O_SITEMAP_COVERAGE,
+    "host_components": wq.O_HOST_COMPONENTS,
+    "url_blocklist": wq.O_URL_BLOCKLIST,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
@@ -476,7 +488,11 @@ _WINDOW_R5 = [
     # suite is re-verified locally every round) yields its refresh slot
     # to word_bursts, the last never-driver-checked round-5d query
     "word_bursts", "recrawl_schedule",
-    "p6_staleness", "graph_hits", "corpus_sample", "j4_missing_parents",
+    # p6_staleness + j4_missing_parents (both r2-green, locally
+    # re-verified every round) yield their refresh slots to the two
+    # flagship round-5e queries — never-driver-checked new operators
+    # outrank refreshes whose correctness already has a driver row
+    "anchor_text", "graph_hits", "corpus_sample", "interleaved_filter",
     # a8_log_buckets + viz_degree_distribution yield their slots to
     # host_adaptive_budget and semdedup: a8_histogram (same A8 family)
     # is r4-green, and viz_degree is a projection of a9_degree_stats

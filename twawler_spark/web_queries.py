@@ -1,0 +1,460 @@
+"""Round-5e web-scale crawl/curation queries.
+
+Five operators a production web crawler + LLM-corpus pipeline runs on
+top of the scheduling core, each with a full DuckDB oracle:
+
+  anchor_text         per-target anchor-word aggregation over the round's
+                      discovered outlinks (the classic link-text signal a
+                      crawler feeds back into priority + search feeds into
+                      ranking; reference analog: the mention/hashtag
+                      aggregations of twkit/analytics/freq.py, re-keyed by
+                      link target instead of author)
+  interleaved_filter  OBELICS/MMC4-style curation of interleaved text+media
+                      span documents: per-doc span stats + cross-document
+                      media dedup (boilerplate logos) + a keep rule — runs
+                      on the north-rule payload shape itself
+  sitemap_coverage    per-host sitemap-vs-crawl diff in BOTH directions
+                      (pending sitemap URLs; orphan crawled URLs) — the
+                      coverage audit that drives re-seeding
+  host_components     connected components over the host-to-host link
+                      graph (crawl islands) — seed-list coverage analysis,
+                      reusing the large-star/small-star CC operator
+  url_blocklist       UT1/RefinedWeb-style domain blocklist admission with
+                      dot-suffix matching (block 'd3.com' => blocks every
+                      subdomain), longest-match attribution
+
+100 TB shapes are documented per query; none of them holds per-row
+Python (the only Arrow stage is the shared deterministic fetch
+synthesis in plans/fetcher.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import docspec
+from .crawl_queries import N_HOSTS, ROUND_NO, _plan, _SQL_PLAN_BASE, _stream, _VOCAB_SQL
+from .entry_queries import _t
+from .plans.fetcher import discover_outlinks_anchored, fetch_documents, fetch_results
+
+_V = len(docspec.VOCAB)
+
+# ------------------------------------------------------------ anchor text
+
+
+def q_anchor_text(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation: for every target host linked by this
+    round's fetches, the top-3 anchor words with link counts and
+    source-host diversity (how many distinct hosts use that word for
+    that target — the spam-resistance denominator).
+
+    100 TB shape: explode outlinks once (Arrow fetch-synthesis stage,
+    bounded by plan size), then ONE shuffle on the (target, anchor)
+    composite key with map-side partial aggregation soaking up the
+    power-law head; the top-k window runs on the already-aggregated
+    rows, whose per-target cardinality is bounded by the anchor
+    vocabulary, not the link count — so a hot target with 10^8 inlinks
+    contributes the same window input as a cold one.
+    Reference analog: freq.py's per-key mention counting, re-keyed by
+    link target (twkit/analytics/freq.py:103)."""
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    tgt = F.regexp_extract(F.col("url"), r"^https://(h\d+)\.", 1)
+    agg = links.groupBy(tgt.alias("target_host"), F.col("anchor")).agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_host").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("target_host").orderBy(
+        F.desc("n_links"), F.desc("n_src_hosts"), F.asc("anchor")
+    )
+    return agg.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 3)
+
+
+def _build_o_anchor() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    anchor = f"({_VOCAB_SQL})[(1 + ({_stream('u', docspec._S_ANCHOR, 'j')}) % {_V})::BIGINT]"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM ok),
+links AS (
+  SELECT src_host,
+         'h' || cast({th} as varchar) AS target_host,
+         {anchor} AS anchor
+  FROM lj),
+aagg AS (
+  SELECT target_host, anchor, count(*) AS n_links,
+         count(DISTINCT src_host) AS n_src_hosts
+  FROM links GROUP BY target_host, anchor),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY target_host
+            ORDER BY n_links DESC, n_src_hosts DESC, anchor ASC) AS rnk
+  FROM aagg)
+SELECT target_host, anchor, n_links, n_src_hosts, rnk FROM rk WHERE rnk <= 3
+"""
+
+
+O_ANCHOR_TEXT = _build_o_anchor()
+
+
+# ------------------------------------------------- interleaved-doc filter
+
+BOILER_MIN_DOCS = 2     # media content key shared by >= this many docs
+MIN_WORDS = 3           # keep rule: minimum text words per doc
+MAX_REAL_MEDIA = 4      # keep rule: max non-boilerplate media spans
+
+
+def q_interleaved_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """OBELICS/MMC4-style curation of one round's interleaved span
+    documents: per-doc text/media span counts, total words, number of
+    BOILERPLATE media spans (media whose content key appears in >=
+    ``BOILER_MIN_DOCS`` distinct docs — the site-logo signal), and the
+    keep decision (has text, enough words, bounded real-media count).
+
+    The content key here is the low 12 bits of the synthetic media ref
+    — standing in for the perceptual content fingerprint that
+    media_phash_dedup computes from real bytes; the distributed shape
+    is what matters: explode media spans once, ONE groupBy on the
+    content key (heavy hitters only survive the >=K filter, so the
+    boilerplate list is small by construction and broadcasts back),
+    per-doc counts rejoined map-side. Everything else is span-array
+    HOFs — no shuffle touches the documents themselves.
+    Reference analog: the media table + per-tweet media attachment
+    handling (twkit/crawler dumpall media entities)."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    spans = F.col("spans")
+    text_spans = F.filter(spans, lambda s: s["kind"] == F.lit("text"))
+    media_spans = F.filter(spans, lambda s: s["kind"] == F.lit("media"))
+    base = docs.select(
+        "doc_id",
+        F.size(text_spans).alias("n_text"),
+        F.size(media_spans).alias("n_media"),
+        F.aggregate(
+            text_spans,
+            F.lit(0),
+            lambda acc, s: acc + F.size(F.split(s["text"], " ")),
+        ).alias("n_words"),
+        F.transform(
+            media_spans, lambda s: F.substring(s["media_ref"], 11, 3)
+        ).alias("ckeys"),
+    )
+    m = base.select("doc_id", F.explode("ckeys").alias("ckey"))
+    boiler = (
+        m.groupBy("ckey")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= BOILER_MIN_DOCS)
+        .select("ckey")
+    )
+    nb = (
+        m.join(F.broadcast(boiler), "ckey")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_media_boiler"))
+    )
+    return (
+        base.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_text",
+            "n_media",
+            "n_words",
+            F.coalesce("n_media_boiler", F.lit(0)).alias("n_media_boiler"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("n_text") >= 1)
+            & (F.col("n_words") >= MIN_WORDS)
+            & ((F.col("n_media") - F.col("n_media_boiler")) <= MAX_REAL_MEDIA),
+        )
+    )
+
+
+def _build_o_interleaved() -> str:
+    kind = lambda: f"({_stream('d', docspec._S_KIND, 'k')}) % 3"  # noqa: E731
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    media = (
+        f"printf('m%012x', (({_stream('d', docspec._S_MEDIA, 'k')})"
+        f" % 281474976710656::HUGEINT)::BIGINT)"
+    )
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dj AS (SELECT u, unnest(range(0, nd)) AS j FROM ok),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d FROM dj),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+base AS (
+  SELECT printf('d%08x%08x', (d >> 32)::BIGINT,
+                (d % 4294967296::HUGEINT)::BIGINT) AS doc_id,
+         len(list_filter(range(0, nsp), k -> {kind()} < 2)) AS n_text,
+         len(list_filter(range(0, nsp), k -> {kind()} >= 2)) AS n_media,
+         cast(coalesce(list_sum(list_transform(
+             list_filter(range(0, nsp), k -> {kind()} < 2),
+             k -> {nwords})), 0) as bigint) AS n_words,
+         list_transform(list_filter(range(0, nsp), k -> {kind()} >= 2),
+                        k -> substr({media}, 11, 3)) AS ckeys
+  FROM dd),
+m AS (SELECT doc_id, unnest(ckeys) AS ckey FROM base),
+boiler AS (
+  SELECT ckey FROM (
+    SELECT ckey, count(DISTINCT doc_id) AS ndocs FROM m GROUP BY ckey)
+  WHERE ndocs >= {BOILER_MIN_DOCS}),
+nb AS (SELECT doc_id, count(*) AS n_media_boiler
+       FROM m JOIN boiler USING (ckey) GROUP BY doc_id)
+SELECT b.doc_id, n_text, n_media, n_words,
+       cast(coalesce(n_media_boiler, 0) as bigint) AS n_media_boiler,
+       (n_text >= 1 AND n_words >= {MIN_WORDS}
+        AND n_media - cast(coalesce(n_media_boiler, 0) as bigint)
+            <= {MAX_REAL_MEDIA}) AS keep
+FROM base b LEFT JOIN nb USING (doc_id)
+"""
+
+
+O_INTERLEAVED_FILTER = _build_o_interleaved()
+
+
+# ------------------------------------------------------ sitemap coverage
+
+
+def q_sitemap_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host sitemap-vs-crawl coverage audit, BOTH directions:
+    sitemap URLs already fetched / still pending, and ORPHAN fetched
+    URLs the sitemap does not list (the re-seeding + discovery-gap
+    report a crawl operator reads every day). Sitemaps list the even
+    event pages (sitemaps are incomplete in real life too); the
+    crawled set is every third page — the same synthesis rule family
+    as sitemap_ingest, so the two queries cross-check.
+
+    100 TB shape: both sides are url-keyed projections; the full outer
+    join shuffles each ONCE on url (or is zero-exchange when both live
+    url_hash-bucketed like frontier/seen), and the per-host rollup is
+    a map-side partial agg. Reference analog: the coverage checks of
+    twkit/curation (uncrawled id sweeps)."""
+    e = _t(spark, sf, "events")
+    host = F.concat(F.lit("h"), F.pmod(F.col("user_id"), F.lit(20)).cast("string"))
+    url = F.concat(
+        F.lit("https://"), host, F.lit(".example.com/p/"),
+        F.col("event_id").cast("string"),
+    )
+    lines = e.select(
+        host.alias("host"), F.col("event_id"), url.alias("url")
+    ).dropDuplicates(["url"])
+    sm = lines.where(F.pmod(F.col("event_id"), F.lit(2)) == 0).select(
+        "host", "url", F.lit(1).alias("in_sm")
+    )
+    cr = lines.where(F.pmod(F.col("event_id"), F.lit(3)) == 0).select(
+        "host", "url", F.lit(1).alias("in_cr")
+    )
+    j = sm.join(cr, ["host", "url"], "full")
+    return j.groupBy("host").agg(
+        F.sum(F.coalesce("in_sm", F.lit(0))).alias("n_sitemap"),
+        F.sum(
+            F.when(F.col("in_sm").isNotNull() & F.col("in_cr").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_fetched"),
+        F.sum(
+            F.when(F.col("in_sm").isNotNull() & F.col("in_cr").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_pending"),
+        F.sum(
+            F.when(F.col("in_sm").isNull() & F.col("in_cr").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_orphan"),
+    ).withColumn(
+        "coverage_pct",
+        F.round(100.0 * F.col("n_fetched") / F.col("n_sitemap"), 2),
+    )
+
+
+O_SITEMAP_COVERAGE = """
+WITH lines AS (
+  SELECT DISTINCT ON (url) 'h' || cast(user_id % 20 as varchar) AS host,
+         event_id,
+         'https://h' || cast(user_id % 20 as varchar) || '.example.com/p/'
+           || cast(event_id as varchar) AS url
+  FROM events),
+sm AS (SELECT host, url FROM lines WHERE event_id % 2 = 0),
+cr AS (SELECT host, url FROM lines WHERE event_id % 3 = 0),
+j AS (
+  SELECT coalesce(sm.host, cr.host) AS host,
+         sm.url IS NOT NULL AS in_sm, cr.url IS NOT NULL AS in_cr
+  FROM sm FULL OUTER JOIN cr ON sm.host = cr.host AND sm.url = cr.url),
+agg AS (
+  SELECT host,
+         cast(sum(CASE WHEN in_sm THEN 1 ELSE 0 END) as bigint) AS n_sitemap,
+         cast(sum(CASE WHEN in_sm AND in_cr THEN 1 ELSE 0 END) as bigint) AS n_fetched,
+         cast(sum(CASE WHEN in_sm AND NOT in_cr THEN 1 ELSE 0 END) as bigint) AS n_pending,
+         cast(sum(CASE WHEN NOT in_sm AND in_cr THEN 1 ELSE 0 END) as bigint) AS n_orphan
+  FROM j GROUP BY host)
+SELECT *, round(100.0 * n_fetched / n_sitemap, 2) AS coverage_pct FROM agg
+"""
+
+
+# ------------------------------------------------------- host components
+
+EDGE_MIN_LINKS = 2  # directed host pair must carry >= this many links
+
+
+def q_host_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-island detection: connected components over the
+    host-to-host link graph of one round (edges = directed host pairs
+    carrying >= ``EDGE_MIN_LINKS`` links, undirected for the closure).
+    Hosts outside every edge are their own singleton component. Reuses
+    the alternating large-star/small-star CC operator
+    (operators/dedup.py:274) — O(log n) shuffle rounds at any scale.
+
+    100 TB shape: the host graph is the link graph pre-aggregated by
+    (src_host, dst_host) — billions of links collapse into millions of
+    host pairs BEFORE the iterative part ever runs; the CC rounds then
+    operate on the contracted graph only. Reference analog: community
+    detection over the follower graph (SURVEY §2's graph tier)."""
+    from .operators.dedup import connected_components
+
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    src = F.substring("src_host", 2, 10).cast("long")
+    dst = F.regexp_extract("url", r"^https://h(\d+)\.", 1).cast("long")
+    pairs = (
+        links.groupBy(src.alias("a"), dst.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= EDGE_MIN_LINKS) & (F.col("a") != F.col("b")))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    cc = connected_components(pairs, "u", "v")
+    hosts = spark.range(N_HOSTS).select(F.col("id").alias("hn"))
+    out = hosts.join(cc, hosts.hn == cc.node, "left").select(
+        F.concat(F.lit("h"), F.col("hn").cast("string")).alias("host"),
+        F.coalesce("component", F.col("hn")).alias("comp_n"),
+    )
+    return out.select(
+        "host",
+        F.concat(F.lit("h"), F.col("comp_n").cast("string")).alias("component"),
+        (F.substring("host", 2, 10).cast("long") == F.col("comp_n")).alias(
+            "is_root"
+        ),
+    )
+
+
+def _build_o_components() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    return f"""
+WITH RECURSIVE {_SQL_PLAN_BASE},
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM ok),
+dlinks AS (
+  SELECT cast(substring(src_host, 2) as bigint) AS a, {th} AS b FROM lj),
+pairs AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v
+  FROM (SELECT a, b, count(*) AS n FROM dlinks GROUP BY a, b)
+  WHERE n >= {EDGE_MIN_LINKS} AND a <> b
+  GROUP BY least(a, b), greatest(a, b)),
+und AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u),
+comp AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u),
+hosts AS (SELECT unnest(range(0, {N_HOSTS})) AS hn)
+SELECT 'h' || cast(hn as varchar) AS host,
+       'h' || cast(coalesce(component, hn) as varchar) AS component,
+       hn = coalesce(component, hn) AS is_root
+FROM hosts LEFT JOIN comp ON comp.node = hn
+"""
+
+
+O_HOST_COMPONENTS = _build_o_components()
+
+
+# --------------------------------------------------------- url blocklist
+
+BLOCKLIST = ["d3.com", "d7.net", "d10.com", "d5.org", "s2.d5.org"]
+
+
+def q_url_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    """UT1/RefinedWeb-style domain blocklist admission with dot-suffix
+    semantics: an entry 'd3.com' blocks every subdomain of d3.com; the
+    LONGEST matching entry wins attribution (so 's2.d5.org' beats
+    'd5.org' for that exact subdomain). Candidate hosts are synthesized
+    3-label domains over the events table. Output: per blocklist entry
+    (or 'allowed'), how many distinct hosts and how many URLs land
+    there.
+
+    100 TB shape: hosts are pre-aggregated BEFORE the suffix explode
+    (the url->host projection collapses billions of urls to millions of
+    hosts), each host fans out to <= label-count suffixes, and the
+    blocklist — even UT1's ~3M entries — broadcasts; the longest-match
+    pick is a per-host max over <= label-count rows, not a window over
+    the corpus. Reference analog: the can_follow admission gate
+    (twkit/crawler utils.py:672-692), generalized from an id set to a
+    domain-suffix rule set."""
+    e = _t(spark, sf, "events")
+    host = F.concat(
+        F.lit("s"), F.pmod(F.col("user_id"), F.lit(7)).cast("string"),
+        F.lit(".d"), F.pmod(F.col("user_id"), F.lit(11)).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("net"), F.lit("org")),
+            (F.pmod(F.col("user_id"), F.lit(3)) + 1).cast("int"),
+        ),
+    )
+    hosts = e.select(host.alias("host")).groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls")
+    )
+    labels = F.split(F.col("host"), r"\.")
+    sufs = F.array(
+        F.array_join(F.slice(labels, 2, 2), "."),  # registered domain
+        F.col("host"),  # exact host
+    )
+    ex = hosts.select("host", "n_urls", F.explode(sufs).alias("suffix"))
+    bl = spark.createDataFrame([(s,) for s in BLOCKLIST], "entry string")
+    hits = (
+        ex.join(F.broadcast(bl), F.col("suffix") == F.col("entry"))
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.struct(F.length("entry").alias("l"), F.col("entry").alias("e"))
+            ).alias("b")
+        )
+        .select("host", F.col("b.e").alias("blocked_by"))
+    )
+    per = hosts.join(hits, "host", "left").select(
+        "host", "n_urls", F.coalesce("blocked_by", F.lit("allowed")).alias("blocked_by")
+    )
+    return per.groupBy("blocked_by").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n_urls").alias("n_urls"),
+    )
+
+
+O_URL_BLOCKLIST = f"""
+WITH u AS (
+  SELECT 's' || cast(user_id % 7 as varchar)
+         || '.d' || cast(user_id % 11 as varchar)
+         || '.' || (['com', 'net', 'org'])[(user_id % 3 + 1)::BIGINT] AS host
+  FROM events),
+hosts AS (SELECT host, count(*) AS n_urls FROM u GROUP BY host),
+bl(entry) AS (VALUES {", ".join(f"('{s}')" for s in BLOCKLIST)}),
+ex AS (
+  SELECT host, n_urls,
+         unnest([array_to_string(list_slice(string_split(host, '.'), 2, 3), '.'),
+                 host]) AS suffix
+  FROM hosts),
+hits AS (
+  SELECT host, max_by(entry, len(entry)) AS blocked_by
+  FROM ex JOIN bl ON suffix = entry GROUP BY host),
+per AS (
+  SELECT h.host, h.n_urls, coalesce(blocked_by, 'allowed') AS blocked_by
+  FROM hosts h LEFT JOIN hits USING (host))
+SELECT blocked_by, count(*) AS n_hosts, cast(sum(n_urls) as bigint) AS n_urls
+FROM per GROUP BY blocked_by
+"""
