@@ -78,6 +78,10 @@ HEADLINE_QUERIES = (
     "host_graph_rank",
     "ivf_balance",
     "word_bursts",
+    # round-5e tier
+    "anchor_text",
+    "interleaved_filter",
+    "url_blocklist",
 )
 
 

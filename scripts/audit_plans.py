@@ -93,6 +93,11 @@ AUDIT = (
     "host_graph_rank",
     "ivf_balance",
     "word_bursts",
+    "anchor_text",
+    "interleaved_filter",
+    "sitemap_coverage",
+    "host_components",
+    "url_blocklist",
 )
 
 

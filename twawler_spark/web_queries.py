@@ -142,7 +142,10 @@ def q_interleaved_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(
             media_spans, lambda s: F.substring(s["media_ref"], 11, 3)
         ).alias("ckeys"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ the doc-level stats are referenced by three branches (explode,
+    # boiler join-back, final join): checkpoint once so the fetch
+    # Arrow stage runs once, not per branch
     m = base.select("doc_id", F.explode("ckeys").alias("ckey"))
     boiler = (
         m.groupBy("ckey")
