@@ -82,6 +82,8 @@ HEADLINE_QUERIES = (
     "anchor_text",
     "interleaved_filter",
     "url_blocklist",
+    "opic_priority",
+    "mirror_detect",
 )
 
 

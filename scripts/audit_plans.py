@@ -98,6 +98,8 @@ AUDIT = (
     "sitemap_coverage",
     "host_components",
     "url_blocklist",
+    "opic_priority",
+    "mirror_detect",
 )
 
 

@@ -121,3 +121,81 @@ def test_url_blocklist_longest_match(spark):
     } == {k: (r["n_hosts"], r["n_urls"]) for k, r in rows.items()}
     # conservation: blocked + allowed == all events
     assert sum(r["n_urls"] for r in rows.values()) == len(uids)
+
+
+def test_opic_cash_conservation_and_topk(spark):
+    """Third implementation: recompute OPIC cash per candidate url in
+    plain Python from the plan + docspec, take top-k per host, compare
+    exactly; plus conservation — every source's cash splits exactly."""
+    from collections import Counter, defaultdict
+
+    from twawler_spark import crawl_queries as crq
+
+    _, plan = crq._plan(spark, SF)
+    cash: Counter = Counter()
+    nsrcs: Counter = Counter()
+    for r in plan.select("url_hash").collect():
+        links = docspec.outlinks(r["url_hash"], crq.N_HOSTS)
+        if not links:
+            continue
+        share = wq.OPIC_CASH_UNITS // len(links)
+        assert share * len(links) == wq.OPIC_CASH_UNITS  # exact split
+        for url in links:
+            cash[url] += share
+            nsrcs[url] += 1
+    per_host = defaultdict(list)
+    for url, c in cash.items():
+        host = url.split("//")[1].split(".")[0]
+        per_host[host].append((-c, url))
+    want = {}
+    for host, lst in per_host.items():
+        for rnk, (negc, url) in enumerate(sorted(lst)[: wq.OPIC_TOP_K], 1):
+            want[url] = (host, -negc, nsrcs[url], rnk)
+    got = {
+        r["url"]: (r["target_host"], r["cash_units"], r["n_srcs"], r["rnk"])
+        for r in wq.q_opic_priority(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_mirror_detect_recovers_planted_pairs(spark):
+    """Third implementation: per-host fingerprint sets in Python,
+    exact Jaccard, same df cap and threshold. Runs at sf0.01 — the
+    smaller fixture has no complete mirror pair (15 user residues
+    never produce both hn and hn+15)."""
+    import duckdb
+    from collections import defaultdict
+    from hashlib import md5
+
+    sf = "/root/testdata/sf0.01"
+    fps = defaultdict(set)
+    for (u, eid) in duckdb.sql(
+        f"SELECT user_id, event_id FROM '{sf}/events.parquet'"
+    ).fetchall():
+        hn = u % 20
+        fp = md5(
+            f"fp:{eid % wq.MIRROR_FP_BUCKETS}:{hn % 15}".encode()
+        ).hexdigest()
+        fps[f"h{hn}"].add(fp)
+    df: defaultdict = defaultdict(set)
+    for h, s in fps.items():
+        for fp in s:
+            df[fp].add(h)
+    keep = {fp for fp, hs in df.items() if len(hs) <= wq.MIRROR_DF_CAP}
+    hosts = sorted(fps)
+    want = {}
+    for i, a in enumerate(hosts):
+        for b in hosts[i + 1:]:
+            shared = len(fps[a] & fps[b] & keep)
+            if not shared:
+                continue
+            jac = round(shared / (len(fps[a]) + len(fps[b]) - shared), 4)
+            if jac >= wq.MIRROR_MIN_JACCARD:
+                want[(a, b)] = (shared, len(fps[a]), len(fps[b]), jac)
+    got = {
+        (r["host_a"], r["host_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard_r"]
+        )
+        for r in wq.q_mirror_detect(spark, sf).collect()
+    }
+    assert got == want and want  # non-empty: mirrors exist in the data

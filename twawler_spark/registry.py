@@ -99,6 +99,8 @@ QUERIES: dict[str, QueryFn] = {
     "sitemap_coverage": wq.q_sitemap_coverage,
     "host_components": wq.q_host_components,
     "url_blocklist": wq.q_url_blocklist,
+    "opic_priority": wq.q_opic_priority,
+    "mirror_detect": wq.q_mirror_detect,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -287,6 +289,8 @@ ORACLES: dict[str, str] = {
     "sitemap_coverage": wq.O_SITEMAP_COVERAGE,
     "host_components": wq.O_HOST_COMPONENTS,
     "url_blocklist": wq.O_URL_BLOCKLIST,
+    "opic_priority": wq.O_OPIC_PRIORITY,
+    "mirror_detect": wq.O_MIRROR_DETECT,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -461,3 +461,178 @@ per AS (
 SELECT blocked_by, count(*) AS n_hosts, cast(sum(n_urls) as bigint) AS n_urls
 FROM per GROUP BY blocked_by
 """
+
+# ------------------------------------------------------------ OPIC priority
+
+OPIC_CASH_UNITS = 6  # lcm(1,2,3): cash splits stay exact integers
+OPIC_TOP_K = 5
+
+
+def q_opic_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """OPIC crawl ordering (Abiteboul/Preda/Cobena, WWW'03 "Adaptive
+    On-line Page Importance Computation"): every fetched page's cash
+    splits EQUALLY over its outlinks in the round it is crawled; a
+    candidate's accumulated cash IS its fetch priority — importance
+    emerges incrementally, one pass per round, with none of PageRank's
+    iterate-to-convergence (host_graph_rank/frontier_pagerank cover
+    that complementary batch view). Cash is kept in integer SIXTHS
+    (lcm of the 1-3 outlink fan-outs), so the split is exact and no
+    float accumulation order can diverge between engines or partition
+    layouts. Output: per target host, the top-``OPIC_TOP_K`` candidate
+    urls by (cash DESC, url).
+
+    100 TB shape: one explode of the round's outlinks (Arrow
+    fetch-synthesis stage, plan-bounded) -> ONE groupBy(url) with
+    map-side partials -> per-host top-k window over candidates already
+    collapsed to one row per url. Cash state across rounds lives with
+    the frontier row (same SCD2 delta protocol as last_id); this query
+    is the one-round update."""
+    _, plan = _plan(spark, sf)
+    # links feed two branches (fan-out count + contribution join):
+    # checkpoint once so the fetch Arrow stages run once, not per branch
+    links = discover_outlinks_anchored(
+        fetch_results(plan), N_HOSTS
+    ).localCheckpoint(eager=False)
+    # every fetched source starts the round with OPIC_CASH_UNITS cash;
+    # nout per source = how many links it actually emitted
+    per_src = links.groupBy("src_hash").agg(F.count(F.lit(1)).alias("nout"))
+    contrib = links.join(per_src, "src_hash").select(
+        "url",
+        (F.lit(OPIC_CASH_UNITS) / F.col("nout")).cast("long").alias("cash"),
+    )
+    tgt = F.regexp_extract(F.col("url"), r"^https://(h\d+)\.", 1)
+    cand = contrib.groupBy("url").agg(
+        F.sum("cash").alias("cash_units"),
+        F.count(F.lit(1)).alias("n_srcs"),
+    ).select(tgt.alias("target_host"), "url", "cash_units", "n_srcs")
+    w = Window.partitionBy("target_host").orderBy(
+        F.desc("cash_units"), F.asc("url")
+    )
+    return cand.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= OPIC_TOP_K
+    )
+
+
+def _build_o_opic() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    oid = f"(({_stream('u', docspec._S_OUTID, 'j')}) % 281474976710656::HUGEINT)::BIGINT"
+    link = (
+        f"'https://h' || cast({th} as varchar) || '.example.com/o/' || "
+        f"cast({oid} as varchar)"
+    )
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT u, nout, unnest(range(0, nout)) AS j FROM ok),
+contrib AS (SELECT {link} AS url, {OPIC_CASH_UNITS} // nout AS cash FROM lj),
+cand AS (
+  SELECT regexp_extract(url, 'https://(h[0-9]+)', 1) AS target_host, url,
+         cast(sum(cash) as bigint) AS cash_units, count(*) AS n_srcs
+  FROM contrib GROUP BY url),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY target_host
+            ORDER BY cash_units DESC, url ASC) AS rnk
+  FROM cand)
+SELECT target_host, url, cash_units, n_srcs, rnk FROM rk WHERE rnk <= {OPIC_TOP_K}
+"""
+
+
+O_OPIC_PRIORITY = _build_o_opic()
+
+
+# ----------------------------------------------------------- mirror hosts
+
+MIRROR_FP_BUCKETS = 500  # content-fingerprint space of the fixture
+MIRROR_DF_CAP = 5        # fingerprints on more hosts are boilerplate
+MIRROR_MIN_JACCARD = 0.3
+
+
+def q_mirror_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW'99 "Mirror, mirror
+    on the Web"): host pairs serving near-identical content sets,
+    found WITHOUT any pairwise host comparison — invert the (host,
+    content-fingerprint) relation, self-join the fingerprint postings
+    (each capped at ``MIRROR_DF_CAP`` hosts: fingerprints on more
+    hosts are boilerplate, exactly dedup_containment's df-cap), count
+    shared fingerprints per surviving pair, and emit pairs whose
+    Jaccard >= ``MIRROR_MIN_JACCARD``. A crawler feeds these back as
+    politeness aliases (one budget across mirrors) and dedup hints.
+
+    Fixture: hosts h15-h19 mirror h0-h4 (the fingerprint synthesis
+    keys on hn % 15), non-mirrors share nothing — see FIXTURES.md.
+
+    100 TB shape: the explode is per (host, fp) DISTINCT pair — the
+    posting lists, not the documents; the df cap bounds the self-join
+    fan-out at cap^2 per fingerprint; per-host set sizes are one tiny
+    agg broadcast back. Same candidate-then-verify economics as every
+    dedup tier here."""
+    e = _t(spark, sf, "events")
+    hn = F.pmod(F.col("user_id"), F.lit(20))
+    fp = F.md5(
+        F.concat(
+            F.lit("fp:"),
+            F.pmod(F.col("event_id"), F.lit(MIRROR_FP_BUCKETS)).cast("string"),
+            F.lit(":"),
+            F.pmod(hn, F.lit(15)).cast("string"),
+        )
+    )
+    hf = e.select(
+        F.concat(F.lit("h"), hn.cast("string")).alias("host"), fp.alias("fp")
+    ).dropDuplicates(["host", "fp"])
+    sizes = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fps"))
+    postings = hf.join(
+        hf.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).where(
+            F.col("df") <= MIRROR_DF_CAP
+        ),
+        "fp",
+    )
+    a = postings.select(F.col("fp"), F.col("host").alias("host_a"))
+    b = postings.select(F.col("fp"), F.col("host").alias("host_b"))
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("host").alias("host_a"), F.col("n_fps").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"), F.col("n_fps").alias("n_b"))
+    out = (
+        shared.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .withColumn(
+            "jaccard_r",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard_r") >= MIRROR_MIN_JACCARD)
+    )
+    return out.select("host_a", "host_b", "n_shared", "n_a", "n_b", "jaccard_r")
+
+
+O_MIRROR_DETECT = f"""
+WITH hf AS (
+  SELECT DISTINCT 'h' || cast(user_id % 20 as varchar) AS host,
+         md5('fp:' || cast(event_id % {MIRROR_FP_BUCKETS} as varchar)
+             || ':' || cast(user_id % 20 % 15 as varchar)) AS fp
+  FROM events),
+sizes AS (SELECT host, count(*) AS n_fps FROM hf GROUP BY host),
+keep AS (SELECT fp FROM hf GROUP BY fp HAVING count(*) <= {MIRROR_DF_CAP}),
+p AS (SELECT host, hf.fp FROM hf JOIN keep ON hf.fp = keep.fp),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+  FROM p a JOIN p b ON a.fp = b.fp AND a.host < b.host
+  GROUP BY a.host, b.host),
+j AS (
+  SELECT host_a, host_b, n_shared, sa.n_fps AS n_a, sb.n_fps AS n_b,
+         round(n_shared * 1.0 / (sa.n_fps + sb.n_fps - n_shared), 4) AS jaccard_r
+  FROM shared
+  JOIN sizes sa ON sa.host = host_a
+  JOIN sizes sb ON sb.host = host_b)
+SELECT * FROM j WHERE jaccard_r >= {MIRROR_MIN_JACCARD}
+"""
