@@ -84,6 +84,9 @@ HEADLINE_QUERIES = (
     "url_blocklist",
     "opic_priority",
     "mirror_detect",
+    # round-5f tier
+    "span_dedup",
+    "dup_ngram_coverage",
 )
 
 

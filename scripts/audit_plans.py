@@ -100,6 +100,8 @@ AUDIT = (
     "url_blocklist",
     "opic_priority",
     "mirror_detect",
+    "span_dedup",
+    "dup_ngram_coverage",
 )
 
 

@@ -199,3 +199,91 @@ def test_mirror_detect_recovers_planted_pairs(spark):
         for r in wq.q_mirror_detect(spark, sf).collect()
     }
     assert got == want and want  # non-empty: mirrors exist in the data
+
+
+def test_span_dedup_third_implementation(spark):
+    """Plain-python recount over the same fetched docs: occurrence
+    counts, canonical ownership, and the conservation laws
+    (n_dup = n_canonical + n_drop_of_dup; every span is kept once
+    globally per distinct duplicated content)."""
+    from twawler_spark.crawl_queries import ROUND_NO, _plan
+    from twawler_spark.plans.fetcher import fetch_documents
+
+    _, plan = _plan(spark, SF)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"]).collect()
+    occ: dict[str, list[tuple[str, int]]] = {}
+    for d in docs:
+        pos = 0
+        for s in d["spans"]:
+            if s["kind"] == "text":
+                occ.setdefault(s["text"], []).append((d["doc_id"], pos))
+                pos += 1
+    exp: dict[str, dict[str, int]] = {}
+    for text, places in occ.items():
+        places.sort()
+        for i, (doc_id, _) in enumerate(places):
+            e = exp.setdefault(
+                doc_id,
+                {"n_text_spans": 0, "n_dup_spans": 0, "n_canonical": 0, "n_drop": 0},
+            )
+            e["n_text_spans"] += 1
+            if len(places) >= 2:
+                e["n_dup_spans"] += 1
+                if i == 0:
+                    e["n_canonical"] += 1
+            if i > 0:
+                e["n_drop"] += 1
+    rows = {r["doc_id"]: r.asDict() for r in wq.q_span_dedup(spark, SF).collect()}
+    assert set(rows) == set(exp)
+    for doc_id, e in exp.items():
+        r = rows[doc_id]
+        for k, v in e.items():
+            assert r[k] == v, (doc_id, k)
+        assert r["dup_frac"] == e["n_dup_spans"] / e["n_text_spans"]
+        assert r["keep"] == (r["dup_frac"] <= wq.DUP_SPAN_MAX_FRAC)
+    # global conservation: per distinct duplicated content, exactly one
+    # canonical owner; drops = occurrences - distinct contents
+    assert sum(e["n_canonical"] for e in exp.values()) == sum(
+        1 for p in occ.values() if len(p) >= 2
+    )
+    assert sum(e["n_drop"] for e in exp.values()) == sum(
+        len(p) - 1 for p in occ.values()
+    )
+
+
+def test_dup_ngram_coverage_third_implementation(spark):
+    """Plain-python 5-gram recount on the documents table."""
+    from twawler_spark.training_queries import (
+        DUP_NGRAM_MAX_FRAC,
+        NGRAM_N,
+        q_dup_ngram_coverage,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    gram_docs: dict[str, set[int]] = {}
+    per_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs.items():
+        toks = text.lower().split(" ")
+        grams = [
+            " ".join(toks[i : i + NGRAM_N])
+            for i in range(len(toks) - NGRAM_N + 1)
+        ]
+        per_doc[doc_id] = grams
+        for g in set(grams):
+            gram_docs.setdefault(g, set()).add(doc_id)
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_dup_ngram_coverage(spark, SF).collect()
+    }
+    assert set(rows) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        n_dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        r = rows[doc_id]
+        assert r["n_grams"] == len(grams)
+        assert r["n_dup"] == n_dup
+        want = n_dup / len(grams) if grams else 0.0
+        assert r["dup_frac"] == want
+        assert r["keep"] == (want <= DUP_NGRAM_MAX_FRAC)

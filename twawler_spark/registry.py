@@ -101,6 +101,8 @@ QUERIES: dict[str, QueryFn] = {
     "url_blocklist": wq.q_url_blocklist,
     "opic_priority": wq.q_opic_priority,
     "mirror_detect": wq.q_mirror_detect,
+    "span_dedup": wq.q_span_dedup,
+    "dup_ngram_coverage": tq.q_dup_ngram_coverage,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -291,6 +293,8 @@ ORACLES: dict[str, str] = {
     "url_blocklist": wq.O_URL_BLOCKLIST,
     "opic_priority": wq.O_OPIC_PRIORITY,
     "mirror_detect": wq.O_MIRROR_DETECT,
+    "span_dedup": wq.O_SPAN_DEDUP,
+    "dup_ngram_coverage": tq.O_DUP_NGRAM_COVERAGE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

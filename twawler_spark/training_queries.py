@@ -3881,3 +3881,100 @@ SELECT cell, n_vectors,
        avg_cos, min_cos
 FROM per CROSS JOIN tot
 """
+
+
+# ---------------------------------------------- duplicated-n-gram coverage
+
+NGRAM_N = 5             # FineWeb/RefinedWeb use 5..10-gram windows
+DUP_NGRAM_MAX_FRAC = 0.30  # keep rule: <= 30% of grams duplicated
+
+
+def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb/RefinedWeb-style duplicated-n-gram coverage filter: for
+    every document, the fraction of its 5-gram OCCURRENCES whose gram
+    also appears in at least one OTHER document, and the keep decision
+    (dup_frac <= 0.30). This is the corpus-level repetition signal that
+    complements the within-document Gopher rules (q_gopher_repetition)
+    and the document-level MinHash dedup: a doc that is 40% boilerplate
+    shared with the rest of its site fails here while passing both of
+    those.
+
+    100 TB shape: grams are built map-side as an array HOF (no
+    explode-then-window over raw tokens); the exploded (doc, gram)
+    pairs take ONE hash exchange on gram, where a window count gives
+    corpus doc-frequency without a second scan or a (huge) duplicated-
+    gram broadcast — the dup-gram set at web scale is itself web-scale,
+    so it must stay partitioned, never collected. The per-doc rollup is
+    the second, smaller exchange. Map-side partial aggregation soaks up
+    within-doc repeats before the shuffle.
+    Reference parity: twAwler dedups whole tweets on the unique index
+    (twkit/crawler/dumpall.py:61-81); gram-coverage is the training-
+    pipeline generalization over long documents."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = d.select(F.col("doc_id").cast("bigint").alias("doc_id"), grams.alias("grams"))
+    e = base.select("doc_id", F.explode("grams").alias("gram"))
+    pg = e.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    # rows are unique per (doc, gram), so a plain window count over gram
+    # IS the corpus document-frequency — one exchange, no join-back
+    flagged = pg.withColumn(
+        "df_docs", F.count(F.lit(1)).over(W.partitionBy("gram"))
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("df_docs") >= 2, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup"),
+    )
+    out = (
+        base.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_grams") > 0, F.col("n_dup") / F.col("n_grams")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep", F.col("dup_frac") <= F.lit(DUP_NGRAM_MAX_FRAC))
+    )
+    return out
+
+
+O_DUP_NGRAM_COVERAGE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+ti AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {NGRAM_N - 1}, 0) + 1)) AS i
+  FROM t),
+g AS (
+  SELECT doc_id, array_to_string(toks[i:i+{NGRAM_N - 1}], ' ') AS gram FROM ti),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+f AS (SELECT *, count(*) OVER (PARTITION BY gram) AS df_docs FROM pg),
+per AS (
+  SELECT doc_id,
+         cast(sum(c) as bigint) AS n_grams,
+         cast(sum(CASE WHEN df_docs >= 2 THEN c ELSE 0 END) as bigint) AS n_dup
+  FROM f GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_dup, 0) AS n_dup,
+       CASE WHEN coalesce(per.n_grams, 0) > 0
+            THEN per.n_dup / per.n_grams ELSE 0.0 END AS dup_frac,
+       (CASE WHEN coalesce(per.n_grams, 0) > 0
+             THEN per.n_dup / per.n_grams ELSE 0.0 END)
+         <= {DUP_NGRAM_MAX_FRAC} AS keep
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""

@@ -34,7 +34,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import docspec
-from .crawl_queries import N_HOSTS, ROUND_NO, _plan, _SQL_PLAN_BASE, _stream, _VOCAB_SQL
+from .crawl_queries import (
+    N_HOSTS,
+    O_CRAWL_ROUND_DOCS,
+    ROUND_NO,
+    _plan,
+    _SQL_PLAN_BASE,
+    _stream,
+    _VOCAB_SQL,
+)
 from .entry_queries import _t
 from .plans.fetcher import discover_outlinks_anchored, fetch_documents, fetch_results
 
@@ -635,4 +643,96 @@ j AS (
   JOIN sizes sa ON sa.host = host_a
   JOIN sizes sb ON sb.host = host_b)
 SELECT * FROM j WHERE jaccard_r >= {MIRROR_MIN_JACCARD}
+"""
+
+
+# ------------------------------------------------ span-level exact dedup
+
+DUP_SPAN_MAX_FRAC = 0.5  # keep rule: <= 50% of a doc's text spans duplicated
+
+
+def q_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact dedup over the round's INTERLEAVED documents —
+    the north-rule payload's own curation pass: every text span is
+    fingerprinted by its content; a span whose content occurs >= 2
+    times corpus-wide is duplicated boilerplate, and exactly ONE
+    occurrence (the (doc_id, pos)-minimal one) is kept canonical. Per
+    doc: text-span count, duplicated-span count, canonical-ownership
+    count, drop count, duplicated fraction, and the keep rule
+    (dup_frac <= 0.5). This is line_dedup's shape lifted onto the
+    interleaved span table — the media spans pass through untouched
+    (their dedup is media_phash_dedup's byte-level job).
+
+    100 TB shape: text spans posexplode map-side out of the span
+    arrays; ONE hash exchange on span content serves BOTH the
+    occurrence count and the canonical-owner ranking (two window
+    functions over the same partitioning — Spark plans a single
+    shuffle); the per-doc rollup is the second, smaller exchange.
+    Nothing is broadcast or collected — the duplicated-span set at web
+    scale is itself web-scale.
+    Reference analog: tweet-text dedup on the unique index
+    (twkit/crawler/dumpall.py:61-81) applied at sub-document grain.
+    The oracle recovers per-span text by splitting crawl_round_docs'
+    ' | '-joined text_all — exact because span text never contains
+    '|' (vocab words are bare lowercase tokens)."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    texts = F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("text"))
+    e = docs.select(
+        "doc_id",
+        F.posexplode(F.transform(texts, lambda s: s["text"])).alias(
+            "pos", "span_text"
+        ),
+    )
+    w = Window.partitionBy("span_text")
+    wo = w.orderBy(F.asc("doc_id"), F.asc("pos"))
+    r = e.withColumn("n_occ", F.count(F.lit(1)).over(w)).withColumn(
+        "rn", F.row_number().over(wo)
+    )
+    per = r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_text_spans"),
+        F.sum(F.when(F.col("n_occ") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_spans"),
+        F.sum(F.when((F.col("n_occ") >= 2) & (F.col("rn") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_canonical"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("bigint").alias("n_drop"),
+    )
+    return per.select(
+        "*",
+        (F.col("n_dup_spans") / F.col("n_text_spans")).alias("dup_frac"),
+        (
+            (F.col("n_dup_spans") / F.col("n_text_spans"))
+            <= F.lit(DUP_SPAN_MAX_FRAC)
+        ).alias("keep"),
+    )
+
+
+O_SPAN_DEDUP = f"""
+WITH docs AS ({O_CRAWL_ROUND_DOCS}),
+e0 AS (
+  SELECT doc_id, string_split(text_all, ' | ') AS sp FROM docs
+  WHERE text_all <> ''),
+e1 AS (SELECT doc_id, sp, unnest(range(1, len(sp) + 1)) AS i FROM e0),
+e AS (SELECT doc_id, cast(i - 1 as int) AS pos, sp[i] AS span_text FROM e1),
+r AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY span_text) AS n_occ,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id ASC, pos ASC) AS rn
+  FROM e),
+per AS (
+  SELECT doc_id,
+         cast(count(*) as bigint) AS n_text_spans,
+         cast(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) as bigint)
+           AS n_dup_spans,
+         cast(sum(CASE WHEN n_occ >= 2 AND rn = 1 THEN 1 ELSE 0 END) as bigint)
+           AS n_canonical,
+         cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) as bigint) AS n_drop
+  FROM r GROUP BY doc_id)
+SELECT doc_id, n_text_spans, n_dup_spans, n_canonical, n_drop,
+       n_dup_spans / n_text_spans AS dup_frac,
+       (n_dup_spans / n_text_spans) <= {DUP_SPAN_MAX_FRAC} AS keep
+FROM per
 """
