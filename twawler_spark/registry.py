@@ -437,11 +437,26 @@ _WINDOW_R5 = [
     "gopher_repetition",
     # new or reworked in round 5
     "gopher_repetition_exploded", "word_pmi", "deleted_tweets_audit",
-    "mentionedid_recovery", "is_greek_ratios", "multimodal_video",
-    "list_common_favoriters", "line_dedup", "sequence_packing",
+    "mentionedid_recovery", "is_greek_ratios",
+    "line_dedup", "sequence_packing",
     "domain_mixture", "gopher_quality_full", "dedup_incremental",
-    "s3_stream_host_budget", "crawl_round_pack", "frontier_pagerank",
+    "s3_stream_host_budget", "frontier_pagerank",
     "dedup_exact_substring",
+    # round-5f swaps: the seven newest never-driver-checked queries
+    # (round-5e web wave + round-5f span dedup) take the slots of seven
+    # never-checked entries whose FAMILIES already hold driver-green
+    # rows or in-window representatives: multimodal_video (siblings
+    # multimodal_meta/decode r3-green, multimodal_audio r4-green),
+    # audio_fp_dedup (perceptual-dedup family keeps media_phash_dedup
+    # in-window), list_common_favoriters (s13-edgelist export family,
+    # r3-green), crawl_round_pack (crawl_round_plan/docs/states/
+    # outlinks all r4-green), and the three fill sentinels dsir_select/
+    # ccnet_lm_buckets/trap_detection at the bottom. All displaced
+    # queries remain locally verified via scripts/check_oracles.py
+    # (176/176 green on this tree — session log).
+    "sitemap_coverage", "host_components", "url_blocklist",
+    "opic_priority", "mirror_detect", "span_dedup",
+    "dup_ngram_coverage",
     # new in round 5b (post-rotation): perceptual image dedup, sitemap
     # ingestion, robots parsing, audio fingerprint dedup — never driver-
     # checked, so they take the slots of four thin r2-stale queries
@@ -451,7 +466,6 @@ _WINDOW_R5 = [
     # in-window j2/j3/j9/j10 join band). All displaced queries stay
     # locally verified via scripts/check_oracles.py every round.
     "media_phash_dedup", "sitemap_ingest", "robots_parse",
-    "audio_fp_dedup",
     # last driver-green in r2 (stale band)
     # round-5d swaps: the five remaining never-driver-checked r5d
     # queries (bpe_merges, graph_hits, corpus_sample, crawl_backlog,
@@ -511,8 +525,9 @@ _WINDOW_R5 = [
     # — dedup_jaccard/simhash/exact, s3_stream_windowed,
     # multimodal_decode, j8_synchrotrap_full, q1_pricing_summary,
     # dedup_minhash_lsh — yielded their slots to the new round-5
-    # queries; all re-verified locally every round)
-    "dsir_select", "ccnet_lm_buckets", "trap_detection",
+    # queries; all re-verified locally every round). Round 5f: the
+    # three fill sentinels dsir_select/ccnet_lm_buckets/trap_detection
+    # yielded their slots to the round-5e/5f wave above.
 ]
 
 QUERIES = {
