@@ -87,6 +87,10 @@ HEADLINE_QUERIES = (
     # round-5f tier
     "span_dedup",
     "dup_ngram_coverage",
+    # round-5g tier
+    "weighted_sample",
+    "winnow_fingerprint",
+    "frontier_shard_balance",
 )
 
 

@@ -102,6 +102,9 @@ AUDIT = (
     "mirror_detect",
     "span_dedup",
     "dup_ngram_coverage",
+    "weighted_sample",
+    "winnow_fingerprint",
+    "frontier_shard_balance",
 )
 
 

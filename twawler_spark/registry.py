@@ -103,6 +103,11 @@ QUERIES: dict[str, QueryFn] = {
     "mirror_detect": wq.q_mirror_detect,
     "span_dedup": wq.q_span_dedup,
     "dup_ngram_coverage": tq.q_dup_ngram_coverage,
+    # round-5g wave (outside the full r5 window — locally gated via
+    # scripts/check_oracles.py; first in line for a future window)
+    "weighted_sample": tq.q_weighted_sample,
+    "winnow_fingerprint": tq.q_winnow_fingerprint,
+    "frontier_shard_balance": wq.q_frontier_shard_balance,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -295,6 +300,9 @@ ORACLES: dict[str, str] = {
     "mirror_detect": wq.O_MIRROR_DETECT,
     "span_dedup": wq.O_SPAN_DEDUP,
     "dup_ngram_coverage": tq.O_DUP_NGRAM_COVERAGE,
+    "weighted_sample": tq.O_WEIGHTED_SAMPLE,
+    "winnow_fingerprint": tq.O_WINNOW_FINGERPRINT,
+    "frontier_shard_balance": wq.O_FRONTIER_SHARD_BALANCE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

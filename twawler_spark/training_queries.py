@@ -3978,3 +3978,209 @@ SELECT d.doc_id,
          <= {DUP_NGRAM_MAX_FRAC} AS keep
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+# ---------------------------------------------- weighted sampling (A-ES)
+
+WSAMPLE_K = 200  # fixed sample size — independent of corpus scale
+
+# 48-bit hash ceiling: exactly representable in a double, so the
+# uniform u = (h+1)/2^48 is bit-identical across engines (no rounding
+# in the int->double conversion, unlike a 60-bit hash)
+_WS_CEIL = 1 << 48
+
+
+def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis-Spirakis
+    exponential keys (A-ES, Inf.Proc.Lett. 2006): each document draws
+    key = ln(u)/w with u uniform in (0,1] and w = its token count; the
+    k largest keys ARE a weighted sample without replacement. This is
+    the one-pass distributed way to draw a token-mass-proportional
+    corpus subsample (long documents proportionally likelier), the
+    third sampling primitive next to corpus_sample (stratified EXACT
+    allocation, unweighted) and train_split (hash-mod binomial).
+
+    u derives from a portable 48-bit md5 prefix, so the draw is
+    deterministic and reproducible on any engine — a dataset-build
+    re-run selects the identical sample (same property corpus_sample
+    relies on; RNG-free by design, Date/random are nondeterministic
+    across retries at cluster scale).
+
+    100 TB shape: the key is a map-side column expression (no
+    shuffle); the global top-k is TakeOrdered — per-partition k-heaps
+    merged on the driver, k*P candidate rows total, never a global
+    sort. The rank window at the end runs over the k surviving rows
+    only. Reference analog: twAwler samples tracked users uniformly
+    (twkit/crawler/sample.py semantics); weighting by token mass is
+    the LLM-corpus generalization."""
+    d = _t(spark, sf, "documents")
+    w = F.size(F.split(F.col("text"), " ")).cast("double")
+    h48 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    u = (h48 + F.lit(1)).cast("double") / F.lit(float(_WS_CEIL))
+    key = F.log(u) / w
+    top = (
+        d.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            w.cast("bigint").alias("weight_tokens"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    return top.select(
+        "doc_id",
+        "weight_tokens",
+        F.row_number()
+        .over(W.orderBy(F.desc("es_key"), F.asc("doc_id")))
+        .alias("sample_rank"),
+    )
+
+
+O_WEIGHTED_SAMPLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         cast(len(string_split(text, ' ')) as bigint) AS weight_tokens,
+         ln((('0x' || substring(md5('ws:' || cast(doc_id as varchar)), 1, 12))::BIGINT
+              + 1) / {float(_WS_CEIL)})
+           / len(string_split(text, ' ')) AS es_key
+  FROM documents)
+SELECT doc_id, weight_tokens,
+       row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS sample_rank
+FROM keyed
+ORDER BY es_key DESC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
+# ------------------------------------------------- winnowing fingerprints
+
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # winnowing window (consecutive gram hashes per min)
+WINNOW_MAX_DUP_FRAC = 0.30
+
+
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every {WINNOW_K}-token
+    gram, slide a window of {WINNOW_W} consecutive gram hashes, keep
+    each window's MINIMUM; the distinct kept hashes are the document's
+    fingerprint set, with the winnowing guarantee that any shared run
+    of >= {WINNOW_K + WINNOW_W - 1} tokens between two documents
+    yields a shared fingerprint. The corpus-level duplicated-
+    fingerprint fraction is then the SAMPLED version of
+    q_dup_ngram_coverage's signal: the same repetition decision at
+    roughly 2/(w+1) of the exploded rows — the shuffle-volume knob a
+    100 TB pipeline actually turns.
+
+    100 TB shape: grams, hashes, window minima and the distinct-set
+    are ALL map-side array HOFs (zero shuffle until the fingerprint
+    explode); the exploded (doc, fp) rows take one hash exchange on fp
+    where a window count gives corpus document-frequency (never a
+    collected dup-set); the per-doc rollup is the second, smaller
+    exchange. The DuckDB oracle is the naive exploded SQL-window spec
+    (min OVER rows BETWEEN CURRENT AND {WINNOW_W - 1} FOLLOWING) — the
+    hash match proves the HOF plan computes exactly that spec."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(toks) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ghash = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+    )
+    base = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), ghash.alias("gh")
+    )
+    wins = F.when(
+        F.size(F.col("gh")) >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("gh")) - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(F.col("gh"), i, WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    fps = base.select(
+        "doc_id",
+        F.size("gh").cast("bigint").alias("n_grams"),
+        F.array_distinct(wins).alias("fps"),
+    )
+    # inner explode + join-back (not explode_outer): fingerprint-less
+    # docs would otherwise all land in ONE null window partition
+    e = fps.select("doc_id", F.explode("fps").alias("fp"))
+    flagged = e.withColumn(
+        "df_docs", F.count(F.lit(1)).over(W.partitionBy("fp"))
+    )
+    per = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.sum(F.when(F.col("df_docs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_fps"),
+    )
+    joined = fps.select("doc_id", "n_grams").join(per, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_fps", F.lit(0)).cast("bigint").alias("n_fps"),
+        F.coalesce("n_dup_fps", F.lit(0)).cast("bigint").alias("n_dup_fps"),
+        F.when(F.col("n_fps") > 0, F.col("n_dup_fps") / F.col("n_fps"))
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        (
+            F.when(F.col("n_fps") > 0, F.col("n_dup_fps") / F.col("n_fps"))
+            .otherwise(F.lit(0.0))
+            <= F.lit(WINNOW_MAX_DUP_FRAC)
+        ).alias("keep"),
+    )
+
+
+O_WINNOW_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents),
+ti AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - {WINNOW_K - 1}, 0) + 1)) AS i
+  FROM t),
+g AS (
+  SELECT doc_id, i,
+         ('0x' || substring(
+            md5(array_to_string(toks[i:i+{WINNOW_K - 1}], ' ')), 1, 12))::BIGINT
+           AS h,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM ti),
+wmin AS (
+  SELECT doc_id, n_grams, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS fp
+  FROM g),
+fps AS (
+  SELECT DISTINCT doc_id, n_grams, fp
+  FROM wmin WHERE i <= n_grams - {WINNOW_W - 1}),
+flagged AS (
+  SELECT *, count(*) OVER (PARTITION BY fp) AS df_docs FROM fps),
+per AS (
+  SELECT doc_id, n_grams,
+         cast(count(*) as bigint) AS n_fps,
+         cast(sum(CASE WHEN df_docs >= 2 THEN 1 ELSE 0 END) as bigint)
+           AS n_dup_fps
+  FROM flagged GROUP BY doc_id, n_grams)
+SELECT d.doc_id,
+       cast(coalesce(per.n_grams, greatest(len(string_split(lower(d.text), ' '))
+              - {WINNOW_K - 1}, 0)) as bigint) AS n_grams,
+       coalesce(per.n_fps, 0) AS n_fps,
+       coalesce(per.n_dup_fps, 0) AS n_dup_fps,
+       CASE WHEN coalesce(per.n_fps, 0) > 0
+            THEN per.n_dup_fps / per.n_fps ELSE 0.0 END AS dup_frac,
+       (CASE WHEN coalesce(per.n_fps, 0) > 0
+             THEN per.n_dup_fps / per.n_fps ELSE 0.0 END)
+         <= {WINNOW_MAX_DUP_FRAC} AS keep
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""

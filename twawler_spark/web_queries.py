@@ -736,3 +736,85 @@ SELECT doc_id, n_text_spans, n_dup_spans, n_canonical, n_drop,
        (n_dup_spans / n_text_spans) <= {DUP_SPAN_MAX_FRAC} AS keep
 FROM per
 """
+
+
+# --------------------------------------------- frontier shard balance
+
+N_SHARD_BUCKETS = 64
+
+
+def q_frontier_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Shard-balance audit of the production frontier layout: the
+    whole-frontier dedup tier stores frontier and seen hash-bucketed
+    on url_hash (BENCH.md's zero-exchange merge), and that layout's
+    premise is that pmod(url_hash, B) is uniform — a skewed bucket
+    turns the per-bucket merge into a straggler. This query measures
+    it: per-bucket URL count, distinct-host count, share of total, and
+    load factor vs the uniform expectation (the same index-health
+    shape as ivf_balance, over the frontier's buckets instead of IVF
+    cells).
+
+    100 TB shape: one map-side projection (hash + pmod are column
+    expressions) into a B-row aggregate — the audit costs one partial-
+    agg exchange regardless of frontier size; the load-factor window
+    runs over the B-row result only. Reference analog: twAwler's
+    per-crawler work-split sanity checks (twkit/crawler/crawl.py round
+    accounting), generalized to the bucketed storage layout."""
+    e = _t(spark, sf, "events")
+    uid = F.col("user_id")
+    frontier = e.select(uid).distinct().select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("u:"), uid.cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("url_hash"),
+        F.pmod(uid, F.lit(N_HOSTS)).cast("int").alias("host_id"),
+    )
+    per = (
+        frontier.withColumn(
+            "bucket", F.pmod(F.col("url_hash"), F.lit(N_SHARD_BUCKETS)).cast("int")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("host_id").cast("bigint").alias("n_hosts"),
+        )
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "bucket",
+        "n_urls",
+        "n_hosts",
+        F.round(100.0 * F.col("n_urls") / F.sum("n_urls").over(tot), 3).alias(
+            "share_pct"
+        ),
+        F.round(
+            F.col("n_urls")
+            * F.lit(float(N_SHARD_BUCKETS))
+            / F.sum("n_urls").over(tot),
+            4,
+        ).alias("load_factor"),
+    )
+
+
+O_FRONTIER_SHARD_BALANCE = f"""
+WITH f AS (
+  SELECT DISTINCT user_id FROM events),
+h AS (
+  SELECT ('0x' || substring(md5('u:' || cast(user_id as varchar)), 1, 15))::BIGINT
+           AS url_hash,
+         user_id % {N_HOSTS} AS host_id
+  FROM f),
+per AS (
+  SELECT cast(url_hash % {N_SHARD_BUCKETS} as int) AS bucket,
+         cast(count(*) as bigint) AS n_urls,
+         cast(count(DISTINCT host_id) as bigint) AS n_hosts
+  FROM h GROUP BY 1)
+SELECT bucket, n_urls, n_hosts,
+       round(100.0 * n_urls / sum(n_urls) OVER (), 3) AS share_pct,
+       round(n_urls * {float(N_SHARD_BUCKETS)} / sum(n_urls) OVER (), 4)
+         AS load_factor
+FROM per
+"""
