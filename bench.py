@@ -91,6 +91,7 @@ HEADLINE_QUERIES = (
     "weighted_sample",
     "winnow_fingerprint",
     "frontier_shard_balance",
+    "fetcher_assignment",
 )
 
 

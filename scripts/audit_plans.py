@@ -105,6 +105,7 @@ AUDIT = (
     "weighted_sample",
     "winnow_fingerprint",
     "frontier_shard_balance",
+    "fetcher_assignment",
 )
 
 

@@ -153,3 +153,57 @@ def test_frontier_shard_balance_third_implementation(spark):
         assert r["load_factor"] == round(
             len(hosts) * float(wq.N_SHARD_BUCKETS) / total, 4
         )
+
+
+def _hrw_py(host_id: int, n_slots: int) -> int:
+    return max(
+        range(n_slots), key=lambda s: (_md5_int(f"a:{host_id}:{s}", 12), s)
+    )
+
+
+def test_fetcher_assignment_third_implementation(spark):
+    uids = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    n = wq.HRW_SLOTS
+    want = {}
+    for scheme, a16, a17 in (
+        ("hrw", lambda u: _hrw_py(u, n), lambda u: _hrw_py(u, n + 1)),
+        ("mod", lambda u: u % n, lambda u: u % (n + 1)),
+    ):
+        pairs = [(a16(u), a17(u)) for u in uids]
+        loads: dict[int, int] = {}
+        for s16, _ in pairs:
+            loads[s16] = loads.get(s16, 0) + 1
+        moved = sum(1 for s16, s17 in pairs if s16 != s17)
+        want[scheme] = dict(
+            n_hosts=len(uids),
+            n_moved=moved,
+            moved_pct=round(100.0 * moved / len(uids), 2),
+            max_load16=max(loads.values()),
+            min_load16=min(loads.values()),
+        )
+    rows = {
+        r["scheme"]: r.asDict()
+        for r in wq.q_fetcher_assignment(spark, SF).collect()
+    }
+    assert set(rows) == {"hrw", "mod"}
+    for scheme, r in rows.items():
+        r.pop("scheme")
+        assert r == want[scheme], scheme
+
+
+@given(st.integers(min_value=0, max_value=2**62), st.integers(2, 40))
+@settings(max_examples=200, deadline=None)
+def test_hrw_resize_moves_only_into_new_slot(host_id, n):
+    """The rendezvous-hashing invariant the query's churn numbers rest
+    on: growing the fleet N -> N+1 either keeps a host where it was or
+    moves it INTO the new slot — never between old slots (so per-host
+    politeness state survives a fleet resize for every unmoved host)."""
+    before = _hrw_py(host_id, n)
+    after = _hrw_py(host_id, n + 1)
+    assert after == before or after == n

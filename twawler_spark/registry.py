@@ -108,6 +108,7 @@ QUERIES: dict[str, QueryFn] = {
     "weighted_sample": tq.q_weighted_sample,
     "winnow_fingerprint": tq.q_winnow_fingerprint,
     "frontier_shard_balance": wq.q_frontier_shard_balance,
+    "fetcher_assignment": wq.q_fetcher_assignment,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -303,6 +304,7 @@ ORACLES: dict[str, str] = {
     "weighted_sample": tq.O_WEIGHTED_SAMPLE,
     "winnow_fingerprint": tq.O_WINNOW_FINGERPRINT,
     "frontier_shard_balance": wq.O_FRONTIER_SHARD_BALANCE,
+    "fetcher_assignment": wq.O_FETCHER_ASSIGNMENT,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

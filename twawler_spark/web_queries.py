@@ -818,3 +818,131 @@ SELECT bucket, n_urls, n_hosts,
          AS load_factor
 FROM per
 """
+
+
+# ------------------------------------------- fetcher slot assignment
+
+HRW_SLOTS = 16  # fetcher fleet size N; churn is measured at N -> N+1
+
+
+def q_fetcher_assignment(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawler work assignment: how hosts shard across a fetcher fleet,
+    comparing naive mod-hashing with rendezvous/HRW hashing (highest
+    random weight, Thaler & Ravishankar '96 — the consistent-hashing
+    family used for cache/crawler sharding). For each scheme, slot
+    balance at N=16 slots and CHURN when the fleet grows to N+1:
+    HRW moves only ~1/(N+1) of hosts (each strictly INTO the new slot),
+    mod-hashing reshuffles ~N/(N+1) of them — the difference between a
+    politeness-state-preserving fleet resize and a full re-warm of
+    every per-host queue.
+
+    100 TB shape: the slot axis is a tiny literal dimension (N+1 rows)
+    broadcast against the host set — the cross join is |hosts| x (N+1)
+    map-side, the per-host argmax is one partial-agg exchange on host,
+    and the final rollup is 2 rows. No global sort, no driver loop.
+    Reference analog: twAwler splits tracked users across crawler
+    processes by id range (twkit/crawler/crawl.py multi-account
+    round-robin); HRW is the scale generalization that survives
+    elastic fleets."""
+    e = _t(spark, sf, "events")
+    hosts = e.select(F.col("user_id").alias("host_id")).distinct()
+    slots = spark.range(HRW_SLOTS + 1).select(F.col("id").cast("int").alias("slot"))
+    w = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("a:"),
+                    F.col("host_id").cast("string"),
+                    F.lit(":"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    weighted = hosts.crossJoin(F.broadcast(slots)).select(
+        "host_id", "slot", w.alias("w")
+    )
+    hrw = weighted.groupBy("host_id").agg(
+        F.max_by("slot", F.when(F.col("slot") < HRW_SLOTS, F.col("w"))).alias(
+            "s16"
+        ),
+        F.max_by("slot", "w").alias("s17"),
+    )
+    mod = hosts.select(
+        "host_id",
+        F.pmod(F.col("host_id"), F.lit(HRW_SLOTS)).cast("int").alias("s16"),
+        F.pmod(F.col("host_id"), F.lit(HRW_SLOTS + 1)).cast("int").alias("s17"),
+    )
+    both = hrw.select(F.lit("hrw").alias("scheme"), "host_id", "s16", "s17").unionByName(
+        mod.select(F.lit("mod").alias("scheme"), "host_id", "s16", "s17")
+    )
+    loads = (
+        both.groupBy("scheme", "s16")
+        .agg(F.count(F.lit(1)).alias("slot_n"))
+        .groupBy("scheme")
+        .agg(
+            F.max("slot_n").cast("bigint").alias("max_load16"),
+            F.min("slot_n").cast("bigint").alias("min_load16"),
+        )
+    )
+    churn = both.groupBy("scheme").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
+        F.sum(F.when(F.col("s16") != F.col("s17"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    return (
+        churn.join(loads, "scheme")
+        .select(
+            "scheme",
+            "n_hosts",
+            "n_moved",
+            F.round(100.0 * F.col("n_moved") / F.col("n_hosts"), 2).alias(
+                "moved_pct"
+            ),
+            "max_load16",
+            "min_load16",
+        )
+    )
+
+
+O_FETCHER_ASSIGNMENT = f"""
+WITH hosts AS (
+  SELECT DISTINCT user_id AS host_id FROM events),
+slots AS (SELECT unnest(range(0, {HRW_SLOTS + 1})) AS slot),
+weighted AS (
+  SELECT host_id, cast(slot as int) AS slot,
+         ('0x' || substring(md5('a:' || cast(host_id as varchar) || ':'
+            || cast(slot as varchar)), 1, 12))::BIGINT AS w
+  FROM hosts CROSS JOIN slots),
+hrw AS (
+  SELECT host_id,
+         arg_max(slot, CASE WHEN slot < {HRW_SLOTS} THEN w END) AS s16,
+         arg_max(slot, w) AS s17
+  FROM weighted GROUP BY host_id),
+modsch AS (
+  SELECT host_id, cast(host_id % {HRW_SLOTS} as int) AS s16,
+         cast(host_id % {HRW_SLOTS + 1} as int) AS s17
+  FROM hosts),
+uni AS (
+  SELECT 'hrw' AS scheme, * FROM hrw
+  UNION ALL SELECT 'mod' AS scheme, * FROM modsch),
+loads AS (
+  SELECT scheme, cast(max(slot_n) as bigint) AS max_load16,
+         cast(min(slot_n) as bigint) AS min_load16
+  FROM (SELECT scheme, s16, count(*) AS slot_n FROM uni GROUP BY 1, 2)
+  GROUP BY scheme),
+churn AS (
+  SELECT scheme, cast(count(*) as bigint) AS n_hosts,
+         cast(sum(CASE WHEN s16 != s17 THEN 1 ELSE 0 END) as bigint)
+           AS n_moved
+  FROM uni GROUP BY scheme)
+SELECT c.scheme, c.n_hosts, c.n_moved,
+       round(100.0 * c.n_moved / c.n_hosts, 2) AS moved_pct,
+       l.max_load16, l.min_load16
+FROM churn c JOIN loads l ON c.scheme = l.scheme
+"""
