@@ -762,25 +762,32 @@ def q_frontier_shard_balance(spark: SparkSession, sf: str) -> DataFrame:
     accounting), generalized to the bucketed storage layout."""
     e = _t(spark, sf, "events")
     uid = F.col("user_id")
-    frontier = e.select(uid).distinct().select(
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("u:"), uid.cast("string"))), 1, 15),
-            16,
-            10,
+    # bucket/host derive BEFORE the dedup, so one (bucket, host) exchange
+    # with map-side partial-distinct replaces distinct()+countDistinct's
+    # two full-size shuffles (a user maps to exactly one pair, so
+    # sum-of-pair-distincts == per-bucket distinct)
+    keyed = e.select(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u:"), uid.cast("string"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(N_SHARD_BUCKETS),
         )
-        .cast("long")
-        .alias("url_hash"),
+        .cast("int")
+        .alias("bucket"),
         F.pmod(uid, F.lit(N_HOSTS)).cast("int").alias("host_id"),
+        uid,
     )
-    per = (
-        frontier.withColumn(
-            "bucket", F.pmod(F.col("url_hash"), F.lit(N_SHARD_BUCKETS)).cast("int")
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
-            F.countDistinct("host_id").cast("bigint").alias("n_hosts"),
-        )
+    pairs = keyed.groupBy("bucket", "host_id").agg(
+        F.countDistinct("user_id").alias("n_part")
+    )
+    per = pairs.groupBy("bucket").agg(
+        F.sum("n_part").cast("bigint").alias("n_urls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hosts"),
     )
     tot = Window.partitionBy()
     return per.select(
