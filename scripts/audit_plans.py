@@ -309,6 +309,32 @@ def main():
         f.write("- `crawl_round_*`: the driver-facing crawl round (real\n")
         f.write("  build_two_phase_plan + Arrow fetch stage); python stages are the\n")
         f.write("  sanctioned fetch UDFs, everything before the fetch is JVM-side.\n")
+        f.write("- `span_dedup`: 8 of its 10 exchanges and the 1 python stage belong\n")
+        f.write("  to the underlying crawl_round_docs synthesis (the sanctioned fetch\n")
+        f.write("  Arrow surface); the dedup itself adds ONE hash exchange on span\n")
+        f.write("  content (occurrence count + canonical-owner rank are two windows\n")
+        f.write("  over the same partitioning) and the per-doc rollup.\n")
+        f.write("- `dup_ngram_coverage`: grams build map-side as an array HOF; ONE\n")
+        f.write("  exchange on gram (its window sort is the single Sort node), one\n")
+        f.write("  per-doc rollup exchange, and the zero-gram-doc join-back rides a\n")
+        f.write("  broadcast at audit scale (AQE picks SMJ when `per` outgrows it).\n")
+        f.write("- `mirror_detect`: the (host, fingerprint) DISTINCT exchange is\n")
+        f.write("  computed ONCE and reused by the df-cap agg and BOTH sides of the\n")
+        f.write("  posting self-join (the 6 reused exchanges); per-host set sizes\n")
+        f.write("  ride broadcasts onto the shared-count pairs — the documents\n")
+        f.write("  themselves never shuffle, only capped posting lists.\n")
+        f.write("- `fetcher_assignment`: the slot axis is a broadcast literal dim,\n")
+        f.write("  so host x slot weighting is map-side; the host-distinct exchange\n")
+        f.write("  is reused across the hrw/mod scheme branches (8 reused), and the\n")
+        f.write("  two rollups aggregate to scheme granularity (2 rows) before the\n")
+        f.write("  final join.\n")
+        f.write("- `weighted_sample`: ZERO exchanges — the A-ES key is a map-side\n")
+        f.write("  expression and the sample is a TakeOrderedAndProject (per-\n")
+        f.write("  partition top-k, k rows to the driver merge, no global sort).\n")
+        f.write("- `frontier_shard_balance`: bucket/host derive BEFORE the dedup, so\n")
+        f.write("  one (bucket, host) exchange with map-side partial-distinct\n")
+        f.write("  replaces distinct()+countDistinct's two full-width shuffles; the\n")
+        f.write("  totals window runs over the 64-row bucket dim.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")

@@ -103,8 +103,11 @@ QUERIES: dict[str, QueryFn] = {
     "mirror_detect": wq.q_mirror_detect,
     "span_dedup": wq.q_span_dedup,
     "dup_ngram_coverage": tq.q_dup_ngram_coverage,
-    # round-5g wave (outside the full r5 window — locally gated via
-    # scripts/check_oracles.py; first in line for a future window)
+    # round-5g wave (outside the full 50-slot r5 window, which holds
+    # the HUGEINT re-checks + 44 older never-checked queries; these
+    # four are gated by the same local replica of the driver's check —
+    # scripts/check_oracles.py, green on this tree — and by
+    # tests/test_r5g_queries.py third-implementation equivalences)
     "weighted_sample": tq.q_weighted_sample,
     "winnow_fingerprint": tq.q_winnow_fingerprint,
     "frontier_shard_balance": wq.q_frontier_shard_balance,
