@@ -106,6 +106,8 @@ AUDIT = (
     "winnow_fingerprint",
     "frontier_shard_balance",
     "fetcher_assignment",
+    "redirect_resolve",
+    "heavy_hitters",
 )
 
 
@@ -335,6 +337,17 @@ def main():
         f.write("  one (bucket, host) exchange with map-side partial-distinct\n")
         f.write("  replaces distinct()+countDistinct's two full-width shuffles; the\n")
         f.write("  totals window runs over the 64-row bucket dim.\n")
+        f.write("- `redirect_resolve`: the audited plan is the FINAL pointer-\n")
+        f.write("  doubling round (earlier rounds are their own checkpointed jobs,\n")
+        f.write("  like dedup_clusters): one state-self-join exchange per round,\n")
+        f.write("  log2(max_hops) rounds total, no per-hop walk anywhere. The\n")
+        f.write("  broadcasts/sorts belong to the TEST FIXTURE's synthesis (1-row\n")
+        f.write("  max-rank dim, row_number window) and to size-gated small sides\n")
+        f.write("  — at production scale the state join is a hash shuffle join.\n")
+        f.write("- `heavy_hitters`: the bucket-prefilter exchange carries <=64 rows\n")
+        f.write("  per map task after partial agg (never the distinct-URL set); the\n")
+        f.write("  heavy-bucket set and the 1-row total broadcast into pass 2, so\n")
+        f.write("  only URLs inside heavy buckets reach the exact-recount shuffle.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")

@@ -112,6 +112,10 @@ QUERIES: dict[str, QueryFn] = {
     "winnow_fingerprint": tq.q_winnow_fingerprint,
     "frontier_shard_balance": wq.q_frontier_shard_balance,
     "fetcher_assignment": wq.q_fetcher_assignment,
+    # round-5h wave (same out-of-window gating as 5g: check_oracles.py
+    # green + third-implementation unit tests in tests/test_r5h_queries.py)
+    "redirect_resolve": wq.q_redirect_resolve,
+    "heavy_hitters": wq.q_heavy_hitters,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -308,6 +312,8 @@ ORACLES: dict[str, str] = {
     "winnow_fingerprint": tq.O_WINNOW_FINGERPRINT,
     "frontier_shard_balance": wq.O_FRONTIER_SHARD_BALANCE,
     "fetcher_assignment": wq.O_FETCHER_ASSIGNMENT,
+    "redirect_resolve": wq.O_REDIRECT_RESOLVE,
+    "heavy_hitters": wq.O_HEAVY_HITTERS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

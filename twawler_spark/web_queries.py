@@ -953,3 +953,215 @@ SELECT c.scheme, c.n_hosts, c.n_moved,
        l.max_load16, l.min_load16
 FROM churn c JOIN loads l ON c.scheme = l.scheme
 """
+
+
+# ------------------------------------------------------ redirect resolve
+
+REDIRECT_MAX_HOPS = 64  # chains longer than this are fetch-rejects
+
+
+def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
+    """Redirect-chain resolution over a 301/302 successor map: every
+    URL resolves to its canonical terminal target with the EXACT hop
+    count, URLs on (or feeding into) redirect cycles — and chains past
+    ``REDIRECT_MAX_HOPS`` — come back as status 'loop' (both are
+    fetch-reject states; browsers cap at ~20 redirects for the same
+    reason). The engine path is operators/graph.resolve_chains —
+    POINTER DOUBLING, so a 10^10-row redirect map resolves in
+    ~log2(max_hops) hash-join rounds instead of a per-hop walk; the
+    oracle is the naive recursive-CTE walk of the same map.
+
+    Fixture (test-only synthesis; the operator consumes any (src, dst)
+    map): nodes are rank positions of the distinct event users; each
+    node flips an md5 coin (p=1/4 terminal) else redirects to the next
+    rank, giving geometric chains with mean length 4; three extra nodes
+    past the top rank form an injected 3-cycle so the loop path is
+    exercised. The global row_number is fixture-only — production maps
+    arrive keyed by url_hash.
+
+    Reference analog: twkit/curation/checkurls.py chases each
+    shortened/redirected link hop-by-hop per Mongo row; this is that
+    sweep as a set operation."""
+    from .operators.graph import resolve_chains
+
+    e = _t(spark, sf, "events")
+    w = Window.orderBy("user_id")
+    nodes = (
+        e.select("user_id")
+        .distinct()
+        .select(F.row_number().over(w).cast("long").alias("rid"))
+    )
+    mx = nodes.agg(F.max("rid").alias("m"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rd:"), F.col("rid").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 4
+        == 0
+    )
+    fin = nodes.crossJoin(F.broadcast(mx)).select(
+        "rid", (coin | (F.col("rid") == F.col("m"))).alias("is_final")
+    )
+    chain = fin.where(~F.col("is_final")).select(
+        F.col("rid").alias("src"), (F.col("rid") + 1).alias("dst")
+    )
+    loops = mx.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("m") + 1).alias("src"), (F.col("m") + 2).alias("dst")
+                ),
+                F.struct(
+                    (F.col("m") + 2).alias("src"), (F.col("m") + 3).alias("dst")
+                ),
+                F.struct(
+                    (F.col("m") + 3).alias("src"), (F.col("m") + 1).alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    edges = chain.unionByName(loops)
+    return resolve_chains(edges, REDIRECT_MAX_HOPS).select(
+        F.col("node").alias("url_id"),
+        F.col("final").alias("final_id"),
+        "hops",
+        "status",
+    )
+
+
+O_REDIRECT_RESOLVE = f"""
+WITH RECURSIVE
+u AS (SELECT DISTINCT user_id FROM events),
+nodes AS (SELECT cast(row_number() OVER (ORDER BY user_id) as bigint) AS rid FROM u),
+mx AS (SELECT max(rid) AS m FROM nodes),
+fin AS (
+  SELECT rid,
+         ((('0x' || substring(md5('rd:' || cast(rid as varchar)), 1, 15))::BIGINT
+            % 4 = 0)
+          OR rid = (SELECT m FROM mx)) AS is_final
+  FROM nodes),
+edges AS (
+  SELECT rid AS src, rid + 1 AS dst FROM fin WHERE NOT is_final
+  UNION ALL SELECT m + 1, m + 2 FROM mx
+  UNION ALL SELECT m + 2, m + 3 FROM mx
+  UNION ALL SELECT m + 3, m + 1 FROM mx),
+alln AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) t),
+terminals AS (
+  SELECT node FROM alln WHERE node NOT IN (SELECT src FROM edges)),
+walk(node, cur, hops) AS (
+  SELECT src, dst, 1::BIGINT FROM edges
+  UNION ALL
+  SELECT w.node, e.dst, w.hops + 1 FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < {REDIRECT_MAX_HOPS}),
+res AS (
+  SELECT w.node, w.cur AS final, w.hops FROM walk w
+  WHERE w.cur IN (SELECT node FROM terminals))
+SELECT node AS url_id, final AS final_id, hops, 'resolved' AS status FROM res
+UNION ALL
+SELECT node, node, 0::BIGINT, 'resolved' FROM terminals
+UNION ALL
+SELECT node, NULL::BIGINT, NULL::BIGINT, 'loop' FROM alln
+WHERE node NOT IN (SELECT node FROM res)
+  AND node NOT IN (SELECT node FROM terminals)
+"""
+
+
+# -------------------------------------------------------- heavy hitters
+
+HH_BUCKETS = 64    # prefilter hash buckets (literal; sized to memory)
+HH_THRESH = 50     # heavy <=> n_hits * HH_THRESH > total hits
+HH_ZIPF_N = 10000  # fixture skew parameter
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-URL detection over an unbounded key space: every URL whose
+    hit count exceeds total/{thresh} of the fetch log, found WITHOUT
+    shuffling the full distinct-URL key set. Two passes:
+
+      1. bucket prefilter — hash each URL into ``HH_BUCKETS`` literal
+         buckets and count buckets (after map-side combine the shuffle
+         carries <= HH_BUCKETS rows per map task, regardless of URL
+         cardinality); a bucket containing a heavy URL is itself heavy
+         (bucket count >= member count), so heavy buckets are a
+         provable SUPERSET of heavy URLs;
+      2. exact recount — re-scan with the tiny heavy-bucket set
+         broadcast, group only the surviving URLs, keep exact
+         count * THRESH > total.
+
+    False-positive buckets cost only recount work, never correctness —
+    which is why the DuckDB oracle is the NAIVE exact GROUP BY/HAVING:
+    the bucketed plan must equal it bit-for-bit. 100 TB shape: the
+    naive plan shuffles one row per distinct URL (10^12-cardinality);
+    this plan's first exchange is bounded by buckets x map tasks and
+    its second by URLs inside heavy buckets (expected non-heavy mass
+    per bucket = total/HH_BUCKETS). The same two-pass shape serves
+    hot-host politeness alarms and heavy n-gram mining. Reference
+    analog: twkit/analytics/freq.py's hot-key counting, re-keyed by
+    URL at web cardinality.
+
+    Fixture skew (test-only): page = floor(N / (1 + event_id % N)) —
+    the reciprocal transform of a uniform draw, giving a Zipf-like law
+    where page p takes ~N/(p(p+1)) hits; ~2*sqrt(N) distinct pages,
+    ~6 heavy ones at THRESH=50."""
+    e = _t(spark, sf, "events")
+    page = F.floor(
+        F.lit(float(HH_ZIPF_N)) / (F.pmod(F.col("event_id"), F.lit(HH_ZIPF_N)) + 1)
+    ).cast("long")
+    url = F.concat(
+        F.lit("https://h"),
+        F.pmod(page, F.lit(20)).cast("string"),
+        F.lit(".example.com/p/"),
+        page.cast("string"),
+    )
+    hits = e.select(url.alias("url"))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hh:"), F.col("url"))), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(HH_BUCKETS),
+    )
+    tot = hits.agg(F.count(F.lit(1)).alias("total"))
+    heavy_buckets = (
+        hits.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .crossJoin(tot)
+        .where(F.col("bc") * HH_THRESH > F.col("total"))
+        .select("bucket")
+    )
+    return (
+        hits.withColumn("bucket", bucket)
+        .join(F.broadcast(heavy_buckets), "bucket")
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("n_hits") * HH_THRESH > F.col("total"))
+        .select(
+            "url",
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(100.0 * F.col("n_hits") / F.col("total"), 4).alias(
+                "share_pct"
+            ),
+        )
+    )
+
+
+O_HEAVY_HITTERS = f"""
+WITH hits AS (
+  SELECT 'https://h'
+         || cast(cast(floor({HH_ZIPF_N}.0 / (1 + event_id % {HH_ZIPF_N}))
+                 as bigint) % 20 as varchar)
+         || '.example.com/p/'
+         || cast(cast(floor({HH_ZIPF_N}.0 / (1 + event_id % {HH_ZIPF_N}))
+                 as bigint) as varchar) AS url
+  FROM events),
+tot AS (SELECT count(*) AS total FROM hits)
+SELECT url, cast(count(*) as bigint) AS n_hits,
+       round(100.0 * count(*) / (SELECT total FROM tot), 4) AS share_pct
+FROM hits GROUP BY url
+HAVING count(*) * {HH_THRESH} > (SELECT total FROM tot)
+"""
