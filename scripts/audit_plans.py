@@ -108,6 +108,7 @@ AUDIT = (
     "fetcher_assignment",
     "redirect_resolve",
     "heavy_hitters",
+    "soft404_detect",
 )
 
 
@@ -348,6 +349,10 @@ def main():
         f.write("  per map task after partial agg (never the distinct-URL set); the\n")
         f.write("  heavy-bucket set and the 1-row total broadcast into pass 2, so\n")
         f.write("  only URLs inside heavy buckets reach the exact-recount shuffle.\n")
+        f.write("- `soft404_detect`: the body collapses to a 32-byte fingerprint\n")
+        f.write("  BEFORE the (host, fp) exchange, and the host-share window runs\n")
+        f.write("  over the aggregated group rows — the host dimension is never\n")
+        f.write("  broadcast and the documents are never reshuffled.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")

@@ -113,3 +113,49 @@ def test_heavy_hitters_third_implementation(spark):
     assert {u: r["n_hits"] for u, r in got.items()} == want
     for u, r in got.items():
         assert abs(r["share_pct"] - 100.0 * want[u] / total) < 5e-4
+
+
+def test_soft404_third_implementation(spark):
+    """Python recount of the per-host fingerprint shares; the planted
+    error templates must all be suspect, the benign welcome repeats
+    must all be below threshold."""
+    from twawler_spark.web_queries import (
+        SOFT404_BENIGN,
+        SOFT404_EVERY,
+        SOFT404_MIN_SHARE,
+        q_soft404_detect,
+    )
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    groups: dict[tuple[int, str], int] = {}
+    hostn: dict[int, int] = {}
+    for r in rows:
+        h = r["doc_id"] % 20
+        if r["doc_id"] % SOFT404_EVERY == 0:
+            body = f"error 404 not found h{h}"
+        elif r["doc_id"] % SOFT404_BENIGN == 1:
+            body = f"welcome to host h{h}"
+        else:
+            body = r["text"]
+        fp = hashlib.md5(body.strip().lower().encode()).hexdigest()
+        groups[(h, fp)] = groups.get((h, fp), 0) + 1
+        hostn[h] = hostn.get(h, 0) + 1
+    want = {
+        (h, fp): (n, hostn[h], n / hostn[h] >= SOFT404_MIN_SHARE)
+        for (h, fp), n in groups.items()
+        if n >= 2
+    }
+    got = {
+        (r["host"], r["fp"]): (r["n_docs"], r["host_docs"], r["soft404_suspect"])
+        for r in q_soft404_detect(spark, SF).collect()
+    }
+    assert got == want
+    verdicts = {v[2] for v in got.values()}
+    err_fps = {
+        (h, hashlib.md5(f"error 404 not found h{h}".encode()).hexdigest())
+        for h in hostn
+    }
+    assert all(got[k][2] for k in err_fps if k in got)  # planted errors flagged
+    assert verdicts == {True, False}  # both branches exercised

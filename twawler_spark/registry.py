@@ -116,6 +116,7 @@ QUERIES: dict[str, QueryFn] = {
     # green + third-implementation unit tests in tests/test_r5h_queries.py)
     "redirect_resolve": wq.q_redirect_resolve,
     "heavy_hitters": wq.q_heavy_hitters,
+    "soft404_detect": wq.q_soft404_detect,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -314,6 +315,7 @@ ORACLES: dict[str, str] = {
     "fetcher_assignment": wq.O_FETCHER_ASSIGNMENT,
     "redirect_resolve": wq.O_REDIRECT_RESOLVE,
     "heavy_hitters": wq.O_HEAVY_HITTERS,
+    "soft404_detect": wq.O_SOFT404_DETECT,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -1165,3 +1165,85 @@ SELECT url, cast(count(*) as bigint) AS n_hits,
 FROM hits GROUP BY url
 HAVING count(*) * {HH_THRESH} > (SELECT total FROM tot)
 """
+
+
+# ------------------------------------------------------- soft-404 pages
+
+SOFT404_EVERY = 7        # fixture: every 7th doc serves its host's error page
+SOFT404_BENIGN = 17      # every 17th-ish doc repeats a benign welcome page
+SOFT404_MIN_SHARE = 0.10  # a fingerprint covering >= 10% of a host is suspect
+
+
+def q_soft404_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Soft-404 / error-template detection: hosts that answer missing
+    pages with HTTP 200 and a templated body poison a crawl (every
+    dead link 'succeeds' and the corpus fills with error pages). The
+    batch signal (the set analog of Bar-Yossef et al., WWW'04 'Sic
+    transit gloria telae', which probes random URLs per host): within
+    each host, content-fingerprint groups whose share of the host's
+    fetched documents exceeds ``SOFT404_MIN_SHARE`` — no real host
+    serves the same byte-identical body for 10% of its distinct URLs
+    unless it is a template/error page. Distinct from mirror_detect
+    (cross-host content overlap) and boilerplate_strip (line-level
+    templates WITHIN otherwise-distinct pages): this flags whole-body
+    repeats on ONE host. Output: every repeated (host, fingerprint)
+    group with its share and the suspect verdict.
+
+    100 TB shape: ONE (host, fp) exchange with map-side combine (the
+    fingerprint collapses each body to 32 bytes before any shuffle),
+    then the host-share window runs over the already-aggregated group
+    rows — never the documents; no broadcast of the host dimension is
+    ever needed. Fixture: every ``SOFT404_EVERY``-th doc's body is
+    replaced by its host's error template (~14% share > threshold) and
+    every remaining ``SOFT404_BENIGN``-th doc by a benign repeated
+    welcome page (~6% share — a repeat group that must come back
+    suspect=false, so both verdict branches are exercised)."""
+    d = _t(spark, sf, "documents")
+    host = F.pmod(F.col("doc_id"), F.lit(20))
+    body = F.when(
+        F.pmod(F.col("doc_id"), F.lit(SOFT404_EVERY)) == 0,
+        F.concat(F.lit("error 404 not found h"), host.cast("string")),
+    ).when(
+        F.pmod(F.col("doc_id"), F.lit(SOFT404_BENIGN)) == 1,
+        F.concat(F.lit("welcome to host h"), host.cast("string")),
+    ).otherwise(F.col("text"))
+    g = (
+        d.select(host.alias("host"), F.md5(F.lower(F.trim(body))).alias("fp"))
+        .groupBy("host", "fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.partitionBy("host")
+    share = F.col("n_docs") / F.col("host_docs")
+    return (
+        g.withColumn("host_docs", F.sum("n_docs").over(w))
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "host",
+            "fp",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("host_docs").cast("long").alias("host_docs"),
+            F.round(100.0 * share, 4).alias("share_pct"),
+            (share >= SOFT404_MIN_SHARE).alias("soft404_suspect"),
+        )
+    )
+
+
+O_SOFT404_DETECT = f"""
+WITH d AS (
+  SELECT doc_id % 20 AS host,
+         md5(lower(trim(CASE WHEN doc_id % {SOFT404_EVERY} = 0
+              THEN 'error 404 not found h' || cast(doc_id % 20 as varchar)
+              WHEN doc_id % {SOFT404_BENIGN} = 1
+              THEN 'welcome to host h' || cast(doc_id % 20 as varchar)
+              ELSE text END))) AS fp
+  FROM documents),
+g AS (SELECT host, fp, cast(count(*) as bigint) AS n_docs FROM d GROUP BY 1, 2),
+shared AS (
+  SELECT host, fp, n_docs,
+         cast(sum(n_docs) OVER (PARTITION BY host) as bigint) AS host_docs
+  FROM g)
+SELECT host, fp, n_docs, host_docs,
+       round(100.0 * n_docs / host_docs, 4) AS share_pct,
+       n_docs * 1.0 / host_docs >= {SOFT404_MIN_SHARE} AS soft404_suspect
+FROM shared WHERE n_docs >= 2
+"""
