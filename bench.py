@@ -92,6 +92,10 @@ HEADLINE_QUERIES = (
     "winnow_fingerprint",
     "frontier_shard_balance",
     "fetcher_assignment",
+    # round-5h tier
+    "redirect_resolve",
+    "heavy_hitters",
+    "soft404_detect",
 )
 
 
