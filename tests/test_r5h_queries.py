@@ -159,3 +159,33 @@ def test_soft404_third_implementation(spark):
     }
     assert all(got[k][2] for k in err_fps if k in got)  # planted errors flagged
     assert verdicts == {True, False}  # both branches exercised
+
+
+def test_resolve_chains_randomized_forest(spark):
+    """30 seeded random functional graphs (disjoint id ranges, random
+    successor per node with random edge density — chains, trees into
+    cycles, long tangles) resolved in ONE Spark run must match the
+    python walker node-for-node, including exact hop counts."""
+    import random
+
+    rng = random.Random(20260819)
+    edges: dict[int, int] = {}
+    for g in range(30):
+        base = g * 1000
+        n = rng.randint(2, 40)
+        for i in range(n):
+            if rng.random() < 0.8:  # 20% terminals
+                edges[base + i] = base + rng.randrange(n)
+    max_hops = 16
+    df = spark.createDataFrame(
+        sorted((int(s), int(d)) for s, d in edges.items()),
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: (r["final"], r["hops"], r["status"])
+        for r in resolve_chains(df, max_hops).collect()
+    }
+    want = _resolve_py(edges, max_hops)
+    assert got == want
+    statuses = {s for _, _, s in got.values()}
+    assert statuses == {"resolved", "loop"}  # both outcomes present
