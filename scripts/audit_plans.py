@@ -109,6 +109,8 @@ AUDIT = (
     "redirect_resolve",
     "heavy_hitters",
     "soft404_detect",
+    "repopulate_batches",
+    "cattweet_lookup",
 )
 
 
@@ -353,6 +355,13 @@ def main():
         f.write("  BEFORE the (host, fp) exchange, and the host-share window runs\n")
         f.write("  over the aggregated group rows — the host dimension is never\n")
         f.write("  broadcast and the documents are never reshuffled.\n")
+        f.write("- `repopulate_batches`: ONE exchange (the per-shard window) packs\n")
+        f.write("  ids into API batches — shard count tracks the fetch fleet, so\n")
+        f.write("  window partitions stay bounded at any corpus size; there is no\n")
+        f.write("  global row_number and no driver-side id list.\n")
+        f.write("- `cattweet_lookup`: ZERO exchanges; the IN-list reaches the scan\n")
+        f.write("  as PushedFilters (asserted in tests/test_r5i_queries.py), so the\n")
+        f.write("  point lookup prunes row groups instead of scanning the store.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")

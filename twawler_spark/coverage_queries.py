@@ -3475,3 +3475,105 @@ SELECT word, day, n_docs, round(mean, 4) AS baseline_mean,
        round((n_docs - mean) / greatest(sd, 0.5), 4) AS z
 FROM z WHERE (n_docs - mean) / greatest(sd, 0.5) >= {BURST_Z}
 """
+
+
+# =====================================================================
+# Bulk-lookup repopulation batches (twkit/curation/repopulate.py)
+# =====================================================================
+
+# the reference packs 100 ids per statuses_lookup call
+# (repopulate.py:69-75, add100 :17-50); the fixture uses 25 so the
+# sf0.01 degraded set spans several batches per shard and the packing
+# boundary (a short final batch) is actually exercised
+REPOP_BATCH = 25
+REPOP_SHARDS = 4
+
+
+def q_repopulate_batches(spark, sf):
+    """repopulate.py:54-76 — find degraded store records (retweet
+    shells fetched without their entities: retweeted_status.id > 0,
+    user_mentions None, not marked deleted) and pack their ids into
+    bulk-lookup API batches (add100 :17-50, statuses_lookup takes at
+    most 100 ids per call). The reference walks one Mongo cursor and
+    flushes a driver-side list every 100 ids; here the batch plan is
+    computed distributed: degraded ids shard by id-mod (each shard is
+    one API worker's stream, the fetcher_assignment model), a
+    per-shard row_number packs consecutive ids into ceil(n/BATCH)
+    batches, and the output is the per-batch call plan (id span +
+    size) the fetch fleet would execute. Fixture: degraded = event_id
+    ≡ 1 (mod 3) [retweet shell] AND ≡ 0 (mod 7) [entities missing]
+    AND ≢ 0 (mod 17) [not deleted — the deleted_tweets_audit mark].
+
+    Scale shape: the only exchange is the per-shard window, and shard
+    cardinality tracks the fetch fleet size, so partitions stay
+    bounded (frontier/|fleet|) no matter the corpus size — there is
+    never a global row_number."""
+    e = _t(spark, sf, "events")
+    degraded = e.where(
+        (F.pmod(F.col("event_id"), F.lit(3)) == 1)
+        & (F.pmod(F.col("event_id"), F.lit(7)) == 0)
+        & (F.pmod(F.col("event_id"), F.lit(17)) != 0)
+    ).select("event_id")
+    w = W.partitionBy("shard").orderBy("event_id")
+    packed = (
+        degraded.withColumn(
+            "shard", F.pmod(F.col("event_id"), F.lit(REPOP_SHARDS))
+        )
+        .withColumn("seq", F.row_number().over(w))
+        .withColumn("batch_no", F.floor((F.col("seq") - 1) / REPOP_BATCH))
+    )
+    return packed.groupBy("shard", "batch_no").agg(
+        F.count("*").alias("n_ids"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
+O_REPOPULATE_BATCHES = f"""
+WITH degraded AS (
+  SELECT event_id FROM events
+  WHERE event_id % 3 = 1 AND event_id % 7 = 0 AND event_id % 17 != 0),
+packed AS (
+  SELECT event_id, event_id % {REPOP_SHARDS} AS shard,
+         row_number() OVER (
+           PARTITION BY event_id % {REPOP_SHARDS} ORDER BY event_id) AS seq
+  FROM degraded)
+SELECT shard, cast(floor((seq - 1) / {REPOP_BATCH}.0) AS bigint) AS batch_no,
+       count(*) AS n_ids, min(event_id) AS min_id, max(event_id) AS max_id
+FROM packed GROUP BY 1, 2
+"""
+
+
+# =====================================================================
+# Point lookup (twkit/curation/cattweet.py)
+# =====================================================================
+
+# the CLI takes literal tweet ids on argv (cattweet.py:26-31)
+CATTWEET_IDS = (42, 176, 303, 924)
+
+
+def q_cattweet_lookup(spark, sf):
+    """cattweet.py:29-31 — fetch full store documents for a literal id
+    list and print them. As a plan this is the point-lookup tier of
+    the store: an IN-list predicate that must reach the parquet scan
+    as a pushed filter (min/max row-group pruning — at 100 TB the scan
+    touches only the row groups whose [min,max] id range covers a
+    requested id, and with id-sorted/bucketed storage that is O(|ids|)
+    row groups), zero shuffles, the nested JSON props field surfaced
+    the way the CLI dumps the raw document."""
+    e = _t(spark, sf, "events")
+    return e.where(F.col("event_id").isin(*CATTWEET_IDS)).select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+O_CATTWEET_LOOKUP = f"""
+SELECT event_id, ts, user_id, event_type, value,
+       cast(json_extract_string(props, '$.k') AS bigint) AS k
+FROM events WHERE event_id IN {CATTWEET_IDS}
+"""

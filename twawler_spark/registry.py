@@ -117,6 +117,11 @@ QUERIES: dict[str, QueryFn] = {
     "redirect_resolve": wq.q_redirect_resolve,
     "heavy_hitters": wq.q_heavy_hitters,
     "soft404_detect": wq.q_soft404_detect,
+    # round-5i wave (same out-of-window gating as 5g/5h): the last two
+    # unmapped reference CLIs — bulk-lookup repopulation batching and
+    # the cattweet point lookup
+    "repopulate_batches": cq.q_repopulate_batches,
+    "cattweet_lookup": cq.q_cattweet_lookup,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -316,6 +321,8 @@ ORACLES: dict[str, str] = {
     "redirect_resolve": wq.O_REDIRECT_RESOLVE,
     "heavy_hitters": wq.O_HEAVY_HITTERS,
     "soft404_detect": wq.O_SOFT404_DETECT,
+    "repopulate_batches": cq.O_REPOPULATE_BATCHES,
+    "cattweet_lookup": cq.O_CATTWEET_LOOKUP,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
