@@ -96,6 +96,9 @@ HEADLINE_QUERIES = (
     "redirect_resolve",
     "heavy_hitters",
     "soft404_detect",
+    # round-5i tier
+    "repopulate_batches",
+    "cattweet_lookup",
 )
 
 
