@@ -242,3 +242,62 @@ def resolve_chains(edges: DataFrame, max_hops: int) -> DataFrame:
         F.lit("resolved").alias("status"),
     )
     return resolved.unionByName(looped).unionByName(term_rows)
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 32) -> DataFrame:
+    """(node, degree) — Seidman's k-core of an undirected graph: the
+    maximal subgraph in which every node keeps degree >= k, computed
+    by iterative peeling (drop all nodes of degree < k; dropping one
+    node can push a neighbour under the bar, so repeat to fixpoint).
+    The crawl use is host-graph core extraction: link-farm and
+    mutual-admiration clusters live in deep cores, while legitimate
+    long-tail hosts peel away in the first rounds (the reference's
+    follower-graph community tiers in SURVEY §2's graph family are
+    this shape over users instead of hosts).
+
+    ``edges``: one row per undirected edge (u, v), no self-loops,
+    deduplicated. Returns every surviving node with its in-core
+    degree.
+
+    100 TB shape: the edge table is symmetrized once, then every peel
+    round is ONE degree aggregation on the node key plus two
+    semi-joins that re-use the same key — no adjacency lists are ever
+    materialized per node, so hub skew streams through the hash
+    aggregate. The graph only shrinks, each round is eagerly
+    localCheckpoint'ed (flat lineage, AQE re-plans the semi-joins as
+    the survivor set collapses toward broadcast size), and the loop
+    exits on the first round that removes nothing (count equality is
+    the fixpoint test — the counts are needed for the metrics row
+    anyway). Rounds are bounded by ``max_rounds``; a cascade that is
+    still peeling then (adversarial path-graph inputs) returns the
+    partially-peeled superset, which callers treat as "core upper
+    bound" exactly like a hop-capped BFS treats unreached nodes.
+    """
+    sym = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    n_prev = sym.count()
+    for _ in range(max_rounds):
+        if n_prev == 0:
+            break
+        keep = (
+            sym.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("src")
+        )
+        sym_next = (
+            sym.join(keep, "src", "semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n = sym_next.count()
+        sym = sym_next
+        if n == n_prev:
+            break
+        n_prev = n
+    return sym.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

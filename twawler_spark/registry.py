@@ -122,6 +122,12 @@ QUERIES: dict[str, QueryFn] = {
     # the cattweet point lookup
     "repopulate_batches": cq.q_repopulate_batches,
     "cattweet_lookup": cq.q_cattweet_lookup,
+    # round-5j wave (same out-of-window gating as 5g-5i): k-core
+    # peeling over the host graph, adaptive per-host fetch timeouts,
+    # and the TLD/content-language crawl-quality audit
+    "kcore_hosts": wq.q_kcore_hosts,
+    "host_latency_quantiles": wq.q_host_latency_quantiles,
+    "tld_lang_mismatch": wq.q_tld_lang_mismatch,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -323,6 +329,9 @@ ORACLES: dict[str, str] = {
     "soft404_detect": wq.O_SOFT404_DETECT,
     "repopulate_batches": cq.O_REPOPULATE_BATCHES,
     "cattweet_lookup": cq.O_CATTWEET_LOOKUP,
+    "kcore_hosts": wq.O_KCORE_HOSTS,
+    "host_latency_quantiles": wq.O_HOST_LATENCY_QUANTILES,
+    "tld_lang_mismatch": wq.O_TLD_LANG_MISMATCH,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

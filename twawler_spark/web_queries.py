@@ -1247,3 +1247,273 @@ SELECT host, fp, n_docs, host_docs,
        n_docs * 1.0 / host_docs >= {SOFT404_MIN_SHARE} AS soft404_suspect
 FROM shared WHERE n_docs >= 2
 """
+
+
+# ------------------------------------------------ round-5j: k-core peeling
+
+KCORE_K = 4          # core threshold: survive with degree >= K
+KCORE_HUBS = 24      # planted circulant hub ring (the surviving core)
+KCORE_PERIPHERY = 192  # sparse random periphery (peels away in cascade)
+KCORE_ROUNDS = 12    # oracle unroll depth; fixture converges in <= 5
+
+
+def q_kcore_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph k-core extraction (Seidman 1983): the maximal
+    subgraph where every host keeps >= KCORE_K link partners after
+    everything sparser is iteratively peeled away. Crawl use: link
+    farms and mutual-promotion rings live in deep cores (their whole
+    point is reciprocal density), while legitimate long-tail hosts
+    fall out in the first peel rounds — the core membership list is a
+    spam-review queue and a budget-shaping input next to
+    host_graph_rank (rank says "important", core says "densely
+    self-referential"). Reference analog: the follower-graph community
+    tiers of SURVEY §2's graph family, re-keyed host-to-host.
+
+    Fixture: hub docs (doc_id % 3 = 0) emit a circulant ring over
+    KCORE_HUBS hub nodes (offset 1 + doc_id % 7 — degree far above
+    KCORE_K, survives), the rest emit md5-random periphery edges over
+    KCORE_PERIPHERY nodes (mean degree < KCORE_K at oracle scale —
+    peels to empty through a 4-5 round cascade, so the fixpoint loop
+    is genuinely exercised; at sf0.1 the periphery is dense enough to
+    survive, exercising the single-round converged path instead).
+
+    100 TB shape: see operators/graph.k_core — one degree aggregation
+    + two node-key semi-joins per round over a monotonically shrinking
+    checkpointed edge set; no per-node adjacency materialization. The
+    DuckDB oracle is the same peel unrolled KCORE_ROUNDS times as
+    chained CTEs (recursive CTEs allow only one self-reference, which
+    a degree test on both endpoints needs twice), proving the Spark
+    fixpoint equals the closed-form peel."""
+    from .operators.graph import k_core
+
+    d = _t(spark, sf, "documents")
+    is_hub = F.col("doc_id") % 3 == 0
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.when(
+        is_hub, F.lit(200) + F.expr("doc_id div 3") % KCORE_HUBS
+    ).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
+            F.lit(KCORE_PERIPHERY),
+        )
+    )
+    v = F.when(
+        is_hub,
+        F.lit(200) + (F.expr("doc_id div 3") + 1 + F.col("doc_id") % 7) % KCORE_HUBS,
+    ).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 17, 12), 16, 10).cast("long"),
+            F.lit(KCORE_PERIPHERY),
+        )
+    )
+    edges = (
+        d.select(u.cast("long").alias("a"), v.cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    return k_core(edges, KCORE_K, max_rounds=KCORE_ROUNDS)
+
+
+def _build_o_kcore() -> str:
+    hub_u = f"200 + ((doc_id // 3) % {KCORE_HUBS})"
+    hub_v = f"200 + ((doc_id // 3 + 1 + doc_id % 7) % {KCORE_HUBS})"
+    per = "('0x' || substring(md5(cast(doc_id as varchar)), {o}, 12))::BIGINT"
+    parts = [
+        f"""raw AS MATERIALIZED (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN {hub_u}
+         ELSE {per.format(o=1)} % {KCORE_PERIPHERY} END AS a,
+         CASE WHEN doc_id % 3 = 0 THEN {hub_v}
+         ELSE {per.format(o=17)} % {KCORE_PERIPHERY} END AS b
+  FROM documents),
+e AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b),
+s0 AS MATERIALIZED (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)"""
+    ]
+    for i in range(KCORE_ROUNDS):
+        parts.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT src, dst FROM s{i}
+  WHERE src IN (SELECT src FROM s{i} GROUP BY src HAVING count(*) >= {KCORE_K})
+    AND dst IN (SELECT src FROM s{i} GROUP BY src HAVING count(*) >= {KCORE_K}))"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT src AS node, cast(count(*) as bigint) AS degree"
+        f"\nFROM s{KCORE_ROUNDS} GROUP BY src"
+    )
+
+
+O_KCORE_HOSTS = _build_o_kcore()
+
+
+# -------------------------------- round-5j: adaptive per-host fetch timeouts
+
+LAT_HOSTS = 25          # fetcher-pool host shards
+LAT_TIMEOUT_CAP = 2000.0  # ms; politeness ceiling on the adaptive timeout
+LAT_TIMEOUT_FACTOR = 1.5  # timeout = factor * p99
+LAT_JITTER_MOD = 9973    # md5-derived sub-cent jitter: (h % MOD) / 1e7 ms
+
+
+def q_host_latency_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host fetch-latency percentiles -> adaptive timeout. A
+    production fetcher sets its per-host connect/read timeout from
+    observed latency, not a global constant: a slow-but-honest host
+    with p99=800ms needs a generous timeout, while a fast host with a
+    800ms straggler is showing server distress. The rule shipped here
+    is the standard one: timeout = min(CAP, FACTOR * p99), alongside
+    p50/p95/p99 and the sample count (the reference keeps per-endpoint
+    rate/latency state in its crawler loop; this is that state rebuilt
+    as a batch aggregate over the fetch log).
+
+    The fixture's raw latencies are 2-decimal-granular, so linearly
+    interpolated percentiles (and 1.5x products of them) land exactly
+    on round(.,4) half-boundaries, where Spark's HALF_UP, DuckDB's,
+    and Python's double rounding legitimately disagree in the last
+    digit. Fix at the source: a deterministic md5(event_id)-derived
+    sub-cent jitter ((h % LAT_JITTER_MOD) / 1e7 ms, identically
+    computable in all three engines) breaks the value grid so no
+    interpolated quantile sits on a boundary, and the timeout is
+    derived from the RAW p99 (not the pre-rounded column) so the
+    product never re-introduces a {0,5} fifth decimal.
+
+    100 TB shape: exact `percentile` is a buffering aggregate — safe
+    here BY CONSTRUCTION because the politeness budget bounds fetches
+    per host per round (the group size is capped by the same config
+    that caps the fetch plan), so per-group state is bounded and the
+    plan is one partial-aggregated exchange on the host key. For
+    unbounded groups (per-URL latency over a year) the drop-in is
+    approx_percentile's fixed-size sketch at some accuracy — the
+    pytest twin asserts the sketch lands within tolerance of exact on
+    this fixture, documenting that path."""
+    e = _t(spark, sf, "events")
+    jitter = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 12), 16, 10
+            ).cast("long"),
+            F.lit(LAT_JITTER_MOD),
+        )
+        / F.lit(1e7)
+    )
+    return (
+        e.select(
+            F.pmod(F.col("user_id"), F.lit(LAT_HOSTS)).alias("host"),
+            (F.col("value") + jitter).alias("lat"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.round(F.expr("percentile(lat, 0.5)"), 4).alias("p50_ms"),
+            F.round(F.expr("percentile(lat, 0.95)"), 4).alias("p95_ms"),
+            F.round(F.expr("percentile(lat, 0.99)"), 4).alias("p99_ms"),
+            F.round(
+                F.least(
+                    F.lit(LAT_TIMEOUT_CAP),
+                    F.lit(LAT_TIMEOUT_FACTOR) * F.expr("percentile(lat, 0.99)"),
+                ),
+                4,
+            ).alias("timeout_ms"),
+        )
+    )
+
+
+O_HOST_LATENCY_QUANTILES = f"""
+WITH j AS (
+  SELECT user_id % {LAT_HOSTS} AS host,
+         value + (('0x' || substring(md5(cast(event_id as varchar)), 1, 12))::BIGINT
+                  % {LAT_JITTER_MOD}) / 1e7 AS lat
+  FROM events)
+SELECT host,
+       cast(count(*) as bigint) AS n_samples,
+       round(quantile_cont(lat, 0.5), 4) AS p50_ms,
+       round(quantile_cont(lat, 0.95), 4) AS p95_ms,
+       round(quantile_cont(lat, 0.99), 4) AS p99_ms,
+       round(least({LAT_TIMEOUT_CAP},
+                   {LAT_TIMEOUT_FACTOR} * quantile_cont(lat, 0.99)), 4)
+         AS timeout_ms
+FROM j GROUP BY 1
+"""
+
+
+# ------------------------------ round-5j: TLD / content-language mismatch
+
+TLD_HOSTS = 40  # host shards; tld assigned round-robin gr/com/de
+TLD_MISROUTE_SHARE = 0.5  # flag hosts where most content contradicts the TLD
+
+
+def q_tld_lang_mismatch(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-quality audit: hosts whose detected content language
+    contradicts their TLD prior. A geo-targeted crawl (the reference
+    crawls the Greek twittersphere — its seed heuristics assume .gr
+    hosts carry Greek) needs to know when that prior fails: parked
+    domains, geo-routed CDNs, and spam squatting on country TLDs all
+    show up as hosts where most documents' detected language disagrees
+    with the TLD's expected language. Output: per host, doc count,
+    mismatch count/share, and the misroute verdict at
+    TLD_MISROUTE_SHARE. Sits in the audit family next to
+    soft404_detect (content-template poisoning) and is-greek ratios
+    (the per-user composition twin over the follower graph).
+
+    100 TB shape: map-only projection (host key + two CASE lookups
+    against literal TLD->lang maps) into one partial-aggregated
+    exchange on host; the language column is the upstream langid
+    output (text_langid), so no text is re-scanned here. Fixture: tld
+    = host % 3 round-robin over gr/com/de; document langs are 44% en,
+    so .com hosts straddle the 50% verdict line and both branches are
+    exercised."""
+    d = _t(spark, sf, "documents")
+    host_n = F.pmod(F.col("doc_id"), F.lit(TLD_HOSTS))
+    tld = (
+        F.when(host_n % 3 == 0, F.lit("gr"))
+        .when(host_n % 3 == 1, F.lit("com"))
+        .otherwise(F.lit("de"))
+    )
+    expected = (
+        F.when(tld == "gr", F.lit("el"))
+        .when(tld == "de", F.lit("de"))
+        .otherwise(F.lit("en"))
+    )
+    g = (
+        d.select(
+            F.concat(F.lit("h"), host_n.cast("string"), F.lit("."), tld).alias(
+                "host"
+            ),
+            (F.col("lang") != expected).alias("mismatch"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("mismatch").cast("long")).cast("long").alias("n_mismatch"),
+        )
+    )
+    share = F.col("n_mismatch") / F.col("n_docs")
+    return g.select(
+        "host",
+        "n_docs",
+        "n_mismatch",
+        F.round(100.0 * share, 4).alias("mismatch_pct"),
+        (share > TLD_MISROUTE_SHARE).alias("tld_misroute"),
+    )
+
+
+O_TLD_LANG_MISMATCH = f"""
+WITH d AS (
+  SELECT doc_id % {TLD_HOSTS} AS host_n,
+         CASE (doc_id % {TLD_HOSTS}) % 3 WHEN 0 THEN 'gr'
+              WHEN 1 THEN 'com' ELSE 'de' END AS tld,
+         lang
+  FROM documents),
+g AS (
+  SELECT 'h' || cast(host_n as varchar) || '.' || tld AS host,
+         cast(count(*) as bigint) AS n_docs,
+         cast(sum(CASE WHEN lang <> (CASE tld WHEN 'gr' THEN 'el'
+                  WHEN 'de' THEN 'de' ELSE 'en' END)
+                  THEN 1 ELSE 0 END) as bigint) AS n_mismatch
+  FROM d GROUP BY 1)
+SELECT host, n_docs, n_mismatch,
+       round(100.0 * n_mismatch / n_docs, 4) AS mismatch_pct,
+       n_mismatch * 1.0 / n_docs > {TLD_MISROUTE_SHARE} AS tld_misroute
+FROM g
+"""
