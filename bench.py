@@ -99,6 +99,14 @@ HEADLINE_QUERIES = (
     # round-5i tier
     "repopulate_batches",
     "cattweet_lookup",
+    # round-5j tier
+    "kcore_hosts",
+    "host_latency_quantiles",
+    "tld_lang_mismatch",
+    # round-5k tier
+    "span_patterns",
+    "politeness_audit",
+    "snapshot_diff",
 )
 
 

@@ -111,6 +111,12 @@ AUDIT = (
     "soft404_detect",
     "repopulate_batches",
     "cattweet_lookup",
+    "kcore_hosts",
+    "host_latency_quantiles",
+    "tld_lang_mismatch",
+    "span_patterns",
+    "politeness_audit",
+    "snapshot_diff",
 )
 
 
@@ -362,6 +368,27 @@ def main():
         f.write("- `cattweet_lookup`: ZERO exchanges; the IN-list reaches the scan\n")
         f.write("  as PushedFilters (asserted in tests/test_r5i_queries.py), so the\n")
         f.write("  point lookup prunes row groups instead of scanning the store.\n")
+        f.write("- `kcore_hosts`: the audited plan is the FINAL degree aggregate —\n")
+        f.write("  prior peel rounds are localCheckpoint'd out of the lineage (the\n")
+        f.write("  dedup_clusters/graph_bfs_ecc discipline); each live round is one\n")
+        f.write("  degree exchange on the node key plus two semi-joins reusing it,\n")
+        f.write("  over an edge set that only shrinks.\n")
+        f.write("- `host_latency_quantiles`: ONE exchange on host; all five output\n")
+        f.write("  stats (count + 3 quantiles + timeout) come out of the same\n")
+        f.write("  partial-aggregated pass, and the md5 jitter is map-side codegen.\n")
+        f.write("- `tld_lang_mismatch`: map-only CASE lookups into ONE exchange on\n")
+        f.write("  host; no text rescans — the language column is upstream langid\n")
+        f.write("  output.\n")
+        f.write("- `span_patterns`: the pattern string and switch count build as\n")
+        f.write("  array HOFs inside the fetch projection (no explode — one row per\n")
+        f.write("  doc, never one per span), then ONE exchange on the pattern key\n")
+        f.write("  whose cardinality is alphabet-bounded, not corpus-bounded.\n")
+        f.write("- `politeness_audit`: ONE exchange on host feeds both the lag\n")
+        f.write("  window and the rollup (window state is a single prior value;\n")
+        f.write("  per-host rows are bounded by the audited politeness budget).\n")
+        f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
+        f.write("  production bucketed layout the same diff is the zero-shuffle\n")
+        f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")
         f.write("- python stages are zero everywhere except queries whose semantics\n")
         f.write("  need Arrow (url canonicalization, bloom probe, multimodal)\n")
         f.write("  — none of the audited analytics queries cross into Python.\n")

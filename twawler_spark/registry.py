@@ -128,6 +128,12 @@ QUERIES: dict[str, QueryFn] = {
     "kcore_hosts": wq.q_kcore_hosts,
     "host_latency_quantiles": wq.q_host_latency_quantiles,
     "tld_lang_mismatch": wq.q_tld_lang_mismatch,
+    # round-5k wave: interleave-shape census over fetched docs,
+    # closed-loop politeness compliance audit, and the frontier
+    # snapshot delta (resume/lineage comparator)
+    "span_patterns": wq.q_span_patterns,
+    "politeness_audit": wq.q_politeness_audit,
+    "snapshot_diff": wq.q_snapshot_diff,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -332,6 +338,9 @@ ORACLES: dict[str, str] = {
     "kcore_hosts": wq.O_KCORE_HOSTS,
     "host_latency_quantiles": wq.O_HOST_LATENCY_QUANTILES,
     "tld_lang_mismatch": wq.O_TLD_LANG_MISMATCH,
+    "span_patterns": wq.O_SPAN_PATTERNS,
+    "politeness_audit": wq.O_POLITENESS_AUDIT,
+    "snapshot_diff": wq.O_SNAPSHOT_DIFF,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

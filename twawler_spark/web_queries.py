@@ -1517,3 +1517,263 @@ SELECT host, n_docs, n_mismatch,
        n_mismatch * 1.0 / n_docs > {TLD_MISROUTE_SHARE} AS tld_misroute
 FROM g
 """
+
+
+# ---------------------------------------------- round-5k: span-shape stats
+
+def q_span_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Interleave-shape census of one round's fetched documents: group
+    docs by their span-kind pattern (the string of 't'/'m' initials in
+    span order — 'ttmt' = text,text,media,text) with per-pattern span /
+    text / media counts and the number of kind SWITCHES (the
+    interleavedness a multimodal packer actually cares about: 'tttmm'
+    packs like two blocks, 'tmtmt' fragments every sequence). OBELICS
+    and MMC4 both report exactly this census when characterizing
+    interleaved corpora; downstream it drives packing-buffer sizing and
+    the text-only fast path (patterns with n_media = 0 skip image
+    plumbing entirely).
+
+    100 TB shape: everything per-doc is array HOFs over the spans
+    column inside the fetch projection (no explode — a doc contributes
+    ONE row carrying a <=MAX_SPANS-char string, not one row per span),
+    then a single partial-aggregated exchange on the pattern key whose
+    cardinality is bounded by the pattern alphabet (sum over n of 2^n,
+    n <= MAX_SPANS), not the corpus. Per-row span-sequence order is
+    exactly the north rule's (kind, order) invariant — this query IS
+    the census of that invariant.
+    Reference analog: per-tweet media-attachment shape stats
+    (twkit/crawler dumpall media entities), re-keyed by sequence shape.
+    """
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    kinds = F.transform(F.col("spans"), lambda s: F.substring(s["kind"], 1, 1))
+    n = F.size(kinds)
+    switches = F.when(
+        n > 1,
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.slice(kinds, 1, n - 1),
+                    F.slice(kinds, 2, n - 1),
+                    lambda a, b: a != b,
+                ),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    per_doc = docs.select(
+        F.concat_ws("", kinds).alias("pattern"),
+        n.alias("n_spans"),
+        switches.alias("n_switches"),
+    )
+    return (
+        per_doc.groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_spans").cast("long").alias("n_spans"),
+            F.min("n_switches").cast("long").alias("n_switches"),
+        )
+        .select(
+            "pattern",
+            "n_docs",
+            "n_spans",
+            (
+                F.length("pattern")
+                - F.length(F.regexp_replace("pattern", "t", ""))
+            ).cast("long").alias("n_text"),
+            (
+                F.length("pattern")
+                - F.length(F.regexp_replace("pattern", "m", ""))
+            ).cast("long").alias("n_media"),
+            "n_switches",
+        )
+    )
+
+
+def _build_o_span_patterns() -> str:
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dj AS (SELECT u, unnest(range(0, nd)) AS j FROM ok),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d FROM dj),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+pats AS (
+  SELECT list_aggregate(list_transform(range(0, nsp), k -> {kind('k')}),
+                        'string_agg', '') AS pattern,
+         nsp AS n_spans,
+         len(list_filter(range(1, nsp), k -> {kind('k')} <> {kind('(k - 1)')}))
+           ::BIGINT AS n_switches
+  FROM dd)
+SELECT pattern,
+       cast(count(*) as bigint) AS n_docs,
+       cast(min(n_spans) as bigint) AS n_spans,
+       cast(length(pattern) - length(replace(pattern, 't', '')) as bigint)
+         AS n_text,
+       cast(length(pattern) - length(replace(pattern, 'm', '')) as bigint)
+         AS n_media,
+       cast(min(n_switches) as bigint) AS n_switches
+FROM pats GROUP BY pattern
+"""
+
+
+O_SPAN_PATTERNS = _build_o_span_patterns()
+
+
+# --------------------------------------------- round-5k: politeness audit
+
+PA_HOSTS = 20                   # fetcher-pool host shards
+PA_MIN_GAP_US = 1_800_000_000   # politeness floor: 1800 s between hits
+
+
+def q_politeness_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Politeness compliance audit over the fetch log: for every host,
+    order its fetches by time and count consecutive gaps shorter than
+    the politeness floor. The scheduler PLANS rounds under a per-host
+    budget (crawl_budget_rank); this is the closed-loop check that the
+    EXECUTED log actually honored it — drift appears when retries,
+    redirects, or a second fleet member hit a host outside the plan.
+    Output per host: fetch count, gap count, violations, the worst
+    (minimum) observed gap, and the violation share.
+
+    100 TB shape: ONE exchange on host, then a per-host window sorted
+    by (ts, event_id) — per-partition window state is a single lag
+    value, and the per-host row count is bounded per round by the same
+    politeness budget being audited, so no group outgrows its
+    partition even on hot hosts. Timestamps compare as exact epoch
+    microseconds (unix_micros/epoch_us) — no float rounding anywhere.
+    Reference analog: the crawl-cycle rate gating of scripts/
+    crawl-tweets.sh (limits.py --wait between phases), audited after
+    the fact instead of enforced inline."""
+    e = _t(spark, sf, "events")
+    g = e.select(
+        F.pmod(F.col("user_id"), F.lit(PA_HOSTS)).alias("host"),
+        # parquet ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+        # the cast reinterprets naive == UTC, matching duckdb epoch_us
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy("host").orderBy("t_us", "event_id")
+    gaps = g.select(
+        "host", (F.col("t_us") - F.lag("t_us").over(w)).alias("gap_us")
+    )
+    return gaps.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        F.sum((F.col("gap_us") < PA_MIN_GAP_US).cast("long"))
+        .cast("long")
+        .alias("n_violations"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.round(
+            100.0
+            * F.sum((F.col("gap_us") < PA_MIN_GAP_US).cast("long"))
+            / F.count("gap_us"),
+            4,
+        ).alias("violation_pct"),
+    )
+
+
+O_POLITENESS_AUDIT = f"""
+WITH g AS (
+  SELECT user_id % {PA_HOSTS} AS host, epoch_us(ts) AS t_us, event_id
+  FROM events),
+gaps AS (
+  SELECT host,
+         t_us - lag(t_us) OVER (PARTITION BY host ORDER BY t_us, event_id)
+           AS gap_us
+  FROM g)
+SELECT host,
+       cast(count(*) as bigint) AS n_fetches,
+       cast(count(gap_us) as bigint) AS n_gaps,
+       cast(sum(CASE WHEN gap_us < {PA_MIN_GAP_US} THEN 1 ELSE 0 END) as bigint)
+         AS n_violations,
+       cast(min(gap_us) as bigint) AS min_gap_us,
+       round(100.0 * sum(CASE WHEN gap_us < {PA_MIN_GAP_US} THEN 1 ELSE 0 END)
+             / count(gap_us), 4) AS violation_pct
+FROM gaps GROUP BY host
+"""
+
+
+# --------------------------------------------- round-5k: snapshot diff
+
+SNAP_A_DROP = 5    # snapshot A omits keys where id % A_DROP = 0
+SNAP_B_DROP = 7    # snapshot B omits keys where id % B_DROP = 0
+SNAP_CHANGE = 11   # keys where id % CHANGE = 0 change state between snaps
+SNAP_STATES = 1000  # state-hash space
+
+
+def q_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Frontier snapshot delta audit: classify every URL key across
+    two checkpointed frontier snapshots as added / removed / changed /
+    same and roll the classes up with count + key checksum. The crawl
+    loop commits a frontier snapshot per round (resume reads the
+    latest); this diff is how an operator audits what a round — or a
+    restored checkpoint — actually did to the frontier, and the
+    checksum column is the cheap cross-cluster lineage comparator (two
+    clusters that claim the same round must agree on all four sums).
+
+    Fixture: both snapshots derive from the events keys — A omits
+    id % {SNAP_A_DROP} = 0 (later additions), B omits id % {SNAP_B_DROP} = 0
+    (purged rows), and id % {SNAP_CHANGE} = 0 rows flip their md5-derived
+    state hash between snapshots, so all four verdicts appear.
+
+    100 TB shape: ONE full-outer shuffle join on the url key at worst;
+    with snapshots written in the production layout (hash-bucketed +
+    sorted on url_hash, like frontier/seen), the diff is a zero-shuffle
+    per-bucket streaming merge — identical discipline to the
+    co-bucketed frontier dedup audited in PLANS.md. The rollup output
+    is 4 rows regardless of scale."""
+    e = _t(spark, sf, "events")
+    key = F.col("event_id")
+    state_a = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("s:"), key.cast("string"))), 1, 12), 16, 10).cast("long"),
+        F.lit(SNAP_STATES),
+    )
+    state_b = F.when(
+        key % SNAP_CHANGE == 0, F.pmod(state_a + 1, F.lit(SNAP_STATES))
+    ).otherwise(state_a)
+    snap_a = e.where(key % SNAP_A_DROP != 0).select(
+        key.alias("uk"), state_a.alias("st_a")
+    )
+    snap_b = e.where(key % SNAP_B_DROP != 0).select(
+        key.alias("uk"), state_b.alias("st_b")
+    )
+    j = snap_a.join(snap_b, "uk", "full_outer")
+    verdict = (
+        F.when(F.col("st_a").isNull(), F.lit("added"))
+        .when(F.col("st_b").isNull(), F.lit("removed"))
+        .when(F.col("st_a") != F.col("st_b"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.groupBy(verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.sum("uk").cast("long").alias("key_checksum"),
+    )
+
+
+O_SNAPSHOT_DIFF = f"""
+WITH sa AS (
+  SELECT event_id AS uk,
+         ('0x' || substring(md5('s:' || cast(event_id as varchar)), 1, 12))::BIGINT
+           % {SNAP_STATES} AS st_a
+  FROM events WHERE event_id % {SNAP_A_DROP} <> 0),
+sb AS (
+  SELECT event_id AS uk,
+         CASE WHEN event_id % {SNAP_CHANGE} = 0
+              THEN ((('0x' || substring(md5('s:' || cast(event_id as varchar)), 1, 12))::BIGINT
+                     % {SNAP_STATES}) + 1) % {SNAP_STATES}
+              ELSE ('0x' || substring(md5('s:' || cast(event_id as varchar)), 1, 12))::BIGINT
+                   % {SNAP_STATES} END AS st_b
+  FROM events WHERE event_id % {SNAP_B_DROP} <> 0)
+SELECT CASE WHEN st_a IS NULL THEN 'added'
+            WHEN st_b IS NULL THEN 'removed'
+            WHEN st_a <> st_b THEN 'changed'
+            ELSE 'same' END AS verdict,
+       cast(count(*) as bigint) AS n_urls,
+       cast(sum(coalesce(sa.uk, sb.uk)) as bigint) AS key_checksum
+FROM sa FULL OUTER JOIN sb USING (uk)
+GROUP BY 1
+"""
