@@ -16,6 +16,7 @@ from . import coverage_queries as cq
 from . import web_queries as wq
 from . import crawl_queries as crq
 from . import entry_queries as eq
+from . import sketch_queries as skq
 from . import training_queries as tq
 from .streaming import checkpoints as sc
 from .streaming import ingest as st
@@ -134,6 +135,12 @@ QUERIES: dict[str, QueryFn] = {
     "span_patterns": wq.q_span_patterns,
     "politeness_audit": wq.q_politeness_audit,
     "snapshot_diff": wq.q_snapshot_diff,
+    # round-5l wave (same out-of-window gating as 5g-5k): mergeable
+    # distributed sketches — per-host HyperLogLog distinct-URL
+    # cardinality and Count-Min frequency point queries, each next to
+    # its exact baseline
+    "hll_distinct": skq.q_hll_distinct,
+    "cms_freq": skq.q_cms_freq,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -341,6 +348,8 @@ ORACLES: dict[str, str] = {
     "span_patterns": wq.O_SPAN_PATTERNS,
     "politeness_audit": wq.O_POLITENESS_AUDIT,
     "snapshot_diff": wq.O_SNAPSHOT_DIFF,
+    "hll_distinct": skq.O_HLL_DISTINCT,
+    "cms_freq": skq.O_CMS_FREQ,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,
