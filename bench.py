@@ -107,6 +107,9 @@ HEADLINE_QUERIES = (
     "span_patterns",
     "politeness_audit",
     "snapshot_diff",
+    # round-5l tier
+    "hll_distinct",
+    "cms_freq",
 )
 
 

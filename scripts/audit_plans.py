@@ -117,6 +117,8 @@ AUDIT = (
     "span_patterns",
     "politeness_audit",
     "snapshot_diff",
+    "hll_distinct",
+    "cms_freq",
 )
 
 
@@ -386,6 +388,15 @@ def main():
         f.write("- `politeness_audit`: ONE exchange on host feeds both the lag\n")
         f.write("  window and the rollup (window state is a single prior value;\n")
         f.write("  per-host rows are bounded by the audited politeness budget).\n")
+        f.write("- `hll_distinct`: register build is ONE exchange on (host, j)\n")
+        f.write("  capped at m=64 rows per host per map task by partial max —\n")
+        f.write("  never one row per distinct URL; the exact countDistinct column\n")
+        f.write("  (verification baseline only) contributes the remaining\n")
+        f.write("  exchanges; the production tier keeps only the register side.\n")
+        f.write("- `cms_freq`: sketch build is ONE exchange bounded at d*w=256\n")
+        f.write("  rows per map task after partial sum, independent of URL\n")
+        f.write("  cardinality; the 12-key watchlist probe rides a broadcast. The\n")
+        f.write("  exact per-URL count exists as the verification baseline.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")
