@@ -110,6 +110,10 @@ HEADLINE_QUERIES = (
     # round-5l tier
     "hll_distinct",
     "cms_freq",
+    # round-5m tier
+    "hdr_quantiles",
+    "hll_merge_rounds",
+    "triangle_hosts",
 )
 
 

@@ -119,6 +119,9 @@ AUDIT = (
     "snapshot_diff",
     "hll_distinct",
     "cms_freq",
+    "hdr_quantiles",
+    "hll_merge_rounds",
+    "triangle_hosts",
 )
 
 
@@ -397,6 +400,21 @@ def main():
         f.write("  rows per map task after partial sum, independent of URL\n")
         f.write("  cardinality; the 12-key watchlist probe rides a broadcast. The\n")
         f.write("  exact per-URL count exists as the verification baseline.\n")
+        f.write("- `hdr_quantiles`: the sketch side is ONE exchange on (host,\n")
+        f.write("  bucket_lo) — at most 64*octaves rows per host per map task\n")
+        f.write("  after partial agg; the quantile probes ride a 3-row broadcast\n")
+        f.write("  q-dim. The exact rank column (verification baseline) carries\n")
+        f.write("  the remaining exchanges.\n")
+        f.write("- `hll_merge_rounds`: the (host, round, j) partial exchange is\n")
+        f.write("  capped at rounds*m rows per host; merge, one-pass, and the\n")
+        f.write("  full-outer register comparison all reduce over register keys —\n")
+        f.write("  nothing proportional to the URL stream crosses a second\n")
+        f.write("  exchange.\n")
+        f.write("- `triangle_hosts`: (degree, id) orientation bounds wedge\n")
+        f.write("  fan-out at O(sqrt(m)) out-degree per node; three node-key\n")
+        f.write("  shuffles total (degrees, apex wedge self-join, corner rollup)\n")
+        f.write("  and the wedge close is an equi-join on the canonical edge pair\n")
+        f.write("  — no adjacency lists, no OR-join.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

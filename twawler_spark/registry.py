@@ -141,6 +141,12 @@ QUERIES: dict[str, QueryFn] = {
     # its exact baseline
     "hll_distinct": skq.q_hll_distinct,
     "cms_freq": skq.q_cms_freq,
+    # round-5m wave (same out-of-window gating): the quantile leg of
+    # the sketch tier, the round-over-round register-merge proof, and
+    # degree-ordered host-graph triangle counting
+    "hdr_quantiles": skq.q_hdr_quantiles,
+    "hll_merge_rounds": skq.q_hll_merge_rounds,
+    "triangle_hosts": wq.q_triangle_hosts,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -350,6 +356,9 @@ ORACLES: dict[str, str] = {
     "snapshot_diff": wq.O_SNAPSHOT_DIFF,
     "hll_distinct": skq.O_HLL_DISTINCT,
     "cms_freq": skq.O_CMS_FREQ,
+    "hdr_quantiles": skq.O_HDR_QUANTILES,
+    "hll_merge_rounds": skq.O_HLL_MERGE_ROUNDS,
+    "triangle_hosts": wq.O_TRIANGLE_HOSTS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -54,6 +54,7 @@ from .entry_queries import _t
 
 HLL_M = 64          # registers; alpha_64 = 0.709 (Flajolet et al., fig. 3)
 HLL_ALPHA = 0.709
+HLL_ROUNDS = 4      # scheduling-round partitions for the merge demo
 HLL_PAGES = 3001    # fixture distinct-page modulus (prime-ish, co-prime to hosts)
 HLL_HOSTS = 8
 CMS_D = 4           # hash rows
@@ -71,6 +72,42 @@ def _md5_long(col, prefix: str):
 
 
 # --------------------------------------------------------- hll_distinct
+
+
+def _hll_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared HLL fixture: (host, url, round) hit stream — round is the
+    scheduling-round label used by the merge demonstration."""
+    e = _t(spark, sf, "events")
+    page = F.pmod(F.col("event_id"), F.lit(HLL_PAGES))
+    return e.select(
+        F.concat(F.lit("h"), F.pmod(page, F.lit(HLL_HOSTS)).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("https://p/"), page.cast("string")).alias("url"),
+        F.pmod(F.col("event_id"), F.lit(HLL_ROUNDS)).alias("round"),
+    )
+
+
+def _hll_ranked(df: DataFrame) -> DataFrame:
+    """Attach (j, rho): register index and leading-zero rank. h is a
+    60-bit non-negative long; h >> 6 is exact floor division (h / 64.0
+    would round through a 53-bit double mantissa)."""
+    h = _md5_long(F.col("url"), "hll:")
+    hw = F.shiftright(h, 6)
+    rho = F.when(hw == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(hw)))
+    return df.withColumn("j", F.pmod(h, F.lit(HLL_M))).withColumn("rho", rho)
+
+
+def _hll_estimate(s_present, n_present):
+    """Estimate from present-register aggregates: alpha*m^2 / sum(2^-M)
+    with empty registers contributing 2^0, linear counting m*ln(m/V)
+    below 2.5m while V > 0 empty registers remain."""
+    raw = (HLL_ALPHA * HLL_M * HLL_M) / (s_present + (HLL_M - n_present))
+    v_zero = F.lit(HLL_M) - n_present
+    return F.when(
+        (raw <= 2.5 * HLL_M) & (v_zero > 0),
+        HLL_M * F.log(HLL_M / v_zero.cast("double")),
+    ).otherwise(raw)
 
 
 def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
@@ -93,23 +130,9 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
     snapshots register-wise by max across rounds and clusters.
     Reference analog: twkit/analytics/freq.py's exact per-key distinct
     counters, re-expressed as the sketch a 10^10-URL frontier needs."""
-    e = _t(spark, sf, "events")
-    page = F.pmod(F.col("event_id"), F.lit(HLL_PAGES))
-    hits = e.select(
-        F.concat(F.lit("h"), F.pmod(page, F.lit(HLL_HOSTS)).cast("string")).alias(
-            "host"
-        ),
-        F.concat(F.lit("https://p/"), page.cast("string")).alias("url"),
-    )
-    h = _md5_long(F.col("url"), "hll:")
-    # h is a 60-bit non-negative long; h >> 6 is exact floor division
-    # (h / 64.0 would round through a 53-bit double mantissa)
-    hw = F.shiftright(h, 6)
-    rho = F.when(hw == 0, F.lit(55)).otherwise(F.lit(55) - F.length(F.bin(hw)))
+    hits = _hll_hits(spark, sf)
     regs = (
-        hits.select("host", "url")
-        .withColumn("j", F.pmod(h, F.lit(HLL_M)))
-        .withColumn("rho", rho)
+        _hll_ranked(hits.select("host", "url"))
         .groupBy("host", "j")
         .agg(F.max("rho").alias("m"))
     )
@@ -117,14 +140,7 @@ def q_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
         F.count(F.lit(1)).alias("n_present"),
     )
-    raw = (HLL_ALPHA * HLL_M * HLL_M) / (
-        F.col("s_present") + (HLL_M - F.col("n_present"))
-    )
-    v_zero = F.lit(HLL_M) - F.col("n_present")
-    est = F.when(
-        (raw <= 2.5 * HLL_M) & (v_zero > 0),
-        HLL_M * F.log(HLL_M / v_zero.cast("double")),
-    ).otherwise(raw)
+    est = _hll_estimate(F.col("s_present"), F.col("n_present"))
     exact = hits.groupBy("host").agg(F.countDistinct("url").alias("n_exact"))
     return (
         exact.join(per_host, "host")
@@ -306,3 +322,265 @@ FROM est e LEFT JOIN exact x ON e.url = x.url
 
 
 O_CMS_FREQ = _build_o_cms()
+
+
+# ---------------------------------------------------- hll_merge_rounds
+
+
+def q_hll_merge_rounds(spark: SparkSession, sf: str) -> DataFrame:
+    """The checkpoint-merge story, proven in one query: split the URL
+    hit stream into HLL_ROUNDS scheduling rounds, build each round's
+    per-host registers INDEPENDENTLY (what the production crawl loop
+    would checkpoint next to the frontier snapshot each round), merge
+    the per-round partials register-wise by max, and compare both the
+    merged estimate AND every merged register against the one-pass
+    sketch over the whole stream. regs_match is computed from a
+    full-outer register join, so any divergence — a dropped register,
+    a max/sum mix-up, a partial that saw rows from the wrong round —
+    flips the column, and both engines must agree it never flips.
+
+    100 TB shape: this is why the sketch tier exists. A 10^10-URL
+    crawl never recounts history: each round aggregates ONLY its own
+    fetch log into (host, j, max rho) partials (bounded at m=64 rows
+    per host), and the running cardinality is a merge of tiny
+    checkpointed register rows — the counting twin of
+    bloom_delta_update's incremental seen-filter maintenance. The
+    same merge works across clusters (registers from N and 4N
+    executor runs combine identically), which is what makes the
+    estimate resumable and lineage-friendly. Reference analog:
+    twkit/utils/counters' monotonically accumulated exact counters."""
+    ranked = _hll_ranked(_hll_hits(spark, sf))
+    partials = ranked.groupBy("host", "round", "j").agg(F.max("rho").alias("m"))
+    merged = partials.groupBy("host", "j").agg(F.max("m").alias("m"))
+    onepass = ranked.groupBy("host", "j").agg(F.max("rho").alias("m"))
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        ph = regs.groupBy("host").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        return ph.select(
+            "host",
+            F.round(
+                _hll_estimate(F.col("s_present"), F.col("n_present")), 3
+            ).alias(name),
+        )
+
+    mism = (
+        merged.withColumnRenamed("m", "m_a")
+        .join(onepass.withColumnRenamed("m", "m_b"), ["host", "j"], "full_outer")
+        .groupBy("host")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("m_a").isNull()
+                    | F.col("m_b").isNull()
+                    | (F.col("m_a") != F.col("m_b")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    n_rounds = partials.groupBy("host").agg(
+        F.countDistinct("round").alias("n_rounds")
+    )
+    return (
+        n_rounds.join(_est(merged, "est_merged"), "host")
+        .join(_est(onepass, "est_onepass"), "host")
+        .join(mism, "host")
+        .select(
+            "host",
+            "n_rounds",
+            "est_merged",
+            "est_onepass",
+            (F.col("n_mismatch") == 0).alias("regs_match"),
+        )
+    )
+
+
+O_HLL_MERGE_ROUNDS = f"""
+WITH hits AS (
+  SELECT 'h' || cast((event_id % {HLL_PAGES}) % {HLL_HOSTS} as varchar) AS host,
+         'https://p/' || cast(event_id % {HLL_PAGES} as varchar) AS url,
+         event_id % {HLL_ROUNDS} AS round
+  FROM events),
+ranked AS (
+  SELECT host, round, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN 55
+              ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+  FROM (SELECT host, round, url,
+               ('0x' || substring(md5('hll:' || url), 1, 15))::BIGINT AS h
+        FROM hits)),
+partials AS (
+  SELECT host, round, j, max(rho) AS m FROM ranked GROUP BY host, round, j),
+merged AS (
+  SELECT host, j, max(m) AS m FROM partials GROUP BY host, j),
+onepass AS (
+  SELECT host, j, max(rho) AS m FROM ranked GROUP BY host, j),
+est_m AS (
+  SELECT host,
+         round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+                         <= {2.5 * HLL_M}
+                     AND {HLL_M} - count(*) > 0
+                    THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - count(*) as double))
+                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+               END, 3) AS est_merged
+  FROM merged GROUP BY host),
+est_o AS (
+  SELECT host,
+         round(CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+                         <= {2.5 * HLL_M}
+                     AND {HLL_M} - count(*) > 0
+                    THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - count(*) as double))
+                    ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                         / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+               END, 3) AS est_onepass
+  FROM onepass GROUP BY host),
+mism AS (
+  SELECT coalesce(a.host, b.host) AS host,
+         cast(sum(CASE WHEN a.m IS NULL OR b.m IS NULL OR a.m <> b.m
+                       THEN 1 ELSE 0 END) as bigint) AS n_mismatch
+  FROM merged a FULL OUTER JOIN onepass b
+    ON a.host = b.host AND a.j = b.j
+  GROUP BY 1),
+nr AS (
+  SELECT host, cast(count(DISTINCT round) as bigint) AS n_rounds
+  FROM partials GROUP BY host)
+SELECT nr.host, nr.n_rounds, est_m.est_merged, est_o.est_onepass,
+       (mism.n_mismatch = 0) AS regs_match
+FROM nr JOIN est_m USING (host) JOIN est_o USING (host)
+        JOIN mism USING (host)
+"""
+
+
+# -------------------------------------------------------- hdr_quantiles
+
+HDR_HOSTS = 10       # fetcher-pool host shards
+HDR_SUB_BITS = 5     # sub-bucket precision: keep top (1+5) bits of v
+HDR_VALUE_MOD = 999983  # latency_us fixture modulus (~20 octaves)
+HDR_QS = (0.5, 0.9, 0.99)
+
+
+def q_hdr_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable log2/linear-bucket quantile sketch (the HdrHistogram
+    bucketing, Tene) for per-host fetch latency, next to the exact
+    rank-based quantile — the third leg of the sketch tier
+    (cardinality: hll_distinct; frequency: cms_freq; quantiles: this).
+    For an integer latency v >= 1, the bucket keeps the top
+    1+HDR_SUB_BITS significant bits: m = bit-length(v), shift =
+    max(m-6, 0), bucket_lo = v - (v % 2^shift). All-integer, so both
+    engines (and the python third implementation) place every value
+    in the same bucket bit-for-bit — no log() calls whose last-ulp
+    could flip a boundary. The quantile estimate is the smallest
+    bucket_lo whose cumulative count reaches ceil(q*n); the exact twin
+    applies the SAME rank rule to raw values (percentile_disc
+    semantics, no interpolation), so the guarantee is structural:
+    est <= exact < est * (1 + 2^-5), asserted per row by rel_err_pct
+    in [0, 3.125].
+
+    100 TB shape: the sketch is a groupBy(host, bucket_lo) count —
+    ONE exchange carrying at most 64*octaves (~2^11) rows per host
+    per map task after partial agg, regardless of fetch volume, vs
+    exact percentile's per-group value buffer. Buckets merge by SUM
+    across rounds and clusters (same checkpoint-merge story as
+    hll_merge_rounds), so the adaptive-timeout tier
+    (host_latency_quantiles' min(cap, 1.5*p99) rule) can run from
+    accumulated sketch rows without ever re-reading the fetch log."""
+    e = _t(spark, sf, "events")
+    v = (F.lit(1) + F.pmod(_md5_long(F.col("event_id").cast("string"), "hdr:"),
+                           F.lit(HDR_VALUE_MOD))).alias("v")
+    vals = e.select(
+        F.pmod(F.col("user_id"), F.lit(HDR_HOSTS)).alias("host"), v
+    )
+    m = F.length(F.bin(F.col("v")))
+    shift = F.greatest(m - F.lit(1 + HDR_SUB_BITS), F.lit(0))
+    w = F.pow(F.lit(2.0), shift.cast("double")).cast("long")  # exact: shift <= 14
+    bucketed = vals.withColumn("blo", F.col("v") - F.pmod(F.col("v"), w))
+
+    qs = spark.createDataFrame([(q,) for q in HDR_QS], "q double")
+    n = vals.groupBy("host").agg(F.count(F.lit(1)).alias("n"))
+    thr = n.crossJoin(F.broadcast(qs)).select(
+        "host", "q", "n", F.ceil(F.col("q") * F.col("n")).alias("thr")
+    )
+
+    def _rank_pick(df: DataFrame, key: str, out: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        grouped = df.groupBy("host", key).agg(F.count(F.lit(1)).alias("c"))
+        cum = grouped.withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.partitionBy("host")
+                .orderBy(key)
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        return (
+            cum.join(thr, "host")
+            .where(F.col("cum") >= F.col("thr"))
+            .groupBy("host", "q", "n")
+            .agg(F.min(key).alias(out))
+        )
+
+    est = _rank_pick(bucketed, "blo", "est_lo")
+    exact = _rank_pick(vals, "v", "exact_v")
+    return (
+        exact.join(est, ["host", "q", "n"])
+        .select(
+            "host",
+            "q",
+            "n",
+            "exact_v",
+            "est_lo",
+            F.round(
+                100.0 * (F.col("exact_v") - F.col("est_lo")) / F.col("exact_v"), 4
+            ).alias("rel_err_pct"),
+        )
+    )
+
+
+def _build_o_hdr() -> str:
+    qs = ", ".join(f"({q})" for q in HDR_QS)
+    return f"""
+WITH vals AS (
+  SELECT user_id % {HDR_HOSTS} AS host,
+         1 + ('0x' || substring(md5('hdr:' || cast(event_id as varchar)), 1, 15))
+             ::BIGINT % {HDR_VALUE_MOD} AS v
+  FROM events),
+bucketed AS (
+  SELECT host, v,
+         v - (v % cast(pow(2.0, greatest(length(bin(v)) - {1 + HDR_SUB_BITS}, 0))
+                       as bigint)) AS blo
+  FROM vals),
+n AS (SELECT host, count(*) AS n FROM vals GROUP BY host),
+qs AS (SELECT cast(q as double) AS q FROM (VALUES {qs}) t(q)),
+thr AS (SELECT host, q, n, cast(ceil(q * n) as bigint) AS thr
+        FROM n CROSS JOIN qs),
+est_cum AS (
+  SELECT host, blo, sum(count(*)) OVER
+           (PARTITION BY host ORDER BY blo
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM bucketed GROUP BY host, blo),
+est AS (
+  SELECT t.host, t.q, t.n, min(c.blo) AS est_lo
+  FROM thr t JOIN est_cum c ON c.host = t.host AND c.cum >= t.thr
+  GROUP BY t.host, t.q, t.n),
+ex_cum AS (
+  SELECT host, v, sum(count(*)) OVER
+           (PARTITION BY host ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vals GROUP BY host, v),
+exact AS (
+  SELECT t.host, t.q, t.n, min(c.v) AS exact_v
+  FROM thr t JOIN ex_cum c ON c.host = t.host AND c.cum >= t.thr
+  GROUP BY t.host, t.q, t.n)
+SELECT e.host, e.q, e.n, e.exact_v, s.est_lo,
+       round(100.0 * (e.exact_v - s.est_lo) / e.exact_v, 4) AS rel_err_pct
+FROM exact e JOIN est s ON e.host = s.host AND e.q = s.q AND e.n = s.n
+"""
+
+
+O_HDR_QUANTILES = _build_o_hdr()

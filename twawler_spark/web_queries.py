@@ -1777,3 +1777,100 @@ SELECT CASE WHEN st_a IS NULL THEN 'added'
 FROM sa FULL OUTER JOIN sb USING (uk)
 GROUP BY 1
 """
+
+
+# ----------------------------- round-5m: host-graph triangle counting
+
+TRI_HUBS = 8         # planted clique size (C(8,3) = 56 guaranteed triangles)
+TRI_HUB_BASE = 300   # clique node ids: 300..307 (disjoint from periphery)
+TRI_PERIPHERY = 150  # md5-random periphery nodes (sparse at oracle scale)
+
+
+def q_triangle_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host triangle participation over the host link graph —
+    degree-ordered node-iterator (operators/graph.triangle_counts).
+    Crawl use: triangle density separates organically interlinked
+    communities from star aggregators and link farms; together with
+    kcore_hosts it is the closure half of the host-quality panel
+    (cores = densely self-referential, triangles = mutually closed),
+    feeding the same budget-shaping inputs as host_graph_rank.
+    Reference analog: the follower-graph community tiers of SURVEY
+    §2's graph family, re-keyed host-to-host.
+
+    Fixture: hub docs (doc_id % 5 = 0, k = doc_id/5 in 0..99) wire a
+    COMPLETE clique over TRI_HUBS nodes (a = k % 8, b = (k/8) % 8
+    covers all 64 ordered pairs within k < 64), planting exactly
+    C(8,3) = 56 triangles every clique node touches 21 of; the other
+    docs emit md5-random periphery edges over TRI_PERIPHERY nodes —
+    sparse enough at oracle scale that some periphery nodes close
+    triangles and many don't, so both verdict branches appear.
+
+    100 TB shape: see triangle_counts — (degree, id) orientation
+    bounds hub wedge fan-out at O(sqrt(m)) out-degree, one apex per
+    triangle (no dedup pass), three node-key shuffles, no adjacency
+    lists. The DuckDB oracle is the canonical x<y<z closed-form
+    triple join; the hash match proves the oriented plan counts each
+    triangle exactly once."""
+    from .operators.graph import triangle_counts
+
+    d = _t(spark, sf, "documents")
+    is_hub = F.col("doc_id") % 5 == 0
+    k = F.expr("doc_id div 5")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.when(is_hub, F.lit(TRI_HUB_BASE) + k % TRI_HUBS).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
+            F.lit(TRI_PERIPHERY),
+        )
+    )
+    v = F.when(
+        is_hub, F.lit(TRI_HUB_BASE) + F.expr("doc_id div 40") % TRI_HUBS
+    ).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 17, 12), 16, 10).cast("long"),
+            F.lit(TRI_PERIPHERY),
+        )
+    )
+    edges = (
+        d.select(u.cast("long").alias("a"), v.cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+    return triangle_counts(edges)
+
+
+def _build_o_triangles() -> str:
+    hub_u = f"{TRI_HUB_BASE} + ((doc_id // 5) % {TRI_HUBS})"
+    hub_v = f"{TRI_HUB_BASE} + ((doc_id // 40) % {TRI_HUBS})"
+    per = "('0x' || substring(md5(cast(doc_id as varchar)), {o}, 12))::BIGINT"
+    return f"""
+WITH raw AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN {hub_u}
+         ELSE {per.format(o=1)} % {TRI_PERIPHERY} END AS a,
+         CASE WHEN doc_id % 5 = 0 THEN {hub_v}
+         ELSE {per.format(o=17)} % {TRI_PERIPHERY} END AS b
+  FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n)
+SELECT deg.n AS node, cast(deg.d as bigint) AS degree,
+       cast(coalesce(cnt.n_tri, 0) as bigint) AS n_tri
+FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+WHERE deg.d >= 2
+"""
+
+
+O_TRIANGLE_HOSTS = _build_o_triangles()
