@@ -147,6 +147,13 @@ QUERIES: dict[str, QueryFn] = {
     "hdr_quantiles": skq.q_hdr_quantiles,
     "hll_merge_rounds": skq.q_hll_merge_rounds,
     "triangle_hosts": wq.q_triangle_hosts,
+    # round-5n wave (same out-of-window gating): cross-crawl HLL set
+    # algebra (union merge + inclusion-exclusion intersection), online
+    # EWMA latency smoothing with an all-integer closed form, and the
+    # int8 embedding-quantization audit under the ANN storage tier
+    "hll_intersect": skq.q_hll_intersect,
+    "host_ewma_latency": wq.q_host_ewma_latency,
+    "embed_quantize": tq.q_embed_quantize,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -359,6 +366,9 @@ ORACLES: dict[str, str] = {
     "hdr_quantiles": skq.O_HDR_QUANTILES,
     "hll_merge_rounds": skq.O_HLL_MERGE_ROUNDS,
     "triangle_hosts": wq.O_TRIANGLE_HOSTS,
+    "hll_intersect": skq.O_HLL_INTERSECT,
+    "host_ewma_latency": wq.O_HOST_EWMA_LATENCY,
+    "embed_quantize": tq.O_EMBED_QUANTIZE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -584,3 +584,192 @@ FROM exact e JOIN est s ON e.host = s.host AND e.q = s.q AND e.n = s.n
 
 
 O_HDR_QUANTILES = _build_o_hdr()
+
+
+# -------------------------------------------------------- hll_intersect
+
+HLLX_HOSTS = 8       # host shards (page % HLLX_HOSTS), shared by both crawls
+HLLX_PAGES_A = 700   # crawl A page modulus
+HLLX_PAGES_B = 1000  # crawl B page modulus (overlapping URL space)
+
+
+def _hllx_hits(spark: SparkSession, sf: str, which: str) -> DataFrame:
+    """Two overlapping crawl-cluster URL streams carved from events:
+    crawl A = even event ids over a 700-page URL space, crawl B = odd
+    event ids over a 1000-page space. Both index the SAME url universe
+    ('https://p/N'), so A's set is (mostly) contained in B's at sf0.01
+    and partially at sf0.001 — a real intersection in both regimes."""
+    e = _t(spark, sf, "events")
+    mod = HLLX_PAGES_A if which == "a" else HLLX_PAGES_B
+    parity = 0 if which == "a" else 1
+    page = F.pmod(F.shiftright(F.col("event_id"), 1), F.lit(mod))
+    return e.where(F.pmod(F.col("event_id"), 2) == parity).select(
+        F.concat(
+            F.lit("h"), F.pmod(page, F.lit(HLLX_HOSTS)).cast("string")
+        ).alias("host"),
+        F.concat(F.lit("https://p/"), page.cast("string")).alias("url"),
+    )
+
+
+def q_hll_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-crawl set algebra on HLL registers: two crawl clusters
+    each checkpoint their own per-host register rows; the union
+    cardinality comes from the register-wise MAX merge (the same merge
+    hll_merge_rounds proves round-over-round), and the intersection
+    from inclusion-exclusion est(A) + est(B) - est(A|B) — the standard
+    HLL intersection estimator (Flajolet et al. 2007 §5 discussion).
+    Output per host: exact |A|, |B|, |A&B| next to the three sketch
+    estimates, with the intersection's absolute error. Exact columns
+    exist for verification; the production tier never holds either
+    crawl's URL set, only 64 registers per host per cluster.
+
+    100 TB shape: the question "how much of crawl B's frontier did
+    crawl A already cover?" is an intersection of two 10^10-URL sets —
+    exact answers need a co-partitioned join of both seen-sets (the
+    single most expensive query two crawl clusters can ask each
+    other). The sketch answer moves HLL_M=64 rows per host between
+    clusters, total bytes independent of URL cardinality, and the
+    merge is the same register MAX the checkpoint tier already ships.
+    Estimator caveat encoded in the output: inclusion-exclusion error
+    is additive in the union error, so est_inter can undershoot or
+    even go negative when |A&B| << |A|B|| — the err_abs column next to
+    the exact count is the honesty gauge, and the unit test asserts
+    the identity est_a + est_b - est_union == est_inter exactly.
+    Reference analog: twkit/utils/counters' per-crawl exact distinct
+    counters, which cannot answer cross-crawl overlap at all without
+    shipping the full key sets."""
+    a = _hllx_hits(spark, sf, "a")
+    b = _hllx_hits(spark, sf, "b")
+    regs_a = _hll_ranked(a).groupBy("host", "j").agg(F.max("rho").alias("m"))
+    regs_b = _hll_ranked(b).groupBy("host", "j").agg(F.max("rho").alias("m"))
+    regs_u = (
+        regs_a.unionByName(regs_b)
+        .groupBy("host", "j")
+        .agg(F.max("m").alias("m"))
+    )
+
+    def _est(regs: DataFrame, name: str) -> DataFrame:
+        ph = regs.groupBy("host").agg(
+            F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("s_present"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        return ph.select(
+            "host",
+            _hll_estimate(F.col("s_present"), F.col("n_present")).alias(name),
+        )
+
+    flags = (
+        a.select("host", "url", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            b.select(
+                "host", "url", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+            )
+        )
+        .groupBy("host", "url")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    exact = flags.groupBy("host").agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return (
+        exact.join(_est(regs_a, "est_a"), "host")
+        .join(_est(regs_b, "est_b"), "host")
+        .join(_est(regs_u, "est_u"), "host")
+        .select(
+            "host",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round("est_a", 3).alias("est_a"),
+            F.round("est_b", 3).alias("est_b"),
+            F.round("est_u", 3).alias("est_union"),
+            F.round(est_i, 3).alias("est_inter"),
+            F.round(F.abs(est_i - F.col("n_inter")), 3).alias("err_abs"),
+        )
+    )
+
+
+O_HLL_INTERSECT = f"""
+WITH a AS (
+  SELECT 'h' || cast(((event_id // 2) % {HLLX_PAGES_A}) % {HLLX_HOSTS} as varchar)
+             AS host,
+         'https://p/' || cast((event_id // 2) % {HLLX_PAGES_A} as varchar) AS url
+  FROM events WHERE event_id % 2 = 0),
+b AS (
+  SELECT 'h' || cast(((event_id // 2) % {HLLX_PAGES_B}) % {HLLX_HOSTS} as varchar)
+             AS host,
+         'https://p/' || cast((event_id // 2) % {HLLX_PAGES_B} as varchar) AS url
+  FROM events WHERE event_id % 2 = 1),
+rank_a AS (
+  SELECT host, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN 55
+              ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+  FROM (SELECT host,
+               ('0x' || substring(md5('hll:' || url), 1, 15))::BIGINT AS h
+        FROM a)),
+rank_b AS (
+  SELECT host, h % {HLL_M} AS j,
+         CASE WHEN h // {HLL_M} = 0 THEN 55
+              ELSE 55 - length(bin(h // {HLL_M})) END AS rho
+  FROM (SELECT host,
+               ('0x' || substring(md5('hll:' || url), 1, 15))::BIGINT AS h
+        FROM b)),
+regs_a AS (SELECT host, j, max(rho) AS m FROM rank_a GROUP BY host, j),
+regs_b AS (SELECT host, j, max(rho) AS m FROM rank_b GROUP BY host, j),
+regs_u AS (
+  SELECT host, j, max(m) AS m
+  FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+  GROUP BY host, j),
+est_a AS (
+  SELECT host,
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*))) <= {2.5 * HLL_M}
+               AND {HLL_M} - count(*) > 0
+              THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - count(*) as double))
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+         END AS est_a
+  FROM regs_a GROUP BY host),
+est_b AS (
+  SELECT host,
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*))) <= {2.5 * HLL_M}
+               AND {HLL_M} - count(*) > 0
+              THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - count(*) as double))
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+         END AS est_b
+  FROM regs_b GROUP BY host),
+est_u AS (
+  SELECT host,
+         CASE WHEN ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*))) <= {2.5 * HLL_M}
+               AND {HLL_M} - count(*) > 0
+              THEN {HLL_M} * ln({HLL_M} / cast({HLL_M} - count(*) as double))
+              ELSE ({HLL_ALPHA} * {HLL_M} * {HLL_M})
+                   / (sum(pow(2.0, -m)) + ({HLL_M} - count(*)))
+         END AS est_u
+  FROM regs_u GROUP BY host),
+flags AS (
+  SELECT host, url, max(in_a) AS in_a, max(in_b) AS in_b
+  FROM (SELECT host, url, 1 AS in_a, 0 AS in_b FROM a
+        UNION ALL
+        SELECT host, url, 0 AS in_a, 1 AS in_b FROM b)
+  GROUP BY host, url),
+exact AS (
+  SELECT host, cast(sum(in_a) as bigint) AS n_a,
+         cast(sum(in_b) as bigint) AS n_b,
+         cast(sum(in_a * in_b) as bigint) AS n_inter
+  FROM flags GROUP BY host)
+SELECT e.host, e.n_a, e.n_b, e.n_inter,
+       round(a.est_a, 3) AS est_a,
+       round(b.est_b, 3) AS est_b,
+       round(u.est_u, 3) AS est_union,
+       round(a.est_a + b.est_b - u.est_u, 3) AS est_inter,
+       round(abs(a.est_a + b.est_b - u.est_u - e.n_inter), 3) AS err_abs
+FROM exact e JOIN est_a a USING (host) JOIN est_b b USING (host)
+     JOIN est_u u USING (host)
+"""

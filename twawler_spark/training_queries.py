@@ -4184,3 +4184,123 @@ SELECT d.doc_id,
          <= {WINNOW_MAX_DUP_FRAC} AS keep
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """
+
+
+# ----------------------- round-5n: int8 embedding quantization audit
+
+QUANT_LEVELS = 127  # symmetric int8: q in [-127, 127]
+
+
+def q_embed_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization of the embedding column
+    (the memory tier under every large-scale ANN index: FAISS's SQ8,
+    ScaNN's int8 leaves): scale = max|v| / 127, q_i = round-half-up of
+    v_i / scale, so q_i always lands in [-127, 127] and the max-|v|
+    component maps to exactly +/-127. Output per vector: the scale,
+    integer audit sums over the codes (L1 mass, squared norm, max
+    |q_i| — all BIGINT-exact, so the driver hash pins every code), and
+    the cosine between the original vector and its dequantized form
+    (scale cancels: cos(v, scale*q) = cos(v, q)) — the quality gauge
+    an index build checks before committing to int8 storage.
+
+    Determinism by construction: everything per-row. round-half-up is
+    spelled floor(x + 0.5) IDENTICALLY in both engines (Spark round()
+    is HALF_UP but DuckDB's is not guaranteed on doubles; floor(+0.5)
+    sidesteps the difference), and the dot/norm sums are ORDERED array
+    folds (F.aggregate / list_reduce), never cross-row float
+    aggregation.
+
+    100 TB shape: map-only — zero exchanges; the plan is a parquet
+    scan into one projection. int8 codes cut the ANN corpus 4x (64
+    floats = 256 B -> 64 B + 4 B scale), which at 10^10 vectors is the
+    difference between an in-memory IVF probe tier and one that
+    spills; ann_ivf_topk / ann_pq_topk consume exactly this layout
+    (PQ is the 8x-further compression of the same residuals).
+    Reference analog: none (the reference stores no vectors) — this is
+    training-pipeline infrastructure the 100 TB target requires."""
+    from .operators.dedup import spread_for_explode
+
+    e = spread_for_explode(_t(spark, sf, "embeddings"), "vec_id").where(
+        F.col("vec_id") < 200
+    )
+    scale = F.array_max(F.transform(F.col("embedding"), F.abs)).cast(
+        "double"
+    ) / F.lit(float(QUANT_LEVELS))
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") / F.col("scale") + F.lit(0.5)),
+    )
+    with_q = (
+        e.where(F.array_max(F.transform(F.col("embedding"), F.abs)) > 0)
+        .withColumn("scale", scale)
+        .withColumn("q", q)
+    )
+    dot_vq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"), F.col("q"), lambda v, c: v.cast("double") * c
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.col("q"), F.lit(0.0), lambda acc, c: acc + c.cast("double") * c
+        )
+    )
+    return with_q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
+        ).alias("q_l1"),
+        F.aggregate(
+            F.col("q"), F.lit(0).cast("long"), lambda acc, c: acc + c * c
+        ).alias("q_sq"),
+        F.array_max(F.transform(F.col("q"), F.abs)).cast("long").alias("q_max"),
+        F.round(dot_vq / (nv * nq), 6).alias("cos_deq"),
+    )
+
+
+O_EMBED_QUANTIZE = f"""
+WITH base AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::double)))
+           / {QUANT_LEVELS}.0 AS scale
+  FROM embeddings
+  WHERE vec_id < 200
+    AND list_max(list_transform(embedding, x -> abs(x::double))) > 0),
+coded AS (
+  SELECT vec_id, embedding, scale,
+         list_transform(embedding,
+                        x -> cast(floor(x::double / scale + 0.5) as bigint)) AS q
+  FROM base)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       list_reduce(list_prepend(cast(0 as bigint),
+                                list_transform(q, c -> abs(c))),
+                   (a, b) -> a + b) AS q_l1,
+       list_reduce(list_prepend(cast(0 as bigint),
+                                list_transform(q, c -> c * c)),
+                   (a, b) -> a + b) AS q_sq,
+       list_max(list_transform(q, c -> abs(c))) AS q_max,
+       round(
+         list_reduce(list_prepend(0.0,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::double * q[i])),
+             (a, b) -> a + b)
+         / (sqrt(list_reduce(list_prepend(0.0,
+               list_transform(embedding, v -> v::double * v::double)),
+               (a, b) -> a + b))
+          * sqrt(list_reduce(list_prepend(0.0,
+               list_transform(q, c -> c::double * c::double)),
+               (a, b) -> a + b))),
+       6) AS cos_deq
+FROM coded
+"""

@@ -1874,3 +1874,136 @@ WHERE deg.d >= 2
 
 
 O_TRIANGLE_HOSTS = _build_o_triangles()
+
+
+# ---------------------- round-5n: EWMA-smoothed adaptive host latency
+
+EWMA_HOSTS = 12        # fetcher-pool host shards
+EWMA_ROUNDS = 6        # scheduling rounds in the fixture window
+EWMA_VALUE_MOD = 249989  # latency_us fixture modulus
+EWMA_TIMEOUT_CAP = 500000.0  # us; politeness ceiling
+EWMA_TIMEOUT_FACTOR = 3      # timeout = factor * smoothed p50
+
+
+def q_host_ewma_latency(spark: SparkSession, sf: str) -> DataFrame:
+    """Online exponential smoothing (alpha = 1/2) of the per-host
+    median fetch latency across scheduling rounds — the ONLINE twin of
+    host_latency_quantiles' batch percentiles: a production fetcher
+    updates its per-host timeout after every round from the round's
+    observed latency, damped against one bad round, instead of
+    re-scanning the whole fetch log. s_r = (x_r + s_{r-1}) / 2 with
+    s_0 = x_0, where x_r is round r's integer median latency (same
+    rank rule as hdr_quantiles' exact leg: smallest v whose cumulative
+    count reaches ceil(n/2)).
+
+    Exactness by construction: with alpha = 1/2 the recurrence has the
+    closed form s_r * 2^r = x_0 + sum_{k=1..r} 2^(k-1) * x_k — an
+    ALL-INTEGER numerator (the x_k are integer medians), so the only
+    float op is one final division and both engines (and the python
+    third implementation) agree bit-for-bit; no cross-row float
+    summation order can flip the hash. The timeout rule is
+    min(CAP, FACTOR * s_r), derived from the raw numerator.
+
+    100 TB shape: the only exchange proportional to the fetch log is
+    the per-(host, round) partial-aggregated median build; the
+    smoothing join runs over ROUNDS rows per host (a closed-form
+    weighted sum, not an iterative loop — no R-stage dependency
+    chain), and what the production tier checkpoints per round is ONE
+    (host, numerator, idx) row, updated by numerator' = numerator +
+    2^idx * x — the same tiny-mergeable-state story as the sketch
+    tier (hll_merge_rounds). Reference analog: the reference's
+    in-process per-endpoint rate/latency state (twkit/twitter crawler
+    loop), rebuilt as resumable batch state."""
+    e = _t(spark, sf, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ewma:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    vals = e.select(
+        F.pmod(F.col("user_id"), F.lit(EWMA_HOSTS)).alias("host"),
+        F.pmod(F.col("event_id"), F.lit(EWMA_ROUNDS)).alias("round"),
+        (F.lit(1) + F.pmod(h, F.lit(EWMA_VALUE_MOD))).alias("v"),
+    )
+    from pyspark.sql.window import Window
+
+    grouped = vals.groupBy("host", "round", "v").agg(F.count(F.lit(1)).alias("c"))
+    cum = grouped.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("host", "round")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("host", "round"))
+    )
+    p50 = (
+        cum.where(F.col("cum") >= F.ceil(F.col("n") / 2))
+        .groupBy("host", "round", "n")
+        .agg(F.min("v").alias("x"))
+    )
+    idx = (
+        F.row_number().over(Window.partitionBy("host").orderBy("round")) - 1
+    )
+    p = p50.withColumn("idx", idx)
+    k = p.select(
+        F.col("host").alias("k_host"),
+        F.col("idx").alias("k_idx"),
+        F.col("x").alias("k_x"),
+    )
+    w = F.when(F.col("k_idx") == 0, F.lit(1).cast("long")).otherwise(
+        F.pow(F.lit(2.0), F.col("k_idx") - 1).cast("long")
+    )
+    num = (
+        p.join(k, (p["host"] == k["k_host"]) & (k["k_idx"] <= p["idx"]))
+        .groupBy("host", "round", "idx", "n", "x")
+        .agg(F.sum(w * F.col("k_x")).alias("num"))
+    )
+    ewma = F.col("num") / F.pow(F.lit(2.0), F.col("idx"))
+    return num.select(
+        "host",
+        "round",
+        F.col("n").cast("long").alias("n"),
+        F.col("x").alias("p50_us"),
+        F.round(ewma, 4).alias("ewma_us"),
+        F.round(
+            F.least(F.lit(EWMA_TIMEOUT_CAP), F.lit(EWMA_TIMEOUT_FACTOR) * ewma), 4
+        ).alias("timeout_us"),
+    )
+
+
+O_HOST_EWMA_LATENCY = f"""
+WITH vals AS (
+  SELECT user_id % {EWMA_HOSTS} AS host,
+         event_id % {EWMA_ROUNDS} AS round,
+         1 + ('0x' || substring(md5('ewma:' || cast(event_id as varchar)), 1, 15))
+             ::BIGINT % {EWMA_VALUE_MOD} AS v
+  FROM events),
+cum AS (
+  SELECT host, round, v,
+         sum(count(*)) OVER (PARTITION BY host, round ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         sum(count(*)) OVER (PARTITION BY host, round) AS n
+  FROM vals GROUP BY host, round, v),
+p50 AS (
+  SELECT host, round, n, min(v) AS x
+  FROM cum WHERE cum >= ceil(n / 2.0)
+  GROUP BY host, round, n),
+p AS (
+  SELECT host, round, n, x,
+         row_number() OVER (PARTITION BY host ORDER BY round) - 1 AS idx
+  FROM p50),
+num AS (
+  SELECT r.host, r.round, r.idx, r.n, r.x,
+         sum(CASE WHEN k.idx = 0 THEN 1
+                  ELSE cast(pow(2.0, k.idx - 1) as bigint) END * k.x) AS num
+  FROM p r JOIN p k ON k.host = r.host AND k.idx <= r.idx
+  GROUP BY r.host, r.round, r.idx, r.n, r.x)
+SELECT host, round, cast(n as bigint) AS n, x AS p50_us,
+       round(num / pow(2.0, idx), 4) AS ewma_us,
+       round(least({EWMA_TIMEOUT_CAP},
+                   {EWMA_TIMEOUT_FACTOR} * num / pow(2.0, idx)), 4) AS timeout_us
+FROM num
+"""
