@@ -114,6 +114,10 @@ HEADLINE_QUERIES = (
     "hdr_quantiles",
     "hll_merge_rounds",
     "triangle_hosts",
+    # round-5n tier
+    "hll_intersect",
+    "host_ewma_latency",
+    "embed_quantize",
 )
 
 

@@ -122,6 +122,9 @@ AUDIT = (
     "hdr_quantiles",
     "hll_merge_rounds",
     "triangle_hosts",
+    "hll_intersect",
+    "host_ewma_latency",
+    "embed_quantize",
 )
 
 
@@ -415,6 +418,22 @@ def main():
         f.write("  shuffles total (degrees, apex wedge self-join, corner rollup)\n")
         f.write("  and the wedge close is an equi-join on the canonical edge pair\n")
         f.write("  — no adjacency lists, no OR-join.\n")
+        f.write("- `hll_intersect`: each crawl's register build is ONE exchange\n")
+        f.write("  on (host, j) capped at m=64 rows per host per map task; the\n")
+        f.write("  union merge and the three estimates reduce over register keys\n")
+        f.write("  only. The exact |A|,|B|,|A&B| columns (verification baseline)\n")
+        f.write("  carry the one URL-proportional exchange; the production tier\n")
+        f.write("  ships registers between clusters, never URL sets.\n")
+        f.write("- `host_ewma_latency`: the only fetch-log-proportional exchange\n")
+        f.write("  is the (host, round, v) partial-agg median build; the EWMA\n")
+        f.write("  closed form joins ROUNDS rows per host (weighted sum, not an\n")
+        f.write("  R-stage iterative chain), and the resumable state is one\n")
+        f.write("  (host, numerator, idx) row per host.\n")
+        f.write("- `embed_quantize`: map-only semantics — scale, codes and audit\n")
+        f.write("  sums are ordered per-row array folds; the ONE audited exchange\n")
+        f.write("  is the small-file spread (spread_for_explode), a no-op at\n")
+        f.write("  warehouse scale where split count exceeds core count, so the\n")
+        f.write("  100 TB plan is zero-exchange into the ann_ivf/pq storage tier.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -4210,7 +4210,10 @@ def q_embed_quantize(spark, sf):
     folds (F.aggregate / list_reduce), never cross-row float
     aggregation.
 
-    100 TB shape: map-only — zero exchanges; the plan is a parquet
+    100 TB shape: map-only semantics — the only exchange the audited
+    small-SF plan shows is the adaptive small-file spread
+    (spread_for_explode), a no-op at warehouse scale where the split
+    count exceeds the core count, so the production plan is a parquet
     scan into one projection. int8 codes cut the ANN corpus 4x (64
     floats = 256 B -> 64 B + 4 B scale), which at 10^10 vectors is the
     difference between an in-memory IVF probe tier and one that
