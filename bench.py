@@ -118,6 +118,10 @@ HEADLINE_QUERIES = (
     "hll_intersect",
     "host_ewma_latency",
     "embed_quantize",
+    # round-5o tier
+    "kmeans_lloyd",
+    "ucb_host_schedule",
+    "lsh_s_curve",
 )
 
 

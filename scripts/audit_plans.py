@@ -125,6 +125,9 @@ AUDIT = (
     "hll_intersect",
     "host_ewma_latency",
     "embed_quantize",
+    "kmeans_lloyd",
+    "ucb_host_schedule",
+    "lsh_s_curve",
 )
 
 
@@ -434,6 +437,23 @@ def main():
         f.write("  is the small-file spread (spread_for_explode), a no-op at\n")
         f.write("  warehouse scale where split count exceeds core count, so the\n")
         f.write("  100 TB plan is zero-exchange into the ann_ivf/pq storage tier.\n")
+        f.write("- `kmeans_lloyd`: each Lloyd round broadcasts K (sum, n) integer\n")
+        f.write("  centroid rows onto a map-side argmin (no corpus shuffle) and\n")
+        f.write("  re-centers with ONE groupBy(cid) whose 64 per-dim BIGINT sums\n")
+        f.write("  partial-aggregate map-side; lineage stays flat via a lazy\n")
+        f.write("  localCheckpoint on the K-row centroid frame only. The corpus\n")
+        f.write("  is scanned KM_T+1 times and nothing wider than K rows ever\n")
+        f.write("  sits on the driver.\n")
+        f.write("- `ucb_host_schedule`: one partial-aggregated groupBy(host) over\n")
+        f.write("  the fetch log, a 1-row broadcast of the total-pull count, then\n")
+        f.write("  map-side integer scoring; the global rank runs over |hosts|\n")
+        f.write("  rows (bounded cardinality, same as every scheduler tail here).\n")
+        f.write("  The mergeable state is one (host, pulls, wins) row per host.\n")
+        f.write("- `lsh_s_curve`: the all-pairs join is BY DESIGN restricted to a\n")
+        f.write("  constant 360-doc calibration sample (64620 pairs at every sf)\n")
+        f.write("  — calibration validates the banding the corpus then relies on;\n")
+        f.write("  the corpus-scale discovery tier remains dedup_minhash_lsh's\n")
+        f.write("  single bucketed shuffle.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -154,6 +154,13 @@ QUERIES: dict[str, QueryFn] = {
     "hll_intersect": skq.q_hll_intersect,
     "host_ewma_latency": wq.q_host_ewma_latency,
     "embed_quantize": tq.q_embed_quantize,
+    # round-5o wave (same out-of-window gating): all-integer Lloyd
+    # k-means over the embedding corpus (the IVF index-build ancestor),
+    # fixed-point UCB1 explore/exploit host scheduling, and the LSH
+    # s-curve calibration study for the registered minhash config
+    "kmeans_lloyd": tq.q_kmeans_lloyd,
+    "ucb_host_schedule": wq.q_ucb_host_schedule,
+    "lsh_s_curve": tq.q_lsh_s_curve,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -369,6 +376,9 @@ ORACLES: dict[str, str] = {
     "hll_intersect": skq.O_HLL_INTERSECT,
     "host_ewma_latency": wq.O_HOST_EWMA_LATENCY,
     "embed_quantize": tq.O_EMBED_QUANTIZE,
+    "kmeans_lloyd": tq.O_KMEANS_LLOYD,
+    "ucb_host_schedule": wq.O_UCB_HOST_SCHEDULE,
+    "lsh_s_curve": tq.O_LSH_S_CURVE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

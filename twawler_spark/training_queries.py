@@ -4307,3 +4307,343 @@ SELECT vec_id,
        6) AS cos_deq
 FROM coded
 """
+
+
+# ------------------------------------------------- k-means (Lloyd, 5o)
+
+KM_K = 10          # clusters (matches the fixture's planted label count)
+KM_T = 3           # Lloyd assignment rounds
+KM_QSCALE = 64     # global quantization scale: q_i = floor(v_i*64 + 0.5)
+KM_DIMS = 64       # embedding dimensionality (fixture contract)
+
+
+def _km_cost_cols(q_col, s_col, n_col):
+    """Exact-integer Lloyd cost, scaled by n^2 so no float enters the
+    comparison path until ONE final division: A = n^2*(x.x) - 2n*(x.S)
+    + (S.S) = n^2 * ||x - S/n||^2, all BIGINT-exact, then
+    cost = A / n^2 as a single IEEE-exact division of two integers
+    below 2^53 (identical in Spark, DuckDB, and python)."""
+    zero = F.lit(0).cast("long")
+    xx = F.aggregate(q_col, zero, lambda acc, x: acc + x * x)
+    xs = F.aggregate(
+        F.zip_with(q_col, s_col, lambda a, b: a * b), zero, lambda acc, x: acc + x
+    )
+    ss = F.aggregate(s_col, zero, lambda acc, x: acc + x * x)
+    a = n_col * n_col * xx - F.lit(2).cast("long") * n_col * xs + ss
+    return a, a.cast("double") / (n_col * n_col).cast("double")
+
+
+def q_kmeans_lloyd(spark, sf):
+    """Lloyd's k-means over the embedding corpus with an ALL-INTEGER
+    carry: vectors are globally quantized (q_i = floor(v_i*64 + 0.5),
+    BIGINT), centroids are carried as (sum-vector S, count n) integer
+    pairs — never divided — and the assignment argmin compares
+    A_j/n_j^2 where A_j = n_j^2(x.x) - 2n_j(x.S_j) + S_j.S_j is
+    BIGINT-exact (A_j = n_j^2 * ||x - S_j/n_j||^2). The only float op
+    per comparison is one division of two exact integers < 2^53 —
+    IEEE-exact and identical across Spark, DuckDB, and python, so no
+    summation order or libm call can flip an assignment. Init is
+    deterministic: the KM_K lowest vec_ids seed the centroids (n=1).
+    Ties break to the lowest centroid id; emptied clusters simply
+    vanish from the next round (both engines recompute the centroid
+    set from the assignment). Output after KM_T rounds: per-cluster
+    member count, member-id sum, a position-weighted centroid
+    checksum sum_d (d+1)*S_d pinning every coordinate of the final
+    sum-vector under the driver hash, and the exact scaled inertia
+    numerator sum_members A (inertia = num/n^2, also emitted rounded).
+
+    100 TB shape: each round is one broadcast of K (sum, n) rows onto
+    a map-side cost evaluation (no shuffle on the corpus) + one
+    groupBy(cid) with map-side partial aggregation of the 64 per-dim
+    integer sums — the textbook Spark k-means layout (same skeleton as
+    MLlib's, minus RNG); rounds are driver-iterated with a lazy
+    localCheckpoint on the K-row centroid frame only, so lineage stays
+    flat and the corpus is scanned exactly KM_T+1 times. This is the
+    index-build ancestor of ann_ivf_topk's centroid tier (its
+    coarse quantizer is exactly one Lloyd round over a seed sample).
+    Reference analog: none (the reference stores no vectors) —
+    training-pipeline infrastructure the 100 TB target requires."""
+    e = _t(spark, sf, "embeddings")
+    qexpr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * KM_QSCALE + F.lit(0.5)).cast("long"),
+    )
+    v = e.select("vec_id", qexpr.alias("q"))
+    cent = v.where(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").cast("long").alias("cid"),
+        F.col("q").alias("s"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    assign = None
+    for _ in range(KM_T):
+        j = v.crossJoin(F.broadcast(cent))
+        _, cost = _km_cost_cols(F.col("q"), F.col("s"), F.col("n"))
+        rn = F.row_number().over(
+            W.partitionBy("vec_id").orderBy(cost.asc(), F.col("cid").asc())
+        )
+        assign = (
+            j.withColumn("rn", rn).where(F.col("rn") == 1).select("vec_id", "q", "cid")
+        )
+        cent = (
+            assign.groupBy("cid")
+            .agg(
+                F.array(*[F.sum(F.col("q")[i]) for i in range(KM_DIMS)]).alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    fin = assign.join(cent, "cid")
+    a_num, _ = _km_cost_cols(F.col("q"), F.col("s"), F.col("n"))
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("s"),
+            F.sequence(F.lit(1).cast("long"), F.lit(KM_DIMS).cast("long")),
+            lambda sv, i: sv * i,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    per = fin.select("cid", "vec_id", "n", a_num.alias("a"), checksum.alias("ck"))
+    return per.groupBy("cid").agg(
+        F.max("n").alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_id"),
+        F.max("ck").alias("centroid_checksum"),
+        F.sum("a").alias("inertia_num"),
+        F.round(
+            F.sum("a").cast("double") / (F.max("n") * F.max("n")).cast("double"), 4
+        ).alias("inertia"),
+    )
+
+
+def _o_kmeans_lloyd() -> str:
+    """Unrolled-CTE DuckDB twin of q_kmeans_lloyd: one assignment +
+    re-centering CTE pair per Lloyd round, identical integer math."""
+    dot = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2]))"
+    sq = "list_sum(list_transform({a}, x -> x*x))"
+    cost_a = (
+        f"c.n*c.n*{sq.format(a='v.q')}"
+        f" - 2*c.n*{dot.format(a='v.q', b='c.s')}"
+        f" + {sq.format(a='c.s')}"
+    )
+    dims_sums = ", ".join(f"sum(q[{i + 1}])" for i in range(KM_DIMS))
+    rounds = []
+    prev = "c0"
+    for t in range(1, KM_T + 1):
+        rounds.append(
+            f"""a{t} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             cast(({cost_a}) as double) / cast(c.n*c.n as double), c.cid) AS rn
+    FROM v, {prev} c) WHERE rn = 1),
+c{t} AS (
+  SELECT cid, list_value({dims_sums}) AS s, cast(count(*) as bigint) AS n
+  FROM a{t} GROUP BY cid)"""
+        )
+        prev = f"c{t}"
+    chain = ",\n".join(rounds)
+    fin_a = cost_a.replace("v.q", "a.q")
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> cast(floor(x::double * {KM_QSCALE} + 0.5) as bigint)) AS q
+  FROM embeddings),
+c0 AS (
+  SELECT cast(vec_id as bigint) AS cid, q AS s, cast(1 as bigint) AS n
+  FROM v WHERE vec_id < {KM_K}),
+{chain},
+fin AS (
+  SELECT a.cid, a.vec_id, c.n,
+         {fin_a} AS a_num,
+         list_sum(list_transform(list_zip(c.s, range(1, {KM_DIMS} + 1)),
+                                 p -> p[1]*p[2])) AS ck
+  FROM a{KM_T} a JOIN c{KM_T} c ON a.cid = c.cid)
+SELECT cid,
+       max(n) AS n_members,
+       cast(sum(vec_id) as bigint) AS sum_vec_id,
+       cast(max(ck) as bigint) AS centroid_checksum,
+       cast(sum(a_num) as bigint) AS inertia_num,
+       round(cast(sum(a_num) as bigint) * 1.0 / (max(n)*max(n)), 4) AS inertia
+FROM fin GROUP BY cid
+"""
+
+
+O_KMEANS_LLOYD = _o_kmeans_lloyd()
+
+
+# -------------------------------------------- LSH s-curve calibration (5o)
+
+SCURVE_DOCS = 120        # base docs in the calibration sample
+SCURVE_PPM = 1_000_000   # rate scale (parts per million)
+# theory: P(collide | jaccard s) = 1 - (1 - s^r)^b with the registered
+# minhash config r=2 rows/band, b=4 bands (N_MINHASH=8); evaluated at
+# the bucket midpoint s = (2*bucket+1)/20 as exact rationals:
+# 1 - ((400 - (2b+1)^2)/400)^4 — BIGINT-exact numerators, one int div.
+_SCURVE_DEN4 = 400**4
+
+
+def _scurve_sample_spark(d: DataFrame) -> DataFrame:
+    """base docs (doc_id < SCURVE_DOCS) + '_nd' (first token dropped,
+    jaccard ~0.9+) + '_h' (first half of the tokens, jaccard ~0.5) —
+    three planted similarity levels so the empirical curve has mass at
+    the top, the middle, and the random-pair bottom."""
+    base = d.where(F.col("doc_id") < SCURVE_DOCS)
+    orig = base.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    nd = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_nd")).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    toks = F.split(F.col("text"), " ")
+    half = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_h")).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(toks, F.lit(1), F.ceil(F.size(toks) / 2).cast("int"))
+        ).alias("text"),
+    )
+    return orig.unionByName(nd).unionByName(half)
+
+
+def q_lsh_s_curve(spark, sf):
+    """Empirical vs theoretical LSH s-curve for the REGISTERED minhash
+    config (8 hashes, 4 bands x 2 rows, 5-gram shingles — the exact
+    tier dedup_minhash_lsh ships): over a fixed 3x120-doc calibration
+    sample (base + near-dup + half-doc variants planting three
+    similarity levels), every unordered pair gets its EXACT shingle
+    jaccard and a collision flag (shares >=1 LSH band), bucketed by
+    jaccard decile. Per bucket: pair count, collision count, empirical
+    collision rate, and the closed-form 1-(1-s^2)^4 at the bucket
+    midpoint — both rates as BIGINT ppm (one integer division each),
+    so the driver hash is float-free. This is the calibration study a
+    production dedup tier runs before committing to a (b, r) choice:
+    if the empirical curve sags under theory, the minhash
+    implementation is biased; if recall at the 0.8+ buckets is below
+    target, add bands.
+
+    All-pairs is BY DESIGN here and does NOT scale up — calibration
+    runs on a fixed-size sample (360 docs, 64620 pairs, constant at
+    every sf) exactly like production: you never all-pairs the corpus,
+    you all-pairs a sample to VALIDATE the banding that the corpus
+    then relies on. The production discovery tier stays
+    dedup_minhash_lsh's single bucketed shuffle.
+
+    Cites: Leskovec/Rajaraman/Ullman MMDS ch.3 (s-curve); reference
+    analog: none (the reference has no near-dup tier) — LLM-corpus
+    infrastructure per the brief."""
+    sample = _scurve_sample_spark(_t(spark, sf, "documents"))
+    sh = sample.select("doc_id", _shingles_spark(F.col("text")).alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+        .cast("long")
+        .alias("i"),
+        F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))).cast("long").alias("u"),
+    )
+    cands = _lsh_pairs(sample).withColumn("coll", F.lit(1).cast("long"))
+    flagged = pairs.join(cands, ["doc_a", "doc_b"], "left").fillna(
+        {"coll": 0}
+    )
+    agg = flagged.groupBy(
+        F.expr("(10 * i) DIV u").alias("jaccard_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("coll").alias("n_collide"),
+    )
+    num = F.greatest(
+        F.lit(400).cast("long")
+        - (2 * F.col("jaccard_bucket") + 1) * (2 * F.col("jaccard_bucket") + 1),
+        F.lit(0).cast("long"),
+    )
+    # 1e6 * num^4 reaches 2.56e16 > 2^53, so the division MUST stay in
+    # integer space (DIV), never float: both engines floor-divide exact
+    # BIGINTs.
+    return (
+        agg.withColumn("pow4v", num * num * num * num)
+        .select(
+            "jaccard_bucket",
+            "n_pairs",
+            "n_collide",
+            F.expr(f"(n_collide * {SCURVE_PPM}) DIV n_pairs").alias("emp_ppm"),
+            (
+                F.lit(SCURVE_PPM).cast("long")
+                - F.expr(f"({SCURVE_PPM} * pow4v) DIV {_SCURVE_DEN4}")
+            ).alias("theory_ppm"),
+        )
+    )
+
+
+def _o_lsh_s_curve() -> str:
+    """DuckDB twin: same sample, same KM minhash/band chain as
+    _o_minhash_parts (rebuilt here over the calibration sample), same
+    integer-ppm rates."""
+    M = 1 << 59
+    hs = ",\n         ".join(
+        f"min((('0x' || substring(md5(tok), 1, 15))::BIGINT % {M}"
+        f" + {k} * (('0x' || substring(md5(tok), 17, 15))::BIGINT % {M})) % {M})"
+        f" AS h{k}"
+        for k in range(N_MINHASH)
+    )
+    band_cols = ", ".join(
+        f"h{2 * b} || '|' || h{2 * b + 1} AS band{b}" for b in range(4)
+    )
+    joins = "\nUNION\n".join(
+        f"SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands x JOIN bands y "
+        f"ON x.band{b} = y.band{b} AND x.doc_id < y.doc_id"
+        for b in range(4)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), "
+        "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))"
+    )
+    return f"""
+WITH docs AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd',
+         substring(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_h',
+         array_to_string(
+           (string_split(text, ' '))[1:cast(ceil(len(string_split(text, ' ')) / 2) as int)],
+           ' ')
+  FROM documents WHERE doc_id < {SCURVE_DOCS}),
+sh AS (SELECT doc_id, {shingles} AS sh FROM docs),
+toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+sigs AS (
+  SELECT doc_id,
+         {hs}
+  FROM toks WHERE tok != '' GROUP BY doc_id),
+bands AS (SELECT doc_id, {band_cols} FROM sigs),
+cands AS ({joins}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(len(list_intersect(a.sh, b.sh)) as bigint) AS i,
+         cast(len(list_distinct(list_concat(a.sh, b.sh))) as bigint) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+flagged AS (
+  SELECT p.i, p.u, CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS coll
+  FROM pairs p LEFT JOIN cands c
+    ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+agg AS (
+  SELECT (10 * i) // u AS jaccard_bucket,
+         cast(count(*) as bigint) AS n_pairs,
+         cast(sum(coll) as bigint) AS n_collide
+  FROM flagged GROUP BY 1),
+th AS (
+  SELECT *,
+         greatest(400 - (2*jaccard_bucket + 1)*(2*jaccard_bucket + 1),
+                  0)::BIGINT AS nm
+  FROM agg)
+SELECT jaccard_bucket, n_pairs, n_collide,
+       (n_collide * {SCURVE_PPM}) // n_pairs AS emp_ppm,
+       {SCURVE_PPM} - ({SCURVE_PPM} * nm*nm*nm*nm) // {_SCURVE_DEN4} AS theory_ppm
+FROM th
+"""
+
+
+O_LSH_S_CURVE = _o_lsh_s_curve()

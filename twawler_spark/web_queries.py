@@ -2007,3 +2007,132 @@ SELECT host, round, cast(n as bigint) AS n, x AS p50_us,
                    {EWMA_TIMEOUT_FACTOR} * num / pow(2.0, idx)), 4) AS timeout_us
 FROM num
 """
+
+
+# ----------------------------------------- UCB1 host scheduling (5o)
+
+UCB_HOSTS = 40        # host shards in the bandit fixture
+UCB_SCALE = 1_000_000  # fixed-point scale (ppm)
+UCB_PICK = 8          # hosts the next round schedules
+
+
+def q_ucb_host_schedule(spark, sf):
+    """Fixed-point UCB1 explore/exploit host scheduling — the
+    bandit-priority leg of the crawl loop: a scheduler that has pulled
+    host h n_h times with w_h successes picks next round's hosts by
+    score = w_h/n_h + sqrt(2*ln(N)/n_h). Rebuilt here all-integer so
+    no libm call (ln, sqrt differ in last-ulp across engines) can
+    flip a ranking: ln(N) -> floor(log2(N)) via the binary-string
+    length (length(bin(N))-1, exact in both engines), the mean and
+    the bonus as ppm integers via floor division, and the square root
+    as an EXACT integer sqrt — floor(sqrt(x)) from libm followed by a
+    +/-1 correction against the integer squares, so the result is
+    floor-exact regardless of libm rounding. Pull/reward history is
+    the deterministic fixture log (host = event_id mod 40, reward =
+    md5 parity). Output per host: pulls, wins, the score decomposition
+    (mean_ppm + bonus_ppm = score_ppm), the UCB rank, and the picked
+    flag (rank <= UCB_PICK, ties to the lower host id).
+
+    Rounds-as-batches: the sequential bandit loop IS the crawl round
+    loop (plans/round.py) — each round appends its fetch outcomes to
+    the log, and THIS query is the per-round scheduling step that
+    consumes the accumulated (pulls, wins) state; like host_ewma's
+    numerator, that state is one mergeable (host, pulls, wins) row
+    per host, checkpoint-friendly and commutative across partitions.
+
+    100 TB shape: one partial-aggregated groupBy(host) over the fetch
+    log (or an incremental merge of per-round partials), a 1-row
+    broadcast of N, and map-side integer scoring; the global rank
+    over |hosts| rows is the same bounded-cardinality sort every
+    scheduler tier here ends on (hosts ~ 10^7 << corpus). Reference
+    analog: the priority heuristics of twkit/crawler/continuous
+    crawling order (follow-edge expansion vs tracking order),
+    re-expressed as an explore/exploit score."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    per = e.select(
+        F.pmod(F.col("event_id"), F.lit(UCB_HOSTS)).alias("host"),
+        win.alias("w"),
+    )
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).alias("pulls"), F.sum("w").cast("long").alias("wins")
+    )
+    tot = agg.agg(F.sum("pulls").alias("n_total"))
+    j = agg.crossJoin(F.broadcast(tot))
+    lg = (F.length(F.bin(F.col("n_total"))) - 1).cast("long")
+    scored = j.select(
+        "host",
+        "pulls",
+        "wins",
+        lg.alias("lg"),
+        F.expr(f"(wins * {UCB_SCALE}) DIV pulls").alias("mean_ppm"),
+        F.expr(
+            f"(2 * (length(bin(n_total)) - 1) * cast({UCB_SCALE} as bigint)"
+            f" * {UCB_SCALE}) DIV pulls"
+        ).alias("arg"),
+    )
+    s0 = F.floor(F.sqrt(F.col("arg").cast("double"))).cast("long")
+    bonus = (
+        F.when((s0 + 1) * (s0 + 1) <= F.col("arg"), s0 + 1)
+        .when(s0 * s0 > F.col("arg"), s0 - 1)
+        .otherwise(s0)
+    )
+    withb = scored.withColumn("bonus_ppm", bonus).withColumn(
+        "score_ppm", F.col("mean_ppm") + F.col("bonus_ppm")
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("score_ppm").desc(), F.col("host").asc())
+    )
+    return withb.select(
+        "host",
+        "pulls",
+        "wins",
+        "lg",
+        "mean_ppm",
+        "bonus_ppm",
+        "score_ppm",
+        rk.cast("long").alias("ucb_rank"),
+    ).withColumn(
+        "picked", F.when(F.col("ucb_rank") <= UCB_PICK, 1).otherwise(0).cast("int")
+    )
+
+
+O_UCB_HOST_SCHEDULE = f"""
+WITH per AS (
+  SELECT event_id % {UCB_HOSTS} AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS pulls,
+         cast(sum(w) as bigint) AS wins
+  FROM per GROUP BY host),
+tot AS (SELECT cast(sum(pulls) as bigint) AS n_total FROM agg),
+sc AS (
+  SELECT host, pulls, wins,
+         cast(length(bin(n_total)) - 1 as bigint) AS lg,
+         (wins * {UCB_SCALE}) // pulls AS mean_ppm,
+         (2 * cast(length(bin(n_total)) - 1 as bigint)
+            * {UCB_SCALE} * {UCB_SCALE}) // pulls AS arg
+  FROM agg, tot),
+r AS (
+  SELECT *, cast(floor(sqrt(cast(arg as double))) as bigint) AS s0 FROM sc),
+b AS (
+  SELECT host, pulls, wins, lg, mean_ppm,
+         CASE WHEN (s0+1)*(s0+1) <= arg THEN s0+1
+              WHEN s0*s0 > arg THEN s0-1
+              ELSE s0 END AS bonus_ppm
+  FROM r)
+SELECT host, pulls, wins, lg, mean_ppm, bonus_ppm,
+       mean_ppm + bonus_ppm AS score_ppm,
+       cast(row_number() OVER (ORDER BY mean_ppm + bonus_ppm DESC, host)
+            as bigint) AS ucb_rank,
+       cast(CASE WHEN row_number() OVER (ORDER BY mean_ppm + bonus_ppm DESC, host)
+                      <= {UCB_PICK} THEN 1 ELSE 0 END as int) AS picked
+FROM b
+"""
