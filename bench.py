@@ -122,6 +122,10 @@ HEADLINE_QUERIES = (
     "kmeans_lloyd",
     "ucb_host_schedule",
     "lsh_s_curve",
+    # round-5p tier
+    "degree_assortativity",
+    "bloom_fpr_audit",
+    "stratified_sample",
 )
 
 

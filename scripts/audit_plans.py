@@ -128,6 +128,9 @@ AUDIT = (
     "kmeans_lloyd",
     "ucb_host_schedule",
     "lsh_s_curve",
+    "degree_assortativity",
+    "bloom_fpr_audit",
+    "stratified_sample",
 )
 
 
@@ -454,6 +457,19 @@ def main():
         f.write("  — calibration validates the banding the corpus then relies on;\n")
         f.write("  the corpus-scale discovery tier remains dedup_minhash_lsh's\n")
         f.write("  single bucketed shuffle.\n")
+        f.write("- `degree_assortativity`: degrees are one node-key exchange;\n")
+        f.write("  endpoint decoration reuses the same node keys (two joins), the\n")
+        f.write("  moment reduction partial-aggregates to one row and the knn\n")
+        f.write("  curve to |degree-classes| rows; no adjacency lists.\n")
+        f.write("- `bloom_fpr_audit`: bits and probes exchange on the POSITION\n")
+        f.write("  key (bits capped at M rows after map-side distinct), one\n")
+        f.write("  key-side groupBy, |shards| report rows. The production seen\n")
+        f.write("  filter stays the Arrow broadcast bitmap; this is the sampled\n")
+        f.write("  audit tier.\n")
+        f.write("- `stratified_sample`: stratum stats partial-aggregate; the\n")
+        f.write("  apportionment runs over |strata| rows behind 1-row broadcasts\n")
+        f.write("  of N and sum(base); selection is one per-stratum window rank\n")
+        f.write("  plus a broadcast allocation join — the w3 top-k shape.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

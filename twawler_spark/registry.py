@@ -161,6 +161,13 @@ QUERIES: dict[str, QueryFn] = {
     "kmeans_lloyd": tq.q_kmeans_lloyd,
     "ucb_host_schedule": wq.q_ucb_host_schedule,
     "lsh_s_curve": tq.q_lsh_s_curve,
+    # round-5p wave (same out-of-window gating): degree assortativity
+    # + knn(k) curve over the host graph, a join-expressible bloom
+    # seen-filter FPR audit cross-checking the Arrow bitmap tier, and
+    # Hamilton largest-remainder stratified corpus sampling
+    "degree_assortativity": wq.q_degree_assortativity,
+    "bloom_fpr_audit": wq.q_bloom_fpr_audit,
+    "stratified_sample": tq.q_stratified_sample,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -379,6 +386,9 @@ ORACLES: dict[str, str] = {
     "kmeans_lloyd": tq.O_KMEANS_LLOYD,
     "ucb_host_schedule": wq.O_UCB_HOST_SCHEDULE,
     "lsh_s_curve": tq.O_LSH_S_CURVE,
+    "degree_assortativity": wq.O_DEGREE_ASSORTATIVITY,
+    "bloom_fpr_audit": wq.O_BLOOM_FPR_AUDIT,
+    "stratified_sample": tq.O_STRATIFIED_SAMPLE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

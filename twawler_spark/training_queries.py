@@ -4647,3 +4647,133 @@ FROM th
 
 
 O_LSH_S_CURVE = _o_lsh_s_curve()
+
+
+# ----------------------------- stratified corpus sampling (5p)
+
+STRAT_N = 150  # total sample quota apportioned across (source, lang)
+
+
+def q_stratified_sample(spark, sf):
+    """Stratified corpus sampling with Hamilton (largest-remainder)
+    apportionment — the per-domain quota draw a training-data mixer
+    runs: each (source, lang) stratum gets floor(n*N_h/N) seats plus
+    one of the t = n - sum(floor) leftover seats by descending
+    remainder (ties to the lexicographically first stratum), then the
+    stratum's members are picked by ascending md5 rank (consistent
+    sampling: the same doc_ids are drawn on every run and every
+    engine, and growing a stratum only appends picks). ALL integer:
+    quotas and remainders are exact BIGINT arithmetic, the selection
+    order is a hex-string sort, and the emitted per-stratum evidence
+    (alloc, n_sel, id sum/min/max of the selected set) pins the exact
+    chosen membership under the driver hash — not just its size.
+    floor(n*N_h/N)+1 <= N_h whenever n < N, so no stratum is ever
+    over-drawn.
+
+    100 TB shape: stratum stats are one partial-aggregated groupBy;
+    the apportionment runs over |strata| rows (bounded — domains x
+    langs, ~10^5 at web scale) behind a 1-row broadcast of N and
+    sum(base); the selection is one window rank per stratum — the
+    same per-key top-k shape as w3 — followed by a broadcast join of
+    the |strata|-row allocation. Nothing driver-side. Reference
+    analog: corpus_sample's per-bucket hash draw, upgraded from
+    fixed per-bucket rates to exact global-quota apportionment
+    (Hamilton's method; cf. DoReMi/DSIR-style domain reweighting)."""
+    d = _t(spark, sf, "documents")
+    strat = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h")
+    )
+    tot = strat.agg(F.sum("n_h").alias("n_pop"))
+    q = strat.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_h",
+        F.expr(f"({STRAT_N} * n_h) DIV n_pop").alias("base"),
+        F.expr(f"({STRAT_N} * n_h) % n_pop").alias("rem"),
+    )
+    bs = q.agg(F.sum("base").alias("base_sum"))
+    rnk = F.row_number().over(
+        W.orderBy(F.col("rem").desc(), F.col("source").asc(), F.col("lang").asc())
+    )
+    al = (
+        q.crossJoin(F.broadcast(bs))
+        .withColumn("rnk", rnk)
+        .select(
+            "source",
+            "lang",
+            "n_h",
+            (
+                F.col("base")
+                + F.when(F.col("rnk") <= F.lit(STRAT_N) - F.col("base_sum"), 1)
+                .otherwise(0)
+            ).cast("long").alias("alloc"),
+        )
+    )
+    pick_rank = F.row_number().over(
+        W.partitionBy("source", "lang").orderBy(
+            F.md5(F.concat(F.lit("ss:"), F.col("doc_id").cast("string"))).asc(),
+            F.col("doc_id").asc(),
+        )
+    )
+    sel = (
+        d.select("source", "lang", "doc_id")
+        .withColumn("rnk", pick_rank)
+        .join(F.broadcast(al), ["source", "lang"])
+        .where(F.col("rnk") <= F.col("alloc"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sel"),
+            F.sum("doc_id").alias("sel_sum"),
+            F.min("doc_id").alias("sel_min"),
+            F.max("doc_id").alias("sel_max"),
+        )
+    )
+    return (
+        al.join(sel, ["source", "lang"], "left")
+        .fillna({"n_sel": 0, "sel_sum": 0, "sel_min": -1, "sel_max": -1})
+        .select(
+            "source", "lang", "n_h", "alloc", "n_sel", "sel_sum", "sel_min", "sel_max"
+        )
+    )
+
+
+O_STRATIFIED_SAMPLE = f"""
+WITH strat AS (
+  SELECT source, lang, cast(count(*) as bigint) AS n_h
+  FROM documents GROUP BY 1, 2),
+tot AS (SELECT cast(sum(n_h) as bigint) AS n_pop FROM strat),
+q AS (
+  SELECT source, lang, n_h,
+         ({STRAT_N} * n_h) // n_pop AS base,
+         ({STRAT_N} * n_h) % n_pop AS rem
+  FROM strat, tot),
+bs AS (SELECT cast(sum(base) as bigint) AS base_sum FROM q),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rnk
+  FROM q),
+al AS (
+  SELECT source, lang, n_h,
+         cast(base + CASE WHEN rnk <= {STRAT_N} - base_sum THEN 1 ELSE 0 END
+              as bigint) AS alloc
+  FROM rk, bs),
+ranked AS (
+  SELECT source, lang, doc_id,
+         row_number() OVER (PARTITION BY source, lang
+                            ORDER BY md5('ss:' || cast(doc_id as varchar)), doc_id)
+           AS rnk
+  FROM documents),
+sel AS (
+  SELECT r.source, r.lang,
+         cast(count(*) as bigint) AS n_sel,
+         cast(sum(r.doc_id) as bigint) AS sel_sum,
+         min(r.doc_id) AS sel_min,
+         max(r.doc_id) AS sel_max
+  FROM ranked r JOIN al ON al.source = r.source AND al.lang = r.lang
+  WHERE r.rnk <= al.alloc GROUP BY 1, 2)
+SELECT al.source, al.lang, al.n_h, al.alloc,
+       coalesce(s.n_sel, 0) AS n_sel,
+       coalesce(s.sel_sum, 0) AS sel_sum,
+       coalesce(s.sel_min, -1) AS sel_min,
+       coalesce(s.sel_max, -1) AS sel_max
+FROM al LEFT JOIN sel s ON s.source = al.source AND s.lang = al.lang
+"""

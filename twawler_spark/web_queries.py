@@ -1786,6 +1786,34 @@ TRI_HUB_BASE = 300   # clique node ids: 300..307 (disjoint from periphery)
 TRI_PERIPHERY = 150  # md5-random periphery nodes (sparse at oracle scale)
 
 
+def _tri_edges(d: DataFrame) -> DataFrame:
+    """Shared clique+periphery host-graph fixture (see q_triangle_hosts
+    docstring): distinct undirected edges (u < v)."""
+    is_hub = F.col("doc_id") % 5 == 0
+    k = F.expr("doc_id div 5")
+    h = F.md5(F.col("doc_id").cast("string"))
+    u = F.when(is_hub, F.lit(TRI_HUB_BASE) + k % TRI_HUBS).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
+            F.lit(TRI_PERIPHERY),
+        )
+    )
+    v = F.when(
+        is_hub, F.lit(TRI_HUB_BASE) + F.expr("doc_id div 40") % TRI_HUBS
+    ).otherwise(
+        F.pmod(
+            F.conv(F.substring(h, 17, 12), 16, 10).cast("long"),
+            F.lit(TRI_PERIPHERY),
+        )
+    )
+    return (
+        d.select(u.cast("long").alias("a"), v.cast("long").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+        .distinct()
+    )
+
+
 def q_triangle_hosts(spark: SparkSession, sf: str) -> DataFrame:
     """Per-host triangle participation over the host link graph —
     degree-ordered node-iterator (operators/graph.triangle_counts).
@@ -1813,31 +1841,7 @@ def q_triangle_hosts(spark: SparkSession, sf: str) -> DataFrame:
     triangle exactly once."""
     from .operators.graph import triangle_counts
 
-    d = _t(spark, sf, "documents")
-    is_hub = F.col("doc_id") % 5 == 0
-    k = F.expr("doc_id div 5")
-    h = F.md5(F.col("doc_id").cast("string"))
-    u = F.when(is_hub, F.lit(TRI_HUB_BASE) + k % TRI_HUBS).otherwise(
-        F.pmod(
-            F.conv(F.substring(h, 1, 12), 16, 10).cast("long"),
-            F.lit(TRI_PERIPHERY),
-        )
-    )
-    v = F.when(
-        is_hub, F.lit(TRI_HUB_BASE) + F.expr("doc_id div 40") % TRI_HUBS
-    ).otherwise(
-        F.pmod(
-            F.conv(F.substring(h, 17, 12), 16, 10).cast("long"),
-            F.lit(TRI_PERIPHERY),
-        )
-    )
-    edges = (
-        d.select(u.cast("long").alias("a"), v.cast("long").alias("b"))
-        .where(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-        .distinct()
-    )
-    return triangle_counts(edges)
+    return triangle_counts(_tri_edges(_t(spark, sf, "documents")))
 
 
 def _build_o_triangles() -> str:
@@ -2135,4 +2139,260 @@ SELECT host, pulls, wins, lg, mean_ppm, bonus_ppm,
        cast(CASE WHEN row_number() OVER (ORDER BY mean_ppm + bonus_ppm DESC, host)
                       <= {UCB_PICK} THEN 1 ELSE 0 END as int) AS picked
 FROM b
+"""
+
+
+# ------------------------------------- degree assortativity (5p)
+
+_SQL_TRI_EDGES = f"""
+raw AS (
+  SELECT CASE WHEN doc_id % 5 = 0 THEN {TRI_HUB_BASE} + ((doc_id // 5) % {TRI_HUBS})
+         ELSE ('0x' || substring(md5(cast(doc_id as varchar)), 1, 12))::BIGINT % {TRI_PERIPHERY} END AS a,
+         CASE WHEN doc_id % 5 = 0 THEN {TRI_HUB_BASE} + ((doc_id // 40) % {TRI_HUBS})
+         ELSE ('0x' || substring(md5(cast(doc_id as varchar)), 17, 12))::BIGINT % {TRI_PERIPHERY} END AS b
+  FROM documents),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM raw WHERE a <> b)"""
+
+KNN_PPM = 1_000_000
+
+
+def q_degree_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity + the knn(k) curve over the host link
+    graph (same clique+periphery fixture as triangle_hosts/kcore):
+    does a high-degree host link to other high-degree hosts (mesh-like
+    web, r > 0) or to leaves (star/aggregator topology, r < 0)? Crawl
+    use: assortativity is the one-number summary of the host-graph
+    panel (cores/triangles/rank) and knn(k) — the mean neighbor degree
+    per degree class — is its curve form; a sudden disassortative dip
+    at high k flags link farms pumping leaf pages.
+
+    Exactness: over the symmetric orientation (each undirected edge
+    contributes both directions) the endpoint moments M, Sx, Sxx, Sxy
+    are BIGINT-exact and sigma_x == sigma_y, so Pearson r collapses to
+    (M*Sxy - Sx^2) / (M*Sxx - Sx^2) — a single division of two exact
+    integers < 2^53 (no sqrt, no variance estimate), bit-identical
+    across engines; knn is integer ppm via floor division. The knn
+    rows carry the exact integer numerators too, so the driver hash
+    pins the full curve, not just the rounded ratio.
+
+    100 TB shape: degrees are one node-key exchange; the endpoint
+    decoration is two joins against the (node, degree) table (each a
+    node-key shuffle, same keys as the degree build — AQE reuses the
+    partitioning); the moment reduction and the |degree-classes|-row
+    curve are partial-aggregated. Nothing materializes adjacency
+    lists. Reference analog: the follower-graph degree statistics of
+    SURVEY §2 A9/viz_degree_distribution, lifted from degree
+    HISTOGRAM to degree CORRELATION."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    nodes = edges.select(F.col("u").alias("n")).unionAll(
+        edges.select(F.col("v").alias("n"))
+    )
+    deg = nodes.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    j = (
+        dirs.join(deg.select(F.col("n").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("dy")), "b")
+        .select("dx", "dy")
+    )
+    mom = j.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    r = F.round(
+        (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+        / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"),
+        6,
+    )
+    knn = j.groupBy(F.col("dx").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+        F.sum("dy").alias("sum_nn_deg"),
+    )
+    return knn.crossJoin(F.broadcast(mom.select(r.alias("assortativity")))).select(
+        "degree",
+        "n_endpoints",
+        "sum_nn_deg",
+        F.expr(f"(sum_nn_deg * {KNN_PPM}) DIV n_endpoints").alias("knn_ppm"),
+        "assortativity",
+    )
+
+
+O_DEGREE_ASSORTATIVITY = f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, cast(count(*) as bigint) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+dirs AS (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM dirs JOIN deg da ON da.n = dirs.a JOIN deg db ON db.n = dirs.b),
+mom AS (
+  SELECT cast(count(*) as bigint) AS m,
+         cast(sum(dx) as bigint) AS sx,
+         cast(sum(dx*dx) as bigint) AS sxx,
+         cast(sum(dx*dy) as bigint) AS sxy
+  FROM j),
+knn AS (
+  SELECT dx AS degree, cast(count(*) as bigint) AS n_endpoints,
+         cast(sum(dy) as bigint) AS sum_nn_deg
+  FROM j GROUP BY dx)
+SELECT degree, n_endpoints, sum_nn_deg,
+       (sum_nn_deg * {KNN_PPM}) // n_endpoints AS knn_ppm,
+       round(cast(m*sxy - sx*sx as double) / cast(m*sxx - sx*sx as double), 6)
+         AS assortativity
+FROM knn, mom
+"""
+
+
+# --------------------------------------- join-bloom FPR audit (5p)
+
+BF_M_BITS = 65536   # bit-space of the SQL-expressible audit bloom
+BF_K = 4            # hash functions (Kirsch-Mitzenmacher expanded)
+BF_SHARDS = 8       # report shards (keyed by h1)
+BF_PPM = 1_000_000
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Observed false-positive rate of a bloom seen-filter, measured
+    by a SECOND, join-expressible bloom implementation: the seen set
+    (2/3 of the URL universe) sets bits pos_i = (h1 + i*h2) mod M for
+    i < K (Kirsch-Mitzenmacher over two md5 halves, h2 forced odd);
+    the whole universe then probes, and a key is 'maybe seen' iff ALL
+    its distinct bit positions are set. Joining against exact truth
+    (key % 3 != 0) yields per-shard probe/positive/false-positive
+    counts and the observed FPR in ppm — all integers.
+
+    Two tiers, one contract: the PRODUCTION seen filter is the Arrow
+    bitmap (operators/seen_filter — numpy bitset, treeAggregate
+    merge, broadcast probe) whose engine equality bloom==exact is
+    pytest-gated; THIS query is the same bloom semantics expressed
+    as pure DataFrame ops (explode K positions -> distinct ->
+    position-key join -> per-key AND), which (a) gives the driver an
+    SQL-oracled cross-check of the bit math and (b) IS the audit a
+    production crawl runs periodically on a sample to confirm the
+    deployed filter's FPR tracks the (1-e^{-kn/m})^k design point
+    (~1.2% at these parameters; the exact expectation is in the test,
+    not the query — e^ is not rational). No false negative is
+    possible by construction: n_maybe - n_false_pos == n_seen per
+    shard, asserted in tests.
+
+    100 TB shape: bits and probes exchange on the POSITION key (both
+    sides partial-distinct map-side; the bits side is capped at M
+    rows total), then one key-side groupBy; the per-shard report is
+    |shards| rows. The production path stays the broadcast bitmap —
+    this plan is the sampled audit, not the hot path. Reference
+    analog: the seen-URL dedup contract of S12/P5
+    (operators/seen_filter.py, admission.py)."""
+    e = _t(spark, sf, "events")
+    key = F.concat(F.lit("u:"), F.col("event_id").cast("string"))
+    h1 = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("bf:"), key)), 1, 15), 16, 10).cast(
+            "long"
+        ),
+        F.lit(1 << 59),
+    )
+    h2 = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("bf:"), key)), 17, 15), 16, 10
+            ).cast("long"),
+            F.lit(1 << 58),
+        )
+        * 2
+        + 1
+    )
+    base = e.select(
+        F.col("event_id").alias("k"),
+        (F.col("event_id") % 3 != 0).alias("truth"),
+        h1.alias("h1"),
+        h2.alias("h2"),
+    )
+    pos_arr = F.array_distinct(
+        F.array(
+            *[
+                F.pmod(F.col("h1") + i * F.col("h2"), F.lit(BF_M_BITS))
+                for i in range(BF_K)
+            ]
+        )
+    )
+    keyed = base.select(
+        "k", "truth", F.pmod(F.col("h1"), F.lit(BF_SHARDS)).alias("shard"),
+        pos_arr.alias("pos"),
+    )
+    probe_pos = keyed.select("k", F.explode("pos").alias("p"))
+    bits = (
+        keyed.where("truth").select(F.explode("pos").alias("p")).distinct()
+    )
+    matched = (
+        probe_pos.join(bits, "p")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+    )
+    verdict = (
+        keyed.join(matched, "k", "left")
+        .fillna({"n_hit": 0})
+        .select(
+            "shard",
+            "truth",
+            (F.col("n_hit") == F.size("pos")).alias("maybe"),
+        )
+    )
+    agg = verdict.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes"),
+        F.sum(F.when(F.col("truth"), 1).otherwise(0)).cast("long").alias("n_seen"),
+        F.sum(F.when(F.col("maybe"), 1).otherwise(0)).cast("long").alias("n_maybe"),
+        F.sum(F.when(F.col("maybe") & ~F.col("truth"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return agg.select(
+        "shard",
+        "n_probes",
+        "n_seen",
+        "n_maybe",
+        "n_false_pos",
+        F.expr(f"(n_false_pos * {BF_PPM}) DIV (n_probes - n_seen)").alias("fpr_ppm"),
+    )
+
+
+O_BLOOM_FPR_AUDIT = f"""
+WITH base AS (
+  SELECT event_id AS k,
+         event_id % 3 != 0 AS truth,
+         ('0x' || substring(md5('bf:' || 'u:' || cast(event_id as varchar)), 1, 15))
+           ::BIGINT % {1 << 59} AS h1,
+         ('0x' || substring(md5('bf:' || 'u:' || cast(event_id as varchar)), 17, 15))
+           ::BIGINT % {1 << 58} * 2 + 1 AS h2
+  FROM events),
+keyed AS (
+  SELECT k, truth, h1 % {BF_SHARDS} AS shard,
+         list_distinct([{", ".join(f"(h1 + {i} * h2) % {BF_M_BITS}" for i in range(BF_K))}]) AS pos
+  FROM base),
+probe_pos AS (SELECT k, unnest(pos) AS p FROM keyed),
+bits AS (SELECT DISTINCT unnest(pos) AS p FROM keyed WHERE truth),
+matched AS (
+  SELECT pp.k, count(*) AS n_hit
+  FROM probe_pos pp JOIN bits b ON pp.p = b.p GROUP BY pp.k),
+verdict AS (
+  SELECT keyed.shard, keyed.truth,
+         coalesce(m.n_hit, 0) = len(keyed.pos) AS maybe
+  FROM keyed LEFT JOIN matched m ON m.k = keyed.k)
+SELECT shard,
+       cast(count(*) as bigint) AS n_probes,
+       cast(sum(CASE WHEN truth THEN 1 ELSE 0 END) as bigint) AS n_seen,
+       cast(sum(CASE WHEN maybe THEN 1 ELSE 0 END) as bigint) AS n_maybe,
+       cast(sum(CASE WHEN maybe AND NOT truth THEN 1 ELSE 0 END) as bigint)
+         AS n_false_pos,
+       (cast(sum(CASE WHEN maybe AND NOT truth THEN 1 ELSE 0 END) as bigint)
+          * {BF_PPM})
+         // (cast(count(*) as bigint)
+               - cast(sum(CASE WHEN truth THEN 1 ELSE 0 END) as bigint))
+         AS fpr_ppm
+FROM verdict GROUP BY shard
 """
