@@ -126,6 +126,10 @@ HEADLINE_QUERIES = (
     "degree_assortativity",
     "bloom_fpr_audit",
     "stratified_sample",
+    # round-5q tier
+    "ball2_hosts",
+    "span_transitions",
+    "index_varint_estimate",
 )
 
 

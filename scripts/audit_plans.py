@@ -131,6 +131,9 @@ AUDIT = (
     "degree_assortativity",
     "bloom_fpr_audit",
     "stratified_sample",
+    "ball2_hosts",
+    "span_transitions",
+    "index_varint_estimate",
 )
 
 
@@ -470,6 +473,18 @@ def main():
         f.write("  apportionment runs over |strata| rows behind 1-row broadcasts\n")
         f.write("  of N and sum(base); selection is one per-stratum window rank\n")
         f.write("  plus a broadcast allocation join — the w3 top-k shape.\n")
+        f.write("- `ball2_hosts`: one middle-node self-join + distinct — exact\n")
+        f.write("  2-hop reach, output bounded by sum deg^2; the 10^10-node tier\n")
+        f.write("  replaces the distinct with per-node HLL register max-merge over\n")
+        f.write("  neighbors (the hll_distinct algebra), documented in-query.\n")
+        f.write("- `span_transitions`: per-doc pair expansion is a bounded array\n")
+        f.write("  HOF (<= MAX_SPANS fan-out), ONE partial-aggregated exchange on\n")
+        f.write("  the alphabet-squared key — constant-size output at any corpus\n")
+        f.write("  scale.\n")
+        f.write("- `index_varint_estimate`: one term exchange for the distinct;\n")
+        f.write("  the gap window runs within the same term partitioning and the\n")
+        f.write("  byte rollup partial-combines; under bucketBy(term)/sortBy(doc)\n")
+        f.write("  (X5) the window is a zero-exchange sorted-run scan.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

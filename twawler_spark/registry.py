@@ -168,6 +168,12 @@ QUERIES: dict[str, QueryFn] = {
     "degree_assortativity": wq.q_degree_assortativity,
     "bloom_fpr_audit": wq.q_bloom_fpr_audit,
     "stratified_sample": tq.q_stratified_sample,
+    # round-5q wave (same out-of-window gating): exact 2-hop host
+    # reach with walk-count saturation, the interleaved span-kind
+    # transition matrix, and delta-gap varint posting-list sizing
+    "ball2_hosts": wq.q_ball2_hosts,
+    "span_transitions": wq.q_span_transitions,
+    "index_varint_estimate": tq.q_index_varint_estimate,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -389,6 +395,9 @@ ORACLES: dict[str, str] = {
     "degree_assortativity": wq.O_DEGREE_ASSORTATIVITY,
     "bloom_fpr_audit": wq.O_BLOOM_FPR_AUDIT,
     "stratified_sample": tq.O_STRATIFIED_SAMPLE,
+    "ball2_hosts": wq.O_BALL2_HOSTS,
+    "span_transitions": wq.O_SPAN_TRANSITIONS,
+    "index_varint_estimate": tq.O_INDEX_VARINT_ESTIMATE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -4777,3 +4777,88 @@ SELECT al.source, al.lang, al.n_h, al.alloc,
        coalesce(s.sel_max, -1) AS sel_max
 FROM al LEFT JOIN sel s ON s.source = al.source AND s.lang = al.lang
 """
+
+
+# ------------------------ posting-list varint sizing (5q)
+
+IDXV_MIN_DF = 3       # df gate (mirror of the index export's policy)
+IDXV_PPM = 1_000_000
+
+
+def q_index_varint_estimate(spark, sf):
+    """Delta-gap + varint size estimate for the inverted index's
+    posting lists — the storage-layout calculation every index build
+    runs before choosing a postings codec (Lucene/ES store postings
+    exactly this way: sorted doc ids, delta gaps, LEB128 varints):
+    per term, sort the distinct posting doc ids, take gaps (the first
+    posting's gap is doc_id + 1 so every gap is >= 1), and size each
+    gap at ceil(bitlen(gap)/7) varint bytes with bitlen from the
+    binary-string length — ALL integer, no log(), so both engines and
+    the python third implementation agree exactly. Output per term
+    (df >= IDXV_MIN_DF): df, total varint bytes, the raw fixed-width
+    cost 8*df, and the savings in integer ppm. Companion of
+    inverted_index_export: that query builds the posting statistics,
+    this one prices their storage.
+
+    100 TB shape: one exchange on term for the distinct, then the
+    gap window runs WITHIN each term partition (same keys — AQE/the
+    planner reuses the exchange, no second shuffle), and the
+    aggregation partial-combines map-side. At warehouse scale the
+    postings are bucketBy(term)/sortBy(doc_id) (X5 discipline), which
+    makes the window a zero-exchange sorted-run scan — the estimate
+    then prices exactly the bytes the bucketed files will hold.
+    Reference analog: the storage half of S14's index export
+    (uservectors_to_elasticsearch.py), priced instead of shipped."""
+    d = _t(spark, sf, "documents")
+    ex = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    w = W.partitionBy("term").orderBy("doc_id")
+    gap = F.when(
+        F.lag("doc_id").over(w).isNull(), F.col("doc_id") + 1
+    ).otherwise(F.col("doc_id") - F.lag("doc_id").over(w))
+    g = ex.withColumn("gap", gap).withColumn(
+        "nbytes", F.expr("(length(bin(gap)) + 6) DIV 7").cast("long")
+    )
+    agg = g.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("nbytes").alias("varint_bytes"),
+    )
+    return (
+        agg.where(F.col("df") >= IDXV_MIN_DF)
+        .withColumn("raw_bytes", (F.lit(8).cast("long") * F.col("df")))
+        .withColumn(
+            "savings_ppm",
+            F.expr(f"((raw_bytes - varint_bytes) * {IDXV_PPM}) DIV raw_bytes"),
+        )
+    )
+
+
+O_INDEX_VARINT_ESTIMATE = f"""
+WITH ex AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents)
+  WHERE term != ''),
+g AS (
+  SELECT term, doc_id,
+         CASE WHEN lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id) IS NULL
+              THEN doc_id + 1
+              ELSE doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id)
+         END AS gap
+  FROM ex),
+b AS (
+  SELECT term, cast((length(bin(gap)) + 6) // 7 as bigint) AS nbytes FROM g),
+agg AS (
+  SELECT term, cast(count(*) as bigint) AS df,
+         cast(sum(nbytes) as bigint) AS varint_bytes
+  FROM b GROUP BY term)
+SELECT term, df, varint_bytes, 8 * df AS raw_bytes,
+       ((8 * df - varint_bytes) * {IDXV_PPM}) // (8 * df) AS savings_ppm
+FROM agg WHERE df >= {IDXV_MIN_DF}
+"""

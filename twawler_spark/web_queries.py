@@ -2396,3 +2396,176 @@ SELECT shard,
          AS fpr_ppm
 FROM verdict GROUP BY shard
 """
+
+
+# --------------------------------------- 2-hop reach (ball size, 5q)
+
+BALL_PPM = 1_000_000
+
+
+def q_ball2_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 2-hop reach |{w : dist(v,w) <= 2, w != v}| per host over
+    the link graph (same clique+periphery fixture as triangle/kcore/
+    assortativity — this closes the host-graph panel's distance leg):
+    the crawler's 'how much of the web is two clicks from this seed'
+    question, the quantity seed-list optimizers greedily maximize.
+    Alongside the exact reach, the walk-count upper bound ub = deg(v)
+    + sum_{u in N(v)} (deg(u)-1) and saturation = reach/ub in integer
+    ppm: saturation ~1 means a tree-like neighborhood (every walk
+    finds a new node), low saturation means triangle/clique overlap —
+    the same signal triangle_hosts reads, from the reachability side.
+
+    100 TB shape: the 2-hop expansion is ONE self-join of the directed
+    edge list on the middle node followed by a distinct on (source,
+    target) — the standard friend-of-friend shape; its output is
+    bounded by sum_v deg(v)^2 (real at web scale, which is why the
+    docstring tier for 10^10 nodes is per-node HLL registers merged
+    over neighbors — rho-max is associative, so reach BECOMES a
+    mergeable sketch; hll_distinct/hll_merge_rounds already ship that
+    register algebra). The exact tier here is the calibration/audit
+    form, correct at any scale where deg^2 fan-out fits, and the
+    oracle pins it bit-for-bit. Reference analog: SURVEY §2's
+    follower-graph 2-hop audience estimates (friends-of-friends
+    reach), re-keyed host-to-host."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = dirs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    x, y = dirs.alias("x"), dirs.alias("y")
+    hop2 = (
+        x.join(y, F.col("x.b") == F.col("y.a"))
+        .select(F.col("x.a").alias("a"), F.col("y.b").alias("c"))
+        .where(F.col("a") != F.col("c"))
+    )
+    reach = (
+        dirs.select("a", F.col("b").alias("c"))
+        .unionAll(hop2)
+        .distinct()
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("reach2"))
+    )
+    ext = (
+        dirs.join(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("db")), "b"
+        )
+        .groupBy("a")
+        .agg(F.sum(F.col("db") - 1).alias("ext"))
+    )
+    out = (
+        deg.join(reach, "a")
+        .join(ext, "a")
+        .select(
+            F.col("a").alias("node"),
+            F.col("d").alias("degree"),
+            "reach2",
+            (F.col("d") + F.col("ext")).alias("walk_ub"),
+        )
+    )
+    return out.withColumn(
+        "saturation_ppm", F.expr(f"(reach2 * {BALL_PPM}) DIV walk_ub")
+    )
+
+
+O_BALL2_HOSTS = f"""
+WITH {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a, cast(count(*) as bigint) AS d FROM dirs GROUP BY a),
+hop2 AS (
+  SELECT x.a AS a, y.b AS c
+  FROM dirs x JOIN dirs y ON x.b = y.a WHERE x.a <> y.b),
+reach AS (
+  SELECT a, cast(count(*) as bigint) AS reach2 FROM (
+    SELECT DISTINCT a, c FROM (
+      SELECT a, b AS c FROM dirs UNION ALL SELECT a, c FROM hop2))
+  GROUP BY a),
+ext AS (
+  SELECT dirs.a, cast(sum(dd.d - 1) as bigint) AS ext
+  FROM dirs JOIN deg dd ON dd.a = dirs.b GROUP BY dirs.a)
+SELECT deg.a AS node, deg.d AS degree, reach.reach2,
+       deg.d + ext.ext AS walk_ub,
+       (reach.reach2 * {BALL_PPM}) // (deg.d + ext.ext) AS saturation_ppm
+FROM deg JOIN reach ON reach.a = deg.a JOIN ext ON ext.a = deg.a
+"""
+
+
+# --------------------------- interleaved span transition census (5q)
+
+SPANT_PPM = 1_000_000
+
+
+def q_span_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-kind TRANSITION matrix of one round's fetched interleaved
+    documents — the pairwise complement of span_patterns' per-pattern
+    census: for every adjacent span pair, count (from_kind, to_kind)
+    occurrences, the distinct docs containing each transition, and the
+    mean 0-based position of the transition (integer ppm). t->m vs
+    m->t asymmetry says whether media LEADS or TRAILS text in the
+    corpus (caption-style vs thumbnail-style layouts); position says
+    whether switches cluster early or late — both feed the multimodal
+    packer's buffer policy directly, and both run on the north-rule
+    payload shape itself ((kind, order) invariant per row).
+
+    100 TB shape: the pair expansion is an array HOF over the spans
+    column (per-doc fan-out bounded by MAX_SPANS, not corpus-shaped)
+    into ONE partial-aggregated exchange on a key whose cardinality is
+    the kind-alphabet squared (4 rows here) — the aggregate output is
+    CONSTANT-size regardless of corpus scale. Reference analog:
+    media-attachment ordering stats of the reference's tweet entities,
+    lifted to span sequences."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    kinds = F.transform(F.col("spans"), lambda s: F.substring(s["kind"], 1, 1))
+    n = F.size(kinds)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    trans = F.transform(
+        idx,
+        lambda k: F.struct(
+            F.element_at(F.col("kinds"), k).alias("from_kind"),
+            F.element_at(F.col("kinds"), k + 1).alias("to_kind"),
+            (k - 1).cast("long").alias("pos"),
+        ),
+    )
+    ex = (
+        docs.withColumn("kinds", kinds)
+        .select("doc_id", F.explode(trans).alias("t"))
+        .select("doc_id", "t.from_kind", "t.to_kind", "t.pos")
+    )
+    agg = ex.groupBy("from_kind", "to_kind").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.sum("pos").alias("sum_pos"),
+    )
+    return agg.withColumn(
+        "mean_pos_ppm", F.expr(f"(sum_pos * {SPANT_PPM}) DIV n_transitions")
+    )
+
+
+def _build_o_span_transitions() -> str:
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+       FROM (SELECT u, unnest(range(0, nd)) AS j FROM ok)),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+ex AS (
+  SELECT d, {kind('(k - 1)')} AS from_kind, {kind('k')} AS to_kind,
+         cast(k - 1 as bigint) AS pos
+  FROM (SELECT d, nsp, unnest(range(1, nsp)) AS k FROM dd))
+SELECT from_kind, to_kind,
+       cast(count(*) as bigint) AS n_transitions,
+       cast(count(DISTINCT d) as bigint) AS n_docs,
+       cast(sum(pos) as bigint) AS sum_pos,
+       (cast(sum(pos) as bigint) * {SPANT_PPM}) // cast(count(*) as bigint)
+         AS mean_pos_ppm
+FROM ex GROUP BY from_kind, to_kind
+"""
+
+
+O_SPAN_TRANSITIONS = _build_o_span_transitions()
