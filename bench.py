@@ -130,6 +130,10 @@ HEADLINE_QUERIES = (
     "ball2_hosts",
     "span_transitions",
     "index_varint_estimate",
+    # round-5r tier
+    "wl_host_hash",
+    "ring_rebalance",
+    "sched_fairness",
 )
 
 

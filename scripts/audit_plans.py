@@ -134,6 +134,9 @@ AUDIT = (
     "ball2_hosts",
     "span_transitions",
     "index_varint_estimate",
+    "wl_host_hash",
+    "ring_rebalance",
+    "sched_fairness",
 )
 
 
@@ -485,6 +488,19 @@ def main():
         f.write("  the gap window runs within the same term partitioning and the\n")
         f.write("  byte rollup partial-combines; under bucketBy(term)/sortBy(doc)\n")
         f.write("  (X5) the window is a zero-exchange sorted-run scan.\n")
+        f.write("- `wl_host_hash`: each WL round is ONE node-key neighbor-color\n")
+        f.write("  aggregation over the directed edge list (the pagerank/HITS\n")
+        f.write("  message shape) with a 32-byte color as the only per-node state;\n")
+        f.write("  lazy localCheckpoint keeps lineage flat across the constant\n")
+        f.write("  number of rounds; class rollup partial-aggregates on color.\n")
+        f.write("- `ring_rebalance`: the keys x (C+1) expansion rides a broadcast\n")
+        f.write("  crawler list map-side; the double argmax is one per-key\n")
+        f.write("  exchange (two max_by over the same expansion); report is |C|\n")
+        f.write("  rows. Production runs this on a key sample; the hot path\n")
+        f.write("  evaluates C hashes map-side at admission.\n")
+        f.write("- `sched_fairness`: per-host counts partial-aggregate on host;\n")
+        f.write("  the histogram exchanges on the tiny count-value key and the\n")
+        f.write("  1-row moments broadcast onto it.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

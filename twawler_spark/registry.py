@@ -174,6 +174,12 @@ QUERIES: dict[str, QueryFn] = {
     "ball2_hosts": wq.q_ball2_hosts,
     "span_transitions": wq.q_span_transitions,
     "index_varint_estimate": tq.q_index_varint_estimate,
+    # round-5r wave (same out-of-window gating): Weisfeiler-Lehman
+    # structural host colors, the rendezvous-hash resize movement
+    # audit, and Jain fairness over the round's fetch allocation
+    "wl_host_hash": wq.q_wl_host_hash,
+    "ring_rebalance": wq.q_ring_rebalance,
+    "sched_fairness": wq.q_sched_fairness,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -398,6 +404,9 @@ ORACLES: dict[str, str] = {
     "ball2_hosts": wq.O_BALL2_HOSTS,
     "span_transitions": wq.O_SPAN_TRANSITIONS,
     "index_varint_estimate": tq.O_INDEX_VARINT_ESTIMATE,
+    "wl_host_hash": wq.O_WL_HOST_HASH,
+    "ring_rebalance": wq.O_RING_REBALANCE,
+    "sched_fairness": wq.O_SCHED_FAIRNESS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

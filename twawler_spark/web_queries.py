@@ -2569,3 +2569,272 @@ FROM ex GROUP BY from_kind, to_kind
 
 
 O_SPAN_TRANSITIONS = _build_o_span_transitions()
+
+
+# ------------------------------ Weisfeiler-Lehman host colors (5r)
+
+WL_ROUNDS = 2
+
+
+def q_wl_host_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement over the host link graph
+    (same fixture as triangle/kcore/assortativity/ball2): start from
+    degree labels, then WL_ROUNDS times re-color every node as
+    md5(own_color || '|' || sorted comma-joined neighbor colors) —
+    the 1-WL graph fingerprint (Weisfeiler & Lehman 1968; the
+    isomorphism-test workhorse behind GIN-style graph nets). Crawl
+    use: WL colors are STRUCTURAL host signatures — two mirror hosts
+    (mirror_detect finds them by content) also collide in WL color
+    space by link structure alone, and color-class sizes summarize
+    how template-like the host graph is. Output per final color:
+    class size, member-id sum/min (hash-pins the exact partition of
+    nodes into classes).
+
+    Determinism: colors are md5 hex strings; the neighbor multiset is
+    canonicalized by a BINARY-collation sort + comma join, identical
+    in Spark (array_sort + array_join) and DuckDB (string_agg ORDER
+    BY), so every round's coloring is bit-reproducible — no hash
+    seeds, no iteration-order dependence.
+
+    100 TB shape: each WL round is ONE node-key aggregation of
+    neighbor colors over the directed edge list (the classic message
+    round — same exchange pattern as pagerank/HITS, which already
+    ship here), with the 32-byte color as the only state per node;
+    WL_ROUNDS is a small constant. Class-size rollup partial-
+    aggregates on the color key. Reference analog: none — host-graph
+    infrastructure for the mirror/template tier."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    colors = dirs.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).select(F.col("a").alias("n"), F.col("d").cast("string").alias("c"))
+    for _ in range(WL_ROUNDS):
+        nbr = dirs.join(
+            colors.select(F.col("n").alias("b"), F.col("c").alias("nc")), "b"
+        )
+        msg = nbr.groupBy("a").agg(
+            F.array_join(F.array_sort(F.collect_list("nc")), ",").alias("msg")
+        )
+        colors = (
+            colors.join(msg, colors["n"] == msg["a"])
+            .select(
+                "n",
+                F.md5(F.concat(F.col("c"), F.lit("|"), F.col("msg"))).alias("c"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return colors.groupBy(F.col("c").alias("wl_color")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("n").alias("sum_node_ids"),
+        F.min("n").alias("min_node_id"),
+    )
+
+
+def _build_o_wl() -> str:
+    rounds = []
+    prev = "c0"
+    for t in range(1, WL_ROUNDS + 1):
+        rounds.append(
+            f"""m{t} AS (
+  SELECT dirs.a, string_agg(p.c, ',' ORDER BY p.c) AS msg
+  FROM dirs JOIN {prev} p ON p.n = dirs.b GROUP BY dirs.a),
+c{t} AS (
+  SELECT p.n, md5(p.c || '|' || m.msg) AS c
+  FROM {prev} p JOIN m{t} m ON m.a = p.n)"""
+        )
+        prev = f"c{t}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+c0 AS (
+  SELECT a AS n, cast(count(*) as varchar) AS c FROM dirs GROUP BY a),
+{chain}
+SELECT c AS wl_color,
+       cast(count(*) as bigint) AS n_nodes,
+       cast(sum(n) as bigint) AS sum_node_ids,
+       min(n) AS min_node_id
+FROM c{WL_ROUNDS} GROUP BY c
+"""
+
+
+O_WL_HOST_HASH = _build_o_wl()
+
+
+# --------------------------- rendezvous-ring resize audit (5r)
+
+RING_CRAWLERS = 12   # crawler pool before the resize
+RING_PPM = 1_000_000
+
+
+def q_ring_rebalance(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendezvous-hash resize audit: assign every URL key to its
+    highest-random-weight crawler under C = RING_CRAWLERS and again
+    under C+1, and measure the movement — the capacity-planning
+    question behind fetcher_assignment ('what does adding one crawler
+    cost in re-sharded state?'). HRW's minimal-disruption guarantee
+    says a key moves IFF the new crawler wins it, so keys moved
+    BETWEEN two old crawlers must be exactly zero — emitted as its
+    own column (n_moved_elsewhere) so the driver hash PINS the
+    guarantee, not just the totals. Per old owner: keys held, keys
+    ceded to the new crawler, movement in integer ppm (expected ~
+    1/(C+1) of each shard, binomial spread).
+
+    Determinism: the weight is the md5 hex string of ('ring:' || c ||
+    ':' || key) compared in binary collation — no numeric conversion,
+    no ties in practice (distinct 128-bit strings); the argmax is a
+    per-key window with (weight, crawler) ordering so even a
+    hypothetical tie breaks identically in both engines.
+
+    100 TB shape: keys x (C+1) candidate rows expand map-side from a
+    broadcast crawler list (C is the POOL size, tiny), the double
+    argmax is one per-key reduction (max_by twice over the same
+    expansion — a single exchange), and the report is |C| rows.
+    Production note: at 10^10 keys you never materialize global
+    assignments — this audit runs on a key SAMPLE (like lsh_s_curve,
+    calibration not hot path); the hot path evaluates C md5s per key
+    map-side at admission time. Reference analog: the multi-crawler
+    work sharding of the reference's parallel crawler accounts
+    (SURVEY §2 S1/S2 fleet), measured across a resize."""
+    e = _t(spark, sf, "events")
+    crawlers = spark.range(RING_CRAWLERS + 1).select(
+        F.col("id").cast("int").alias("cid")
+    )
+    keyed = e.select(
+        F.concat(F.lit("u:"), F.col("event_id").cast("string")).alias("k")
+    ).crossJoin(F.broadcast(crawlers))
+    w = F.md5(
+        F.concat(
+            F.lit("ring:"),
+            F.col("cid").cast("string"),
+            F.lit(":"),
+            F.col("k"),
+        )
+    )
+    scored = keyed.select("k", "cid", w.alias("w"))
+    per_key = scored.groupBy("k").agg(
+        F.expr(
+            f"max_by(cid, w) FILTER (WHERE cid < {RING_CRAWLERS})"
+        ).alias("old_owner"),
+        F.expr("max_by(cid, w)").alias("new_owner"),
+    )
+    flags = per_key.select(
+        "old_owner",
+        (F.col("new_owner") != F.col("old_owner")).alias("moved"),
+        (
+            (F.col("new_owner") != F.col("old_owner"))
+            & (F.col("new_owner") == RING_CRAWLERS)
+        ).alias("to_new"),
+    )
+    agg = flags.groupBy(F.col("old_owner").alias("crawler")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("to_new"), 1).otherwise(0)).cast("long").alias(
+            "n_moved_to_new"
+        ),
+        F.sum(F.when(F.col("moved") & ~F.col("to_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_moved_elsewhere"),
+    )
+    return agg.withColumn(
+        "moved_ppm",
+        F.expr(f"((n_moved_to_new + n_moved_elsewhere) * {RING_PPM}) DIV n_keys"),
+    )
+
+
+O_RING_REBALANCE = f"""
+WITH keys AS (
+  SELECT 'u:' || cast(event_id as varchar) AS k FROM events),
+scored AS (
+  SELECT k, cid,
+         md5('ring:' || cast(cid as varchar) || ':' || k) AS w
+  FROM keys, (SELECT unnest(range(0, {RING_CRAWLERS + 1})) AS cid)),
+per_key AS (
+  SELECT k,
+         arg_max(cid, w) FILTER (WHERE cid < {RING_CRAWLERS}) AS old_owner,
+         arg_max(cid, w) AS new_owner
+  FROM scored GROUP BY k),
+flags AS (
+  SELECT old_owner,
+         new_owner <> old_owner AS moved,
+         new_owner <> old_owner AND new_owner = {RING_CRAWLERS} AS to_new
+  FROM per_key)
+SELECT old_owner AS crawler,
+       cast(count(*) as bigint) AS n_keys,
+       cast(sum(CASE WHEN to_new THEN 1 ELSE 0 END) as bigint)
+         AS n_moved_to_new,
+       cast(sum(CASE WHEN moved AND NOT to_new THEN 1 ELSE 0 END) as bigint)
+         AS n_moved_elsewhere,
+       ((cast(sum(CASE WHEN to_new THEN 1 ELSE 0 END) as bigint)
+           + cast(sum(CASE WHEN moved AND NOT to_new THEN 1 ELSE 0 END) as bigint))
+          * {RING_PPM})
+         // cast(count(*) as bigint) AS moved_ppm
+FROM flags GROUP BY old_owner
+"""
+
+
+# ----------------------------- scheduling fairness (Jain, 5r)
+
+JAIN_PPM = 1_000_000
+
+
+def q_sched_fairness(spark: SparkSession, sf: str) -> DataFrame:
+    """Jain's fairness index over the round's ACTUAL per-host fetch
+    allocation (the engine's own scheduling plan, not a synthetic
+    log): J = (sum x)^2 / (n * sum x^2) over per-host scheduled
+    counts x_h — 1.0 means every host got an equal share, 1/n means
+    one host took everything. This is the closed-loop audit of the
+    politeness budget's FAIRNESS (politeness_audit checks per-host
+    legality, this checks cross-host equity — a budget can be legal
+    per host and still starve the tail). Output: the per-host-count
+    histogram (n_scheduled -> n_hosts, pinning the whole allocation
+    distribution) with the exact moment columns and J in integer ppm
+    ((S1^2 * 1e6) DIV (n * S2) — one floor division of exact
+    BIGINTs).
+
+    100 TB shape: per-host counts partial-aggregate on the host key
+    (the plan is already host-clustered from the budget stage); the
+    histogram exchanges on the COUNT value (cardinality ~ budget
+    ceiling, tiny) and the moments reduce to one row broadcast onto
+    it. Reference analog: the reference balances crawler accounts by
+    rate-limit windows (SURVEY §2 S1/J5); this is that balance,
+    measured."""
+    _, plan = _plan(spark, sf)
+    x = plan.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    mom = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts_total"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    hist = x.groupBy(F.col("x").alias("n_scheduled")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts")
+    )
+    return hist.crossJoin(F.broadcast(mom)).select(
+        "n_scheduled",
+        "n_hosts",
+        "n_hosts_total",
+        "s1",
+        "s2",
+        F.expr(f"(s1 * s1 * {JAIN_PPM}) DIV (n_hosts_total * s2)").alias(
+            "jain_ppm"
+        ),
+    )
+
+
+O_SCHED_FAIRNESS = f"""
+WITH {_SQL_PLAN_BASE},
+x AS (
+  SELECT host, cast(count(*) as bigint) AS x FROM plan GROUP BY host),
+mom AS (
+  SELECT cast(count(*) as bigint) AS n_hosts_total,
+         cast(sum(x) as bigint) AS s1,
+         cast(sum(x*x) as bigint) AS s2
+  FROM x),
+hist AS (
+  SELECT x AS n_scheduled, cast(count(*) as bigint) AS n_hosts
+  FROM x GROUP BY x)
+SELECT n_scheduled, n_hosts, n_hosts_total, s1, s2,
+       (s1 * s1 * {JAIN_PPM}) // (n_hosts_total * s2) AS jain_ppm
+FROM hist, mom
+"""
