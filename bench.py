@@ -134,6 +134,10 @@ HEADLINE_QUERIES = (
     "wl_host_hash",
     "ring_rebalance",
     "sched_fairness",
+    # round-5s tier
+    "host_robustness",
+    "vocab_growth",
+    "priority_rank_corr",
 )
 
 

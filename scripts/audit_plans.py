@@ -137,6 +137,9 @@ AUDIT = (
     "wl_host_hash",
     "ring_rebalance",
     "sched_fairness",
+    "host_robustness",
+    "vocab_growth",
+    "priority_rank_corr",
 )
 
 
@@ -501,6 +504,17 @@ def main():
         f.write("- `sched_fairness`: per-host counts partial-aggregate on host;\n")
         f.write("  the histogram exchanges on the tiny count-value key and the\n")
         f.write("  1-row moments broadcast onto it.\n")
+        f.write("- `host_robustness`: hub set is a K-row broadcast, pruning is a\n")
+        f.write("  map-side anti-filter, and each scenario reuses the audited\n")
+        f.write("  large-star/small-star CC operator (O(log n) shuffle rounds on\n")
+        f.write("  the contracted graph); summaries reduce to one row each.\n")
+        f.write("- `vocab_growth`: one exchange on the shingle key (min-batch) and\n")
+        f.write("  one on batch (rollup) — the same shingle shuffle the dedup tier\n")
+        f.write("  runs; the cumulative window spans |batches| rows only.\n")
+        f.write("- `priority_rank_corr`: the node signature reuses triangle_counts\n")
+        f.write("  (three node-key shuffles); the all-pairs compare is over HOSTS\n")
+        f.write("  (bounded), sampled at the 10^7-host scale like the other\n")
+        f.write("  calibration tiers — documented in-query.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

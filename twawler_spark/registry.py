@@ -180,6 +180,12 @@ QUERIES: dict[str, QueryFn] = {
     "wl_host_hash": wq.q_wl_host_hash,
     "ring_rebalance": wq.q_ring_rebalance,
     "sched_fairness": wq.q_sched_fairness,
+    # round-5s wave (same out-of-window gating): hub-removal
+    # percolation robustness, Heaps-law shingle vocabulary growth,
+    # and exact Kendall agreement between priority signals
+    "host_robustness": wq.q_host_robustness,
+    "vocab_growth": tq.q_vocab_growth,
+    "priority_rank_corr": wq.q_priority_rank_corr,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -407,6 +413,9 @@ ORACLES: dict[str, str] = {
     "wl_host_hash": wq.O_WL_HOST_HASH,
     "ring_rebalance": wq.O_RING_REBALANCE,
     "sched_fairness": wq.O_SCHED_FAIRNESS,
+    "host_robustness": wq.O_HOST_ROBUSTNESS,
+    "vocab_growth": tq.O_VOCAB_GROWTH,
+    "priority_rank_corr": wq.O_PRIORITY_RANK_CORR,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

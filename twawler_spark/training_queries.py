@@ -4862,3 +4862,87 @@ SELECT term, df, varint_bytes, 8 * df AS raw_bytes,
        ((8 * df - varint_bytes) * {IDXV_PPM}) // (8 * df) AS savings_ppm
 FROM agg WHERE df >= {IDXV_MIN_DF}
 """
+
+
+# ------------------------------ vocabulary growth (Heaps, 5s)
+
+VG_BATCH = 64        # docs per ingestion batch (by doc_id range)
+VG_PPM = 1_000_000
+
+
+def q_vocab_growth(spark, sf):
+    """Heaps-law vocabulary-growth audit over 5-gram shingles: split
+    the corpus into ingestion batches (doc_id ranges of VG_BATCH — the
+    rounds-as-batches view of a growing corpus) and measure, per
+    batch, the total shingle occurrences, the distinct shingles seen
+    IN the batch, the NEW shingles (first batch of occurrence), the
+    running cumulative vocabulary, and the novelty rate in integer
+    ppm. This is the curve a dedup/compression planner reads before
+    sizing shingle indexes and deciding when incremental dedup
+    (dedup_incremental) stops paying: when new_ppm flattens, the
+    shingle universe has saturated. Unigrams would be degenerate here
+    (the fixture vocabulary is 31 words — saturated in batch 0);
+    5-gram shingles keep the space rich at every SF, same universe as
+    the minhash tier, so this audit prices exactly the index that
+    dedup_minhash_lsh builds.
+
+    All integer: first-occurrence is min(batch) per shingle (one
+    exchange on the shingle key — the same key the dedup tier already
+    shuffles on), per-batch rollups partial-aggregate, and the
+    cumulative vocabulary is a window sum over |batches| rows.
+    Reference analog: vocabulary statistics of the reference's word
+    tiers (SURVEY §2 F4/A5 families), lifted to shingle space and
+    put on the ingestion axis."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        F.expr(f"doc_id DIV {VG_BATCH}").alias("batch"),
+        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_batch = sh.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.countDistinct("tok").cast("long").alias("n_distinct"),
+    )
+    first = sh.groupBy("tok").agg(F.min("batch").alias("fb"))
+    news = first.groupBy(F.col("fb").alias("batch")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    j = per_batch.join(news, "batch", "left").fillna({"n_new": 0})
+    cum = F.sum("n_new").over(
+        W.orderBy("batch").rowsBetween(W.unboundedPreceding, 0)
+    )
+    return j.select(
+        "batch",
+        "n_tokens",
+        "n_distinct",
+        "n_new",
+        cum.alias("cum_vocab"),
+        F.expr(f"(n_new * {VG_PPM}) DIV n_tokens").alias("new_ppm"),
+    )
+
+
+O_VOCAB_GROWTH = f"""
+WITH sh AS (
+  SELECT doc_id // {VG_BATCH} AS batch,
+         unnest(list_distinct(
+           list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+             i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM documents),
+shf AS (SELECT batch, tok FROM sh WHERE tok != ''),
+per_batch AS (
+  SELECT batch, cast(count(*) as bigint) AS n_tokens,
+         cast(count(DISTINCT tok) as bigint) AS n_distinct
+  FROM shf GROUP BY batch),
+first AS (SELECT tok, min(batch) AS fb FROM shf GROUP BY tok),
+news AS (
+  SELECT fb AS batch, cast(count(*) as bigint) AS n_new
+  FROM first GROUP BY fb),
+j AS (
+  SELECT p.batch, p.n_tokens, p.n_distinct, coalesce(n.n_new, 0) AS n_new
+  FROM per_batch p LEFT JOIN news n ON n.batch = p.batch)
+SELECT batch, n_tokens, n_distinct, n_new,
+       cast(sum(n_new) OVER (ORDER BY batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         AS cum_vocab,
+       (n_new * {VG_PPM}) // n_tokens AS new_ppm
+FROM j
+"""

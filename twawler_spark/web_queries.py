@@ -2838,3 +2838,237 @@ SELECT n_scheduled, n_hosts, n_hosts_total, s1, s2,
        (s1 * s1 * {JAIN_PPM}) // (n_hosts_total * s2) AS jain_ppm
 FROM hist, mom
 """
+
+
+# ------------------------------ hub-removal robustness (5s)
+
+ROB_K = 8  # hubs removed (by degree desc, id asc) — exactly the clique
+
+
+def q_host_robustness(spark: SparkSession, sf: str) -> DataFrame:
+    """Percolation/robustness audit of the host graph: recompute the
+    connected-component structure after removing the ROB_K
+    highest-degree hosts (ties to the lower id) and compare with the
+    intact graph — the classic 'what if the hubs die' resilience
+    question (Albert/Jeong/Barabasi 2000: scale-free graphs shatter
+    under targeted hub removal). Crawl use: if the crawl's host graph
+    is hub-fragile, seed-list and politeness policy must not starve
+    those hubs, and mirror/CDN hubs deserve redundant fetch capacity.
+    Output one row per scenario ('full', 'pruned'): node/edge counts,
+    component count, largest component size, and the S2 fragmentation
+    index sum(comp_size^2) — the percolation literature's
+    susceptibility numerator, BIGINT-exact.
+
+    100 TB shape: degrees + the top-K hub set are one node-key
+    aggregation and a K-row broadcast; edge pruning is a map-side
+    anti-filter against that broadcast; each scenario then runs the
+    same alternating large-star/small-star CC operator
+    (operators/dedup.py:274, O(log n) shuffle rounds on the
+    contracted graph) that host_components/dedup_clusters already
+    gate. Isolated survivors (nodes whose every edge died with a hub)
+    are singleton components via the same left-join convention as
+    host_components. Reference analog: the follower-graph resilience
+    reading of SURVEY §2's graph tier."""
+    from .operators.dedup import connected_components
+
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = dirs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    hubs = (
+        deg.orderBy(F.col("d").desc(), F.col("a").asc())
+        .limit(ROB_K)
+        .select(F.col("a").alias("hub"))
+    )
+    rows = []
+    for scenario in ("full", "pruned"):
+        if scenario == "full":
+            ed = edges
+            nodes = deg.select(F.col("a").alias("n"))
+        else:
+            ed = (
+                edges.join(
+                    F.broadcast(hubs), edges["u"] == hubs["hub"], "left_anti"
+                ).join(F.broadcast(hubs), edges["v"] == hubs["hub"], "left_anti")
+            )
+            nodes = deg.join(
+                F.broadcast(hubs), deg["a"] == hubs["hub"], "left_anti"
+            ).select(F.col("a").alias("n"))
+        cc = connected_components(ed, "u", "v")
+        comp = nodes.join(cc, nodes["n"] == cc["node"], "left").select(
+            "n", F.coalesce("component", F.col("n")).alias("comp")
+        )
+        sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        summ = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").alias("largest_comp"),
+            F.sum(F.col("sz") * F.col("sz")).alias("s2_fragmentation"),
+        )
+        meta = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).crossJoin(
+            ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+        rows.append(
+            meta.crossJoin(summ).select(
+                F.lit(scenario).alias("scenario"),
+                "n_nodes",
+                "n_edges",
+                "n_components",
+                "largest_comp",
+                "s2_fragmentation",
+            )
+        )
+    return rows[0].unionByName(rows[1])
+
+
+def _build_o_robustness() -> str:
+    def closure(tag: str, edge_cte: str, node_cte: str) -> str:
+        return f"""
+und_{tag} AS (SELECT u, v FROM {edge_cte} UNION SELECT v, u FROM {edge_cte}),
+reach_{tag}(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und_{tag})
+  UNION
+  SELECT r.u, e.v FROM reach_{tag} r JOIN und_{tag} e ON r.v = e.u),
+comp_{tag} AS (
+  SELECT n.n, coalesce(c.component, n.n) AS comp
+  FROM {node_cte} n LEFT JOIN
+       (SELECT u AS node, min(v) AS component FROM reach_{tag} GROUP BY u) c
+    ON c.node = n.n),
+sizes_{tag} AS (
+  SELECT comp, cast(count(*) as bigint) AS sz FROM comp_{tag} GROUP BY comp),
+summ_{tag} AS (
+  SELECT '{tag}' AS scenario,
+         (SELECT cast(count(*) as bigint) FROM {node_cte}) AS n_nodes,
+         (SELECT cast(count(*) as bigint) FROM {edge_cte}) AS n_edges,
+         cast(count(*) as bigint) AS n_components,
+         max(sz) AS largest_comp,
+         cast(sum(sz*sz) as bigint) AS s2_fragmentation
+  FROM sizes_{tag})"""
+
+    return f"""
+WITH RECURSIVE {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a, cast(count(*) as bigint) AS d FROM dirs GROUP BY a),
+hubs AS (SELECT a AS hub FROM deg ORDER BY d DESC, a ASC LIMIT {ROB_K}),
+nodes_full AS (SELECT a AS n FROM deg),
+nodes_pruned AS (
+  SELECT a AS n FROM deg WHERE a NOT IN (SELECT hub FROM hubs)),
+e_pruned AS (
+  SELECT u, v FROM e
+  WHERE u NOT IN (SELECT hub FROM hubs)
+    AND v NOT IN (SELECT hub FROM hubs)),
+{closure('full', 'e', 'nodes_full')},
+{closure('pruned', 'e_pruned', 'nodes_pruned')}
+SELECT * FROM summ_full UNION ALL SELECT * FROM summ_pruned
+"""
+
+
+O_HOST_ROBUSTNESS = _build_o_robustness()
+
+
+# ------------------------ priority rank correlation (Kendall, 5s)
+
+RANKCORR_PPM = 1_000_000
+
+
+def q_priority_rank_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact Kendall rank agreement between two crawl-priority
+    signals — node DEGREE (cheap, one aggregation) vs TRIANGLE count
+    (expensive, the closure signal) — over the host graph: does the
+    cheap signal order hosts the same way the expensive one does? If
+    concordance is high, the scheduler can rank by degree and skip
+    the triangle pass at 100 TB; the discordant mass is exactly what
+    that shortcut gets wrong. Over all node pairs: concordant
+    ((d_i-d_j)(t_i-t_j) > 0), discordant (< 0), tied (either signal
+    equal) — BIGINT counts, with both rates in integer ppm (tau-a =
+    conc_ppm - disc_ppm, derivable exactly; emitted as the two
+    non-negative terms so every division is a floor division of
+    non-negative integers — no negative-DIV semantics divergence
+    between engines).
+
+    100 TB shape: the node signature table (node, degree, n_tri)
+    comes from the already-audited triangle_counts operator; the
+    pair comparison is all-pairs over NODES (hosts, bounded — the
+    same |hosts|^2 regime as the scheduler's rank tails; at 10^7
+    hosts production samples pairs, same calibration-on-a-sample
+    discipline as lsh_s_curve/ring_rebalance, documented here).
+    Reference analog: choosing between twAwler's cheap tracking-order
+    heuristics and graph-derived priorities (SURVEY §2 J5/O1),
+    quantified."""
+    from .operators.graph import triangle_counts
+
+    sig = triangle_counts(_tri_edges(_t(spark, sf, "documents"))).select(
+        "node", "degree", "n_tri"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(b, F.col("a.node") < F.col("b.node")).select(
+        (F.col("a.degree") - F.col("b.degree")).alias("dd"),
+        (F.col("a.n_tri") - F.col("b.n_tri")).alias("dt"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("dd") * F.col("dt") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_concordant"),
+        F.sum(F.when(F.col("dd") * F.col("dt") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_discordant"),
+        F.sum(F.when((F.col("dd") == 0) | (F.col("dt") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied"),
+    )
+    n_nodes = sig.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    return agg.crossJoin(F.broadcast(n_nodes)).select(
+        "n_nodes",
+        "n_pairs",
+        "n_concordant",
+        "n_discordant",
+        "n_tied",
+        F.expr(f"(n_concordant * {RANKCORR_PPM}) DIV n_pairs").alias("conc_ppm"),
+        F.expr(f"(n_discordant * {RANKCORR_PPM}) DIV n_pairs").alias("disc_ppm"),
+    )
+
+
+def _build_o_rank_corr() -> str:
+    # triangle signature: the closed-form x<y<z triple join
+    # (same shape as O_TRIANGLE_HOSTS)
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n),
+sig AS (
+  SELECT deg.n AS node, cast(deg.d as bigint) AS degree,
+         cast(coalesce(cnt.n_tri, 0) as bigint) AS n_tri
+  FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+  WHERE deg.d >= 2),
+pairs AS (
+  SELECT (a.degree - b.degree) AS dd, (a.n_tri - b.n_tri) AS dt
+  FROM sig a JOIN sig b ON a.node < b.node),
+agg AS (
+  SELECT cast(count(*) as bigint) AS n_pairs,
+         cast(sum(CASE WHEN dd * dt > 0 THEN 1 ELSE 0 END) as bigint)
+           AS n_concordant,
+         cast(sum(CASE WHEN dd * dt < 0 THEN 1 ELSE 0 END) as bigint)
+           AS n_discordant,
+         cast(sum(CASE WHEN dd = 0 OR dt = 0 THEN 1 ELSE 0 END) as bigint)
+           AS n_tied
+  FROM pairs)
+SELECT (SELECT cast(count(*) as bigint) FROM sig) AS n_nodes,
+       n_pairs, n_concordant, n_discordant, n_tied,
+       (n_concordant * {RANKCORR_PPM}) // n_pairs AS conc_ppm,
+       (n_discordant * {RANKCORR_PPM}) // n_pairs AS disc_ppm
+FROM agg
+"""
+
+
+O_PRIORITY_RANK_CORR = _build_o_rank_corr()
