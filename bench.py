@@ -138,6 +138,10 @@ HEADLINE_QUERIES = (
     "host_robustness",
     "vocab_growth",
     "priority_rank_corr",
+    # round-5t tier
+    "topk_overlap_curve",
+    "ucb_regret_audit",
+    "bigram_branching",
 )
 
 

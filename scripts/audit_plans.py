@@ -140,6 +140,9 @@ AUDIT = (
     "host_robustness",
     "vocab_growth",
     "priority_rank_corr",
+    "topk_overlap_curve",
+    "ucb_regret_audit",
+    "bigram_branching",
 )
 
 
@@ -515,6 +518,16 @@ def main():
         f.write("  (three node-key shuffles); the all-pairs compare is over HOSTS\n")
         f.write("  (bounded), sampled at the 10^7-host scale like the other\n")
         f.write("  calibration tiers — documented in-query.\n")
+        f.write("- `topk_overlap_curve`: two bounded-cardinality rank sorts over\n")
+        f.write("  hosts, a TOPK_D-row broadcast depth expansion over the top-d\n")
+        f.write("  survivors only, TOPK_D output rows.\n")
+        f.write("- `ucb_regret_audit`: one groupBy(host) (shared shape with\n")
+        f.write("  ucb_host_schedule), a 1-row best-arm broadcast from a bounded\n")
+        f.write("  sort head, map-side exact-integer gap arithmetic.\n")
+        f.write("- `bigram_branching`: bigram explode (per-doc bounded) into TWO\n")
+        f.write("  aggregations on the first-token key; the top-successor pick is\n")
+        f.write("  a window over the pre-aggregated vocab-x-vocab counts (tiny) —\n")
+        f.write("  the f6 two-exchange shape in conditional form.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

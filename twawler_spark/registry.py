@@ -186,6 +186,12 @@ QUERIES: dict[str, QueryFn] = {
     "host_robustness": wq.q_host_robustness,
     "vocab_growth": tq.q_vocab_growth,
     "priority_rank_corr": wq.q_priority_rank_corr,
+    # round-5t wave (same out-of-window gating): top-k prefix overlap
+    # between priority rankings, the hindsight bandit regret ledger,
+    # and the bigram successor-branching audit
+    "topk_overlap_curve": wq.q_topk_overlap_curve,
+    "ucb_regret_audit": wq.q_ucb_regret_audit,
+    "bigram_branching": tq.q_bigram_branching,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -416,6 +422,9 @@ ORACLES: dict[str, str] = {
     "host_robustness": wq.O_HOST_ROBUSTNESS,
     "vocab_growth": tq.O_VOCAB_GROWTH,
     "priority_rank_corr": wq.O_PRIORITY_RANK_CORR,
+    "topk_overlap_curve": wq.O_TOPK_OVERLAP_CURVE,
+    "ucb_regret_audit": wq.O_UCB_REGRET_AUDIT,
+    "bigram_branching": tq.O_BIGRAM_BRANCHING,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -4946,3 +4946,100 @@ SELECT batch, n_tokens, n_distinct, n_new,
        (n_new * {VG_PPM}) // n_tokens AS new_ppm
 FROM j
 """
+
+
+# ------------------------------- bigram branching factor (5t)
+
+BR_PPM = 1_000_000
+
+
+def q_bigram_branching(spark, sf):
+    """Per-token successor branching over the corpus bigram stream —
+    the n-gram LM fan-out audit: for every first token, how many
+    occurrences, how many DISTINCT successors, which successor
+    dominates and with what share. High-branching tokens are the
+    hard-to-predict positions (where an LM spends its loss); a
+    dominant successor share near 1e6 marks collocations that a
+    phrase tokenizer (bpe_merges learns exactly these) should fuse.
+    Companion of f6_bigram_topk (which ranks bigram COUNTS) and
+    ccnet_lm_buckets (which buckets doc-level LM scores): this is the
+    token-level conditional-distribution summary, all integer — the
+    top successor is picked by (count desc, token asc) so both
+    engines choose identically even on count ties.
+
+    100 TB shape: the bigram stream explodes once (per-doc bounded),
+    then TWO aggregations on the first-token key — (tok, next)
+    partial counts, then the per-tok rollup with a window-free
+    max_by-equivalent (row_number over the (tok) partition on the
+    pre-aggregated counts, cardinality vocab x vocab, tiny) — the
+    same two-exchange shape as f6. Reference analog: the word/bigram
+    frequency tiers of twkit/analytics/freq.py, lifted to conditional
+    form."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        d.select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda k: F.struct(
+                        F.element_at(toks, k).alias("tok"),
+                        F.element_at(toks, k + 1).alias("nxt"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .select("p.tok", "p.nxt")
+        .where((F.col("tok") != "") & (F.col("nxt") != ""))
+    )
+    cnt = pairs.groupBy("tok", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    rn = F.row_number().over(
+        W.partitionBy("tok").orderBy(F.col("c").desc(), F.col("nxt").asc())
+    )
+    tot = cnt.groupBy("tok").agg(
+        F.sum("c").alias("n_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_successors"),
+    )
+    top = cnt.withColumn("rn", rn).where(F.col("rn") == 1).select(
+        "tok", F.col("nxt").alias("top_next"), F.col("c").alias("top_next_n")
+    )
+    return tot.join(top, "tok").select(
+        "tok",
+        "n_pairs",
+        "n_successors",
+        "top_next",
+        "top_next_n",
+        F.expr(f"(top_next_n * {BR_PPM}) DIV n_pairs").alias("top_share_ppm"),
+    )
+
+
+O_BIGRAM_BRANCHING = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+pairs AS (
+  SELECT ts[k] AS tok, ts[k + 1] AS nxt
+  FROM (SELECT ts, unnest(range(1, len(ts))) AS k FROM toks WHERE len(ts) >= 2)
+  WHERE ts[k] != '' AND ts[k + 1] != ''),
+cnt AS (
+  SELECT tok, nxt, cast(count(*) as bigint) AS c
+  FROM pairs GROUP BY tok, nxt),
+tot AS (
+  SELECT tok, cast(sum(c) as bigint) AS n_pairs,
+         cast(count(*) as bigint) AS n_successors
+  FROM cnt GROUP BY tok),
+top AS (
+  SELECT tok, nxt AS top_next, c AS top_next_n
+  FROM (SELECT *, row_number() OVER (PARTITION BY tok
+                                     ORDER BY c DESC, nxt ASC) AS rn
+        FROM cnt)
+  WHERE rn = 1)
+SELECT tot.tok, tot.n_pairs, tot.n_successors,
+       top.top_next, top.top_next_n,
+       (top.top_next_n * {BR_PPM}) // tot.n_pairs AS top_share_ppm
+FROM tot JOIN top ON top.tok = tot.tok
+"""

@@ -3072,3 +3072,197 @@ FROM agg
 
 
 O_PRIORITY_RANK_CORR = _build_o_rank_corr()
+
+
+# ----------------------------- top-k prefix overlap curve (5t)
+
+TOPK_D = 20
+TOPK_PPM = 1_000_000
+
+
+def q_topk_overlap_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-weighted agreement between two crawl-priority rankings —
+    the prefix-overlap curve underneath RBO (Webber et al. 2010):
+    for every depth d <= TOPK_D, how many hosts appear in BOTH the
+    degree-ranked and the triangle-ranked top-d? priority_rank_corr
+    answers 'do the signals agree globally'; this answers the
+    scheduler's actual question, 'do they agree where it matters —
+    at the TOP, where the fetch budget goes'. Per depth: the overlap
+    count, overlap/d, and the prefix Jaccard ov/(2d-ov), both in
+    integer ppm. Rankings break ties deterministically by node id, so
+    both engines produce the identical permutation.
+
+    100 TB shape: the two rankings are bounded-cardinality sorts over
+    HOSTS (the scheduler's own rank tail); the depth expansion rides
+    a TOPK_D-row broadcast onto the top-d survivors only (rows where
+    both ranks <= TOPK_D matter; everything deeper is filtered before
+    the expansion), and the curve is TOPK_D rows. Reference analog:
+    comparing the reference's tracking-order priorities against
+    graph-derived ones at the head of the queue (SURVEY §2 O1/O4)."""
+    from .operators.graph import triangle_counts
+
+    sig = triangle_counts(_tri_edges(_t(spark, sf, "documents"))).select(
+        "node", "degree", "n_tri"
+    )
+    rk_deg = F.row_number().over(
+        Window.orderBy(F.col("degree").desc(), F.col("node").asc())
+    )
+    rk_tri = F.row_number().over(
+        Window.orderBy(F.col("n_tri").desc(), F.col("node").asc())
+    )
+    ranked = sig.select(
+        "node", rk_deg.alias("ra"), rk_tri.alias("rb")
+    ).where((F.col("ra") <= TOPK_D) | (F.col("rb") <= TOPK_D))
+    depths = spark.range(1, TOPK_D + 1).select(F.col("id").cast("long").alias("d"))
+    ov = (
+        ranked.crossJoin(F.broadcast(depths))
+        .where((F.col("ra") <= F.col("d")) & (F.col("rb") <= F.col("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    full = depths.join(ov, "d", "left").fillna({"n_overlap": 0})
+    return full.select(
+        F.col("d").alias("depth"),
+        "n_overlap",
+        F.expr(f"(n_overlap * {TOPK_PPM}) DIV d").alias("overlap_ppm"),
+        F.expr(f"(n_overlap * {TOPK_PPM}) DIV (2 * d - n_overlap)").alias(
+            "jaccard_ppm"
+        ),
+    )
+
+
+def _build_o_topk_overlap() -> str:
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n),
+sig AS (
+  SELECT deg.n AS node, cast(deg.d as bigint) AS degree,
+         cast(coalesce(cnt.n_tri, 0) as bigint) AS n_tri
+  FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+  WHERE deg.d >= 2),
+ranked AS (
+  SELECT node,
+         row_number() OVER (ORDER BY degree DESC, node ASC) AS ra,
+         row_number() OVER (ORDER BY n_tri DESC, node ASC) AS rb
+  FROM sig),
+depths AS (SELECT unnest(range(1, {TOPK_D} + 1)) AS d),
+ov AS (
+  SELECT d, cast(count(*) as bigint) AS n_overlap
+  FROM ranked, depths
+  WHERE ra <= d AND rb <= d GROUP BY d)
+SELECT cast(depths.d as bigint) AS depth,
+       coalesce(ov.n_overlap, 0) AS n_overlap,
+       (coalesce(ov.n_overlap, 0) * {TOPK_PPM}) // depths.d AS overlap_ppm,
+       (coalesce(ov.n_overlap, 0) * {TOPK_PPM})
+         // (2 * depths.d - coalesce(ov.n_overlap, 0)) AS jaccard_ppm
+FROM depths LEFT JOIN ov ON ov.d = depths.d
+"""
+
+
+O_TOPK_OVERLAP_CURVE = _build_o_topk_overlap()
+
+
+# ----------------------------------- UCB regret audit (5t)
+
+REGRET_PPM = 1_000_000
+
+
+def q_ucb_regret_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Hindsight regret decomposition of the bandit fixture behind
+    ucb_host_schedule: identify the empirically best arm (exact mean
+    comparison — w/n as an IEEE-exact division of two integers, ties
+    to the lower host id) and, for every host, the exact integer mean
+    gap cross-product gap_num = w_best*n_h - w_h*n_best (>= 0 by
+    construction of 'best', BIGINT) and the per-pull mean gap in ppm
+    ((gap_num * 1e6) DIV (n_best * n_h)). The scheduler reads this as
+    'what did exploring host h cost per pull vs exploiting the best
+    known host' — the realized-regret ledger that justifies (or
+    indicts) the UCB bonus. Every emitted quantity is an exact
+    integer or one floor division of exact non-negative integers.
+
+    100 TB shape: same one groupBy(host) as ucb_host_schedule, a
+    1-row broadcast of the best arm (a bounded sort head), map-side
+    gap arithmetic, |hosts| output rows. The mergeable state is the
+    same (host, pulls, wins) row. Reference analog: the accounting
+    side of the reference's crawler-account balancing (SURVEY §2
+    S1/J5), read as explore/exploit cost."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    agg = (
+        e.select(
+            F.pmod(F.col("event_id"), F.lit(UCB_HOSTS)).alias("host"),
+            win.alias("w"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pulls"),
+            F.sum("w").cast("long").alias("wins"),
+        )
+    )
+    best = (
+        agg.orderBy(
+            (F.col("wins").cast("double") / F.col("pulls").cast("double")).desc(),
+            F.col("host").asc(),
+        )
+        .limit(1)
+        .select(
+            F.col("host").alias("best_host"),
+            F.col("pulls").alias("n_best"),
+            F.col("wins").alias("w_best"),
+        )
+    )
+    j = agg.crossJoin(F.broadcast(best))
+    return j.select(
+        "host",
+        "pulls",
+        "wins",
+        "best_host",
+        (F.col("host") == F.col("best_host")).cast("int").alias("is_best"),
+        (F.col("w_best") * F.col("pulls") - F.col("wins") * F.col("n_best")).alias(
+            "gap_num"
+        ),
+        F.expr(
+            f"((w_best * pulls - wins * n_best) * {REGRET_PPM})"
+            f" DIV (n_best * pulls)"
+        ).alias("mean_gap_ppm"),
+    )
+
+
+O_UCB_REGRET_AUDIT = f"""
+WITH per AS (
+  SELECT event_id % {UCB_HOSTS} AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS pulls,
+         cast(sum(w) as bigint) AS wins
+  FROM per GROUP BY host),
+best AS (
+  SELECT host AS best_host, pulls AS n_best, wins AS w_best
+  FROM agg
+  ORDER BY cast(wins as double) / cast(pulls as double) DESC, host ASC
+  LIMIT 1)
+SELECT host, pulls, wins, best_host,
+       cast(CASE WHEN host = best_host THEN 1 ELSE 0 END as int) AS is_best,
+       w_best * pulls - wins * n_best AS gap_num,
+       ((w_best * pulls - wins * n_best) * {REGRET_PPM})
+         // (n_best * pulls) AS mean_gap_ppm
+FROM agg, best
+"""
