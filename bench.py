@@ -142,6 +142,10 @@ HEADLINE_QUERIES = (
     "topk_overlap_curve",
     "ucb_regret_audit",
     "bigram_branching",
+    # round-5u tier
+    "link_reciprocity",
+    "edge_support",
+    "mixture_independence",
 )
 
 

@@ -143,6 +143,9 @@ AUDIT = (
     "topk_overlap_curve",
     "ucb_regret_audit",
     "bigram_branching",
+    "link_reciprocity",
+    "edge_support",
+    "mixture_independence",
 )
 
 
@@ -528,6 +531,17 @@ def main():
         f.write("  aggregations on the first-token key; the top-successor pick is\n")
         f.write("  a window over the pre-aggregated vocab-x-vocab counts (tiny) —\n")
         f.write("  the f6 two-exchange shape in conditional form.\n")
+        f.write("- `link_reciprocity`: directed pairs pre-aggregate map-side from\n")
+        f.write("  the outlink expansion; the back-edge probe is ONE self-join on\n")
+        f.write("  the swapped pair key, then a groupBy(src).\n")
+        f.write("- `edge_support`: the same oriented wedge pipeline as\n")
+        f.write("  triangle_counts (O(sqrt(m)) fan-out bound); closed triangles\n")
+        f.write("  explode into exactly three edge contributions each, one\n")
+        f.write("  pair-key groupBy, two node-key degree joins.\n")
+        f.write("- `mixture_independence`: one bounded groupBy(source, lang) plus\n")
+        f.write("  three tiny broadcast margins joined back map-side; the sample\n")
+        f.write("  bound keeps the exact-integer chi numerator under 2^60 and the\n")
+        f.write("  production form merges per-shard contingency counts first.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -192,6 +192,12 @@ QUERIES: dict[str, QueryFn] = {
     "topk_overlap_curve": wq.q_topk_overlap_curve,
     "ucb_regret_audit": wq.q_ucb_regret_audit,
     "bigram_branching": tq.q_bigram_branching,
+    # round-5u wave (same out-of-window gating): directed-link
+    # reciprocity, per-edge triangle support (the k-truss signal),
+    # and the exact chi-square mixture independence audit
+    "link_reciprocity": wq.q_link_reciprocity,
+    "edge_support": wq.q_edge_support,
+    "mixture_independence": tq.q_mixture_independence,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -425,6 +431,9 @@ ORACLES: dict[str, str] = {
     "topk_overlap_curve": wq.O_TOPK_OVERLAP_CURVE,
     "ucb_regret_audit": wq.O_UCB_REGRET_AUDIT,
     "bigram_branching": tq.O_BIGRAM_BRANCHING,
+    "link_reciprocity": wq.O_LINK_RECIPROCITY,
+    "edge_support": wq.O_EDGE_SUPPORT,
+    "mixture_independence": tq.O_MIXTURE_INDEPENDENCE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -5043,3 +5043,82 @@ SELECT tot.tok, tot.n_pairs, tot.n_successors,
        (top.top_next_n * {BR_PPM}) // tot.n_pairs AS top_share_ppm
 FROM tot JOIN top ON top.tok = tot.tok
 """
+
+
+# ------------------------- mixture independence audit (chi^2, 5u)
+
+CHI_PPM = 1_000_000
+CHI_MAX_DOCS = 1000  # sample bound: N <= 1000 keeps dev^2 * 1e6 < 2^60
+
+
+def q_mixture_independence(spark, sf):
+    """Exact chi-square decomposition of the (source, lang)
+    contingency table — the independence audit a mixture planner runs
+    before treating 'domain' and 'language' as separable axes
+    (domain_mixture reweights by source; if language is NOT
+    independent of source, that reweighting silently shifts the
+    language mix too). Per cell: observed count, row/col totals, and
+    the cell's chi-square contribution under independence — computed
+    as EXACT integers: with E = row*col/N, the contribution
+    (O - E)^2 / E equals (O*N - row*col)^2 / (N*row*col), so the
+    emitted cell_chi2_ppm = ((O*N - row*col)^2 * 1e6) DIV
+    (N*row*col) needs one floor division of exact BIGINTs — no float
+    expectation anywhere. High-ppm cells are exactly the
+    (source, lang) pairs whose coupling the mixture plan must
+    respect.
+
+    100 TB shape: the contingency table is one partial-aggregated
+    groupBy over (source, lang) — bounded by domains x languages —
+    with row/col/grand totals as three tiny broadcast aggregates
+    joined back map-side. Reference analog: the per-language
+    per-source census of A15/a2 lifted to a dependence test."""
+    # bounded sample (constant at every sf): keeps the exact-integer
+    # numerator (O*N - row*col)^2 * 1e6 below 2^60 — contingency
+    # tables are mergeable counts, so production runs this per shard
+    # and merges cells before the arithmetic
+    d = _t(spark, sf, "documents").where(F.col("doc_id") < CHI_MAX_DOCS)
+    cell = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    rowt = cell.groupBy("source").agg(F.sum("obs").alias("row_total"))
+    colt = cell.groupBy("lang").agg(F.sum("obs").alias("col_total"))
+    grand = cell.agg(F.sum("obs").alias("n_total"))
+    j = (
+        cell.join(F.broadcast(rowt), "source")
+        .join(F.broadcast(colt), "lang")
+        .crossJoin(F.broadcast(grand))
+    )
+    dev = F.col("obs") * F.col("n_total") - F.col("row_total") * F.col("col_total")
+    return j.select(
+        "source",
+        "lang",
+        "obs",
+        "row_total",
+        "col_total",
+        "n_total",
+        dev.alias("dev_num"),
+        F.expr(
+            f"((obs * n_total - row_total * col_total)"
+            f" * (obs * n_total - row_total * col_total) * {CHI_PPM})"
+            f" DIV (n_total * row_total * col_total)"
+        ).alias("cell_chi2_ppm"),
+    )
+
+
+O_MIXTURE_INDEPENDENCE = f"""
+WITH cell AS (
+  SELECT source, lang, cast(count(*) as bigint) AS obs
+  FROM documents WHERE doc_id < {CHI_MAX_DOCS} GROUP BY source, lang),
+rowt AS (SELECT source, cast(sum(obs) as bigint) AS row_total FROM cell GROUP BY source),
+colt AS (SELECT lang, cast(sum(obs) as bigint) AS col_total FROM cell GROUP BY lang),
+grand AS (SELECT cast(sum(obs) as bigint) AS n_total FROM cell)
+SELECT c.source, c.lang, c.obs, r.row_total, l.col_total, g.n_total,
+       c.obs * g.n_total - r.row_total * l.col_total AS dev_num,
+       ((c.obs * g.n_total - r.row_total * l.col_total)
+          * (c.obs * g.n_total - r.row_total * l.col_total) * {CHI_PPM})
+         // (g.n_total * r.row_total * l.col_total) AS cell_chi2_ppm
+FROM cell c
+JOIN rowt r ON r.source = c.source
+JOIN colt l ON l.lang = c.lang
+CROSS JOIN grand g
+"""

@@ -3266,3 +3266,205 @@ SELECT host, pulls, wins, best_host,
          // (n_best * pulls) AS mean_gap_ppm
 FROM agg, best
 """
+
+
+# ---------------------------------- directed link reciprocity (5u)
+
+RECIP_PPM = 1_000_000
+RECIP_MIN_LINKS = 1  # unlike host_components, a single link counts:
+                     # reciprocity asks IF the back-edge exists at all
+
+
+def q_link_reciprocity(spark: SparkSession, sf: str) -> DataFrame:
+    """Reciprocity of the DIRECTED host link graph discovered by one
+    round's fetches: for every source host, how many distinct target
+    hosts it links (>= RECIP_MIN_LINKS links per pair — a single link
+    counts here, unlike host_components' >= 2 contract: reciprocity
+    asks whether the back-edge EXISTS), how many of those targets
+    link BACK, and the reciprocity
+    in integer ppm. The undirected tiers (components, triangles,
+    cores) deliberately symmetrize; reciprocity is the signal that
+    symmetrization erases — mutual-linking communities vs one-way
+    aggregator/directory hosts — and is the host-graph analog of the
+    reference's follower/friend mutuality stats (SURVEY §2 S5/S6:
+    follower-edge vs friend-edge scans; usersimilarity's mutual
+    fractions).
+
+    100 TB shape: directed pairs pre-aggregate map-side from the
+    outlink expansion (billions of links -> millions of host pairs,
+    the host_components discipline); the reciprocal probe is ONE
+    self-join of the pair table on the swapped key (pair-key
+    exchange), then a groupBy(src). Nothing touches adjacency lists.
+    """
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    src = F.substring("src_host", 2, 10).cast("long")
+    dst = F.regexp_extract("url", r"^https://h(\d+)\.", 1).cast("long")
+    pairs = (
+        links.groupBy(src.alias("a"), dst.alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= RECIP_MIN_LINKS) & (F.col("a") != F.col("b")))
+        .select("a", "b")
+    )
+    rev = pairs.select(F.col("b").alias("a"), F.col("a").alias("b")).withColumn(
+        "has_rev", F.lit(1).cast("long")
+    )
+    flagged = pairs.join(rev, ["a", "b"], "left").fillna({"has_rev": 0})
+    agg = flagged.groupBy(F.col("a").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_out"),
+        F.sum("has_rev").alias("n_reciprocal"),
+    )
+    return agg.withColumn(
+        "recip_ppm", F.expr(f"(n_reciprocal * {RECIP_PPM}) DIV n_out")
+    )
+
+
+def _build_o_reciprocity() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM ok),
+dlinks AS (
+  SELECT cast(substring(src_host, 2) as bigint) AS a, {th} AS b FROM lj),
+pairs AS (
+  SELECT a, b FROM (SELECT a, b, count(*) AS n FROM dlinks GROUP BY a, b)
+  WHERE n >= {RECIP_MIN_LINKS} AND a <> b),
+flagged AS (
+  SELECT p.a, CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END AS has_rev
+  FROM pairs p LEFT JOIN pairs r ON r.a = p.b AND r.b = p.a)
+SELECT a AS host, cast(count(*) as bigint) AS n_out,
+       cast(sum(has_rev) as bigint) AS n_reciprocal,
+       (cast(sum(has_rev) as bigint) * {RECIP_PPM})
+         // cast(count(*) as bigint) AS recip_ppm
+FROM flagged GROUP BY a
+"""
+
+
+O_LINK_RECIPROCITY = _build_o_reciprocity()
+
+
+# ------------------------------------- edge triangle support (5u)
+
+TRUSS_K = 1  # support threshold for the 2-truss candidate flag
+
+
+def q_edge_support(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-EDGE triangle support over the host graph — the quantity
+    k-truss peeling iterates on (Cohen 2008) and the edge-level
+    complement of triangle_hosts' node counts: for every undirected
+    edge (u, v), the number of triangles it participates in (=
+    |N(u) & N(v)|), the endpoint degrees, and the edge clustering
+    ratio support/(min(du,dv)-1) in integer ppm (the fraction of the
+    weaker endpoint's OTHER edges that close over this one). Crawl
+    use: zero-support edges crossing between dense regions are
+    bridge-like (drop them and communities separate — the
+    host_robustness reading at edge granularity); high-support edges
+    are intra-community and safe to deprioritize for discovery.
+
+    100 TB shape: support comes from the SAME oriented wedge-join
+    pipeline as triangle_counts — (degree, id) orientation bounds
+    wedge fan-out at O(sqrt(m)); each closed triangle contributes its
+    three edges via a bounded explode into one pair-key groupBy; the
+    degree decoration is two node-key broadcasts/joins. No adjacency
+    lists, no per-node sets."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = edges.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    ori = e.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    w1, w2 = ori.alias("w1"), ori.alias("w2")
+    wedges = w1.join(
+        w2, (F.col("w1.x") == F.col("w2.x")) & (F.col("w1.y") < F.col("w2.y"))
+    ).select(
+        F.col("w1.x").alias("apex"), F.col("w1.y").alias("b"), F.col("w2.y").alias("c")
+    )
+    canon = edges.select(F.col("u").alias("cb"), F.col("v").alias("cc"))
+    tris = wedges.join(
+        canon,
+        (F.least("b", "c") == F.col("cb")) & (F.greatest("b", "c") == F.col("cc")),
+    ).select("apex", "b", "c")
+    tri_edges = tris.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("apex", "b").alias("eu"), F.greatest("apex", "b").alias("ev")
+                ),
+                F.struct(
+                    F.least("apex", "c").alias("eu"), F.greatest("apex", "c").alias("ev")
+                ),
+                F.struct(
+                    F.least("b", "c").alias("eu"), F.greatest("b", "c").alias("ev")
+                ),
+            )
+        ).alias("t")
+    ).select("t.eu", "t.ev")
+    sup = tri_edges.groupBy("eu", "ev").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    out = (
+        e.join(
+            sup,
+            (e["u"] == sup["eu"]) & (e["v"] == sup["ev"]),
+            "left",
+        )
+        .fillna({"support": 0})
+        .select("u", "v", "du", "dv", "support")
+    )
+    return out.select(
+        "u",
+        "v",
+        "du",
+        "dv",
+        "support",
+        F.expr(
+            f"(support * {RECIP_PPM}) DIV greatest(least(du, dv) - 1, 1)"
+        ).alias("edge_cc_ppm"),
+        (F.col("support") >= TRUSS_K).cast("int").alias("in_2truss"),
+    )
+
+
+def _build_o_edge_support() -> str:
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, cast(count(*) as bigint) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+tedges AS (
+  SELECT least(x, y) AS eu, greatest(x, y) AS ev FROM tri
+  UNION ALL SELECT least(x, z), greatest(x, z) FROM tri
+  UNION ALL SELECT least(y, z), greatest(y, z) FROM tri),
+sup AS (
+  SELECT eu, ev, cast(count(*) as bigint) AS support
+  FROM tedges GROUP BY eu, ev)
+SELECT e.u, e.v, du.d AS du, dv.d AS dv,
+       coalesce(sup.support, 0) AS support,
+       (coalesce(sup.support, 0) * {RECIP_PPM})
+         // greatest(least(du.d, dv.d) - 1, 1) AS edge_cc_ppm,
+       cast(CASE WHEN coalesce(sup.support, 0) >= {TRUSS_K}
+            THEN 1 ELSE 0 END as int) AS in_2truss
+FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+LEFT JOIN sup ON sup.eu = e.u AND sup.ev = e.v
+"""
+
+
+O_EDGE_SUPPORT = _build_o_edge_support()
