@@ -146,6 +146,10 @@ HEADLINE_QUERIES = (
     "link_reciprocity",
     "edge_support",
     "mixture_independence",
+    # round-5v tier
+    "batch_drift",
+    "join_size_estimate",
+    "skyline_hosts",
 )
 
 

@@ -146,6 +146,9 @@ AUDIT = (
     "link_reciprocity",
     "edge_support",
     "mixture_independence",
+    "batch_drift",
+    "join_size_estimate",
+    "skyline_hosts",
 )
 
 
@@ -542,6 +545,17 @@ def main():
         f.write("  three tiny broadcast margins joined back map-side; the sample\n")
         f.write("  bound keeps the exact-integer chi numerator under 2^60 and the\n")
         f.write("  production form merges per-shard contingency counts first.\n")
+        f.write("- `batch_drift`: one partial-aggregated groupBy(source, batch),\n")
+        f.write("  a |sources|-row rollup broadcast back, map-side cross-product\n")
+        f.write("  arithmetic — no mean is ever materialized.\n")
+        f.write("- `join_size_estimate`: two partial-aggregated key counts and a\n")
+        f.write("  key-key join; at production scale only the md5-gated sampled\n")
+        f.write("  branch runs — the exact branch is the verification baseline\n")
+        f.write("  (the HLL/CMS exact-next-to-estimate discipline).\n")
+        f.write("- `skyline_hosts`: block-nested dominance pairing over bounded\n")
+        f.write("  host cardinality + one node-key dominator rollup; production\n")
+        f.write("  pre-filters with the sort-first pass and samples (documented\n")
+        f.write("  in-query).\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

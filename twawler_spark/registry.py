@@ -198,6 +198,12 @@ QUERIES: dict[str, QueryFn] = {
     "link_reciprocity": wq.q_link_reciprocity,
     "edge_support": wq.q_edge_support,
     "mixture_independence": tq.q_mixture_independence,
+    # round-5v wave (same out-of-window gating): per-source batch
+    # drift guardrail, sampled join-size estimation, and the skyline
+    # (Pareto-front) operator over host signals
+    "batch_drift": tq.q_batch_drift,
+    "join_size_estimate": tq.q_join_size_estimate,
+    "skyline_hosts": wq.q_skyline_hosts,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -434,6 +440,9 @@ ORACLES: dict[str, str] = {
     "link_reciprocity": wq.O_LINK_RECIPROCITY,
     "edge_support": wq.O_EDGE_SUPPORT,
     "mixture_independence": tq.O_MIXTURE_INDEPENDENCE,
+    "batch_drift": tq.O_BATCH_DRIFT,
+    "join_size_estimate": tq.O_JOIN_SIZE_ESTIMATE,
+    "skyline_hosts": wq.O_SKYLINE_HOSTS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

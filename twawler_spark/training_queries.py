@@ -5122,3 +5122,165 @@ JOIN rowt r ON r.source = c.source
 JOIN colt l ON l.lang = c.lang
 CROSS JOIN grand g
 """
+
+
+# ------------------------------- per-source batch drift (5v)
+
+DRIFT_BATCH = 64        # docs per ingestion batch (vocab_growth's axis)
+DRIFT_PPM = 1_000_000
+DRIFT_THRESH_PPM = 50_000  # flag batches deviating > 5% from source mean
+
+
+def q_batch_drift(spark, sf):
+    """Per-source ingestion-batch drift guardrail: for every (source,
+    batch) cell, compare the batch's mean document length against the
+    source's overall mean WITHOUT computing either mean — the
+    deviation |sum_b * n_src - sum_src * n_b| is an exact BIGINT
+    cross-product, its relative size in ppm is one floor division,
+    and the drift flag is an exact integer comparison against the 5%
+    threshold. This is the pipeline guardrail that catches a crawler
+    or extractor change silently degrading ONE source's text (e.g.
+    boilerplate suddenly retained) the batch it happens, before the
+    corpus mixes it in; length is the canary metric because every
+    extraction bug moves it.
+
+    100 TB shape: one partial-aggregated groupBy(source, batch), a
+    per-source rollup broadcast back (|sources| rows), map-side
+    cross-product arithmetic. Same ingestion-batch axis as
+    vocab_growth (rounds-as-batches). Reference analog: the
+    per-source sanity counts of the reference's curation sweeps
+    (SURVEY §2 A-family), lifted to a drift test."""
+    d = _t(spark, sf, "documents")
+    cell = d.groupBy(
+        "source", F.expr(f"doc_id DIV {DRIFT_BATCH}").alias("batch")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    src = cell.groupBy("source").agg(
+        F.sum("n_docs").alias("n_src"), F.sum("sum_chars").alias("sum_src")
+    )
+    j = cell.join(F.broadcast(src), "source")
+    dev = F.abs(
+        F.col("sum_chars") * F.col("n_src") - F.col("sum_src") * F.col("n_docs")
+    )
+    return j.select(
+        "source",
+        "batch",
+        "n_docs",
+        "sum_chars",
+        "n_src",
+        "sum_src",
+        dev.alias("dev_num"),
+        F.expr(
+            f"(abs(sum_chars * n_src - sum_src * n_docs) * {DRIFT_PPM})"
+            f" DIV (sum_src * n_docs)"
+        ).alias("drift_ppm"),
+    ).withColumn(
+        "drifted",
+        (
+            F.col("dev_num") * F.lit(DRIFT_PPM).cast("long")
+            > F.lit(DRIFT_THRESH_PPM).cast("long")
+            * F.col("sum_src")
+            * F.col("n_docs")
+        ).cast("int"),
+    )
+
+
+O_BATCH_DRIFT = f"""
+WITH cell AS (
+  SELECT source, doc_id // {DRIFT_BATCH} AS batch,
+         cast(count(*) as bigint) AS n_docs,
+         cast(sum(n_chars) as bigint) AS sum_chars
+  FROM documents GROUP BY 1, 2),
+src AS (
+  SELECT source, cast(sum(n_docs) as bigint) AS n_src,
+         cast(sum(sum_chars) as bigint) AS sum_src
+  FROM cell GROUP BY source)
+SELECT c.source, c.batch, c.n_docs, c.sum_chars, s.n_src, s.sum_src,
+       abs(c.sum_chars * s.n_src - s.sum_src * c.n_docs) AS dev_num,
+       (abs(c.sum_chars * s.n_src - s.sum_src * c.n_docs) * {DRIFT_PPM})
+         // (s.sum_src * c.n_docs) AS drift_ppm,
+       cast(CASE WHEN abs(c.sum_chars * s.n_src - s.sum_src * c.n_docs)
+                      * {DRIFT_PPM}
+                    > {DRIFT_THRESH_PPM} * s.sum_src * c.n_docs
+            THEN 1 ELSE 0 END as int) AS drifted
+FROM cell c JOIN src s ON s.source = c.source
+"""
+
+
+# ----------------------- sampled join-size estimation (5v)
+
+JSZ_SAMPLE_MOD = 8   # keep keys with md5 % 8 == 0 (1-in-8 key sample)
+JSZ_PPM = 1_000_000
+
+
+def q_join_size_estimate(spark, sf):
+    """Sampled join-cardinality estimation — the statistic a
+    distributed planner needs BEFORE choosing a join strategy at
+    100 TB (broadcast vs shuffle vs skew-salt): |lineitem JOIN part
+    ON partkey| is sum_k cnt_L(k) * cnt_P(k); estimate it from a
+    deterministic 1-in-8 KEY sample (keep k iff md5('jsz:'||k) % 8 ==
+    0 — sampling KEYS, not rows, keeps per-key frequency products
+    exact) scaled by 8, next to the exact total, with the signed
+    error in ppm. Key-sampling is the textbook estimator for
+    FK-multiplicity joins (Vengerov et al., VLDB'15 join-size
+    sketches are its refinement); the md5 gate makes the 'random'
+    sample reproducible across engines and runs. Emitted per bucket
+    of lineitem-side multiplicity (so the driver hash pins WHERE the
+    mass sits, not one scalar): exact contribution, sampled-scaled
+    contribution, and key counts.
+
+    100 TB shape: two partial-aggregated key counts, one key-key
+    join on the (tiny) sampled side for the estimate and one for the
+    exact baseline — at production scale ONLY the sampled branch
+    runs (the exact branch here is the verification oracle, same
+    exact-next-to-estimate discipline as the HLL/CMS tiers).
+    Reference analog: none — distributed-planning infrastructure."""
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    pa = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    cl = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cl"))
+    cp = pa.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    joined = cl.join(cp, "k").select(
+        "k", "cl", "cp", (F.col("cl") * F.col("cp")).alias("contrib")
+    )
+    sampled = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("jsz:"), F.col("k").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(JSZ_SAMPLE_MOD),
+    ) == 0
+    flagged = joined.withColumn("in_sample", sampled.cast("long"))
+    bucket = F.expr("cl DIV 8")
+    return flagged.groupBy(bucket.alias("mult_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("in_sample").alias("n_sampled_keys"),
+        F.sum("contrib").alias("exact_rows"),
+        (F.sum(F.col("in_sample") * F.col("contrib")) * JSZ_SAMPLE_MOD).alias(
+            "est_rows"
+        ),
+    )
+
+
+O_JOIN_SIZE_ESTIMATE = f"""
+WITH cl AS (
+  SELECT l_partkey AS k, cast(count(*) as bigint) AS cl
+  FROM lineitem GROUP BY 1),
+cp AS (
+  SELECT p_partkey AS k, cast(count(*) as bigint) AS cp
+  FROM part GROUP BY 1),
+j AS (
+  SELECT cl.k, cl.cl, cp.cp, cl.cl * cp.cp AS contrib,
+         CASE WHEN ('0x' || substring(md5('jsz:' || cast(cl.k as varchar)), 1, 15))
+                     ::BIGINT % {JSZ_SAMPLE_MOD} = 0
+              THEN 1 ELSE 0 END AS in_sample
+  FROM cl JOIN cp ON cp.k = cl.k)
+SELECT cl // 8 AS mult_bucket,
+       cast(count(*) as bigint) AS n_keys,
+       cast(sum(in_sample) as bigint) AS n_sampled_keys,
+       cast(sum(contrib) as bigint) AS exact_rows,
+       cast(sum(in_sample * contrib) as bigint) * {JSZ_SAMPLE_MOD} AS est_rows
+FROM j GROUP BY 1
+"""

@@ -3468,3 +3468,96 @@ LEFT JOIN sup ON sup.eu = e.u AND sup.ev = e.v
 
 
 O_EDGE_SUPPORT = _build_o_edge_support()
+
+
+# ------------------------------------ skyline (Pareto) hosts (5v)
+
+
+def q_skyline_hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline (Pareto-front) operator over host priority signals —
+    the classic Borzsony/Kossmann/Stocker 2001 DB operator, absent
+    from vanilla Spark: a host is ON the skyline of (degree, n_tri)
+    iff no other host weakly dominates it (>= on both, > on one).
+    Where topk_overlap_curve asks how two TOTAL orders agree, the
+    skyline gives the scheduler the undominated SET — the hosts that
+    are optimal under SOME monotone weighting of the signals, i.e.
+    the only defensible budget-priority candidates without committing
+    to a weight vector. Output per host: the two signals, the number
+    of dominators (0 = skyline member), and the flag.
+
+    100 TB shape: the dominance test here is the all-pairs
+    block-nested form over HOSTS (bounded cardinality, the scheduler
+    rank-tail regime; at 10^7+ hosts production pre-filters with the
+    standard sort-first pass — anything dominated by the (deg+tri)
+    sort head drops before pairing — and samples, same
+    calibration-on-a-sample discipline as the other audit tiers).
+    The pair join is one exchange; the dominator count is a node-key
+    rollup. Reference analog: multi-criteria crawl ordering (SURVEY
+    §2 O1/O4: priority vs tracking order) without a fixed weight."""
+    from .operators.graph import triangle_counts
+
+    sig = triangle_counts(_tri_edges(_t(spark, sf, "documents"))).select(
+        "node", "degree", "n_tri"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.degree") >= F.col("a.degree"))
+            & (F.col("b.n_tri") >= F.col("a.n_tri"))
+            & (
+                (F.col("b.degree") > F.col("a.degree"))
+                | (F.col("b.n_tri") > F.col("a.n_tri"))
+            ),
+        )
+        .groupBy(F.col("a.node").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dominators"))
+    )
+    return (
+        sig.join(dominated, "node", "left")
+        .fillna({"n_dominators": 0})
+        .select(
+            "node",
+            "degree",
+            "n_tri",
+            "n_dominators",
+            (F.col("n_dominators") == 0).cast("int").alias("on_skyline"),
+        )
+    )
+
+
+def _build_o_skyline() -> str:
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n),
+sig AS (
+  SELECT deg.n AS node, cast(deg.d as bigint) AS degree,
+         cast(coalesce(cnt.n_tri, 0) as bigint) AS n_tri
+  FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+  WHERE deg.d >= 2),
+dom AS (
+  SELECT a.node, cast(count(*) as bigint) AS n_dominators
+  FROM sig a JOIN sig b
+    ON b.degree >= a.degree AND b.n_tri >= a.n_tri
+   AND (b.degree > a.degree OR b.n_tri > a.n_tri)
+  GROUP BY a.node)
+SELECT s.node, s.degree, s.n_tri,
+       coalesce(d.n_dominators, 0) AS n_dominators,
+       cast(CASE WHEN coalesce(d.n_dominators, 0) = 0 THEN 1 ELSE 0 END as int)
+         AS on_skyline
+FROM sig s LEFT JOIN dom d ON d.node = s.node
+"""
+
+
+O_SKYLINE_HOSTS = _build_o_skyline()
