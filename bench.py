@@ -150,6 +150,10 @@ HEADLINE_QUERIES = (
     "batch_drift",
     "join_size_estimate",
     "skyline_hosts",
+    # round-5w tier
+    "seed_coverage_greedy",
+    "timeout_sweep",
+    "host_rate_shrunk",
 )
 
 

@@ -149,6 +149,9 @@ AUDIT = (
     "batch_drift",
     "join_size_estimate",
     "skyline_hosts",
+    "seed_coverage_greedy",
+    "timeout_sweep",
+    "host_rate_shrunk",
 )
 
 
@@ -556,6 +559,16 @@ def main():
         f.write("  host cardinality + one node-key dominator rollup; production\n")
         f.write("  pre-filters with the sort-first pass and samples (documented\n")
         f.write("  in-query).\n")
+        f.write("- `seed_coverage_greedy`: each greedy round is one anti-join of\n")
+        f.write("  the coverage pairs against the covered set, a gain groupBy and\n")
+        f.write("  a bounded argmax head; SEED_K driver-iterated rounds with lazy\n")
+        f.write("  checkpoints (the kmeans/WL discipline).\n")
+        f.write("- `timeout_sweep`: |grid| x log expansion rides a literal 4-row\n")
+        f.write("  broadcast; one partial-aggregated groupBy(host, timeout). The\n")
+        f.write("  production form runs on hdr_quantiles' bucket rows instead of\n")
+        f.write("  the raw log.\n")
+        f.write("- `host_rate_shrunk`: one groupBy(host) + two bounded rank sorts\n")
+        f.write("  — the scheduler rank-tail regime, mergeable (host,n,w) state.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -204,6 +204,12 @@ QUERIES: dict[str, QueryFn] = {
     "batch_drift": tq.q_batch_drift,
     "join_size_estimate": tq.q_join_size_estimate,
     "skyline_hosts": wq.q_skyline_hosts,
+    # round-5w wave (same out-of-window gating): greedy max-coverage
+    # seed selection, the fetch-timeout tradeoff sweep, and
+    # empirical-Bayes success-rate shrinkage
+    "seed_coverage_greedy": wq.q_seed_coverage_greedy,
+    "timeout_sweep": wq.q_timeout_sweep,
+    "host_rate_shrunk": wq.q_host_rate_shrunk,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -443,6 +449,9 @@ ORACLES: dict[str, str] = {
     "batch_drift": tq.O_BATCH_DRIFT,
     "join_size_estimate": tq.O_JOIN_SIZE_ESTIMATE,
     "skyline_hosts": wq.O_SKYLINE_HOSTS,
+    "seed_coverage_greedy": wq.O_SEED_COVERAGE_GREEDY,
+    "timeout_sweep": wq.O_TIMEOUT_SWEEP,
+    "host_rate_shrunk": wq.O_HOST_RATE_SHRUNK,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

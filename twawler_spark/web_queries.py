@@ -3561,3 +3561,298 @@ FROM sig s LEFT JOIN dom d ON d.node = s.node
 
 
 O_SKYLINE_HOSTS = _build_o_skyline()
+
+
+# ----------------------- greedy max-coverage seed selection (5w)
+
+SEED_K = 4
+
+
+def q_seed_coverage_greedy(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy max-coverage seed selection over the host graph — the
+    submodular seed-list optimizer ball2_hosts pointed at: pick
+    SEED_K hosts one at a time, each maximizing the number of NOT-YET
+    -COVERED hosts in its closed 1-hop neighborhood N[v] (ties to the
+    lower id). Greedy is the canonical algorithm here (Nemhauser/
+    Wolsey/Fisher 1978: within 1-1/e of the optimal coverage for any
+    submodular objective), and 'which K seeds reach the most of the
+    web in one hop' is exactly the crawl seed-list question. Output
+    per iteration: the pick, its marginal gain, and the cumulative
+    coverage — all exact integers.
+
+    100 TB shape: each greedy round is one anti-join of the coverage
+    pair list (node, covered-node) against the covered set (node-key
+    exchange), a gain groupBy, and a bounded argmax; the covered set
+    grows by at most max-degree+1 per round and rides a broadcast.
+    SEED_K is a small constant, driver-iterated like kmeans/WL with
+    the covered frame checkpointed lazily. Production note: at 10^7+
+    hosts the exact argmax stays cheap (it is one ordered head over
+    the gain aggregate); what grows is the pair list — the same
+    contracted host-graph scale every other graph tier here runs on.
+    Reference analog: choosing twAwler's seed accounts to maximize
+    first-round follower reach (SURVEY §7 seed-list discussion)."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nodes = dirs.select(F.col("a").alias("n")).distinct()
+    cover = dirs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
+        nodes.select(F.col("n").alias("v"), F.col("n").alias("w"))
+    ).distinct()
+    covered = nodes.where(F.lit(False)).select(F.col("n").alias("w"))
+    out_rows = None
+    cum = 0
+    for it in range(1, SEED_K + 1):
+        gains = (
+            cover.join(covered, "w", "left_anti")
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        pick = (
+            gains.orderBy(F.col("gain").desc(), F.col("v").asc())
+            .limit(1)
+            .select(
+                F.lit(it).cast("long").alias("iteration"),
+                F.col("v").alias("seed"),
+                "gain",
+            )
+        )
+        row = pick.localCheckpoint(eager=True)
+        covered = (
+            covered.unionByName(
+                cover.join(
+                    row.select(F.col("seed").alias("v")), "v"
+                ).select("w")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        out_rows = row if out_rows is None else out_rows.unionByName(row)
+    # cumulative coverage: running sum over the K-row result
+    w = Window.orderBy("iteration").rowsBetween(Window.unboundedPreceding, 0)
+    return out_rows.withColumn("cum_covered", F.sum("gain").over(w))
+
+
+def _build_o_seed_greedy() -> str:
+    rounds = []
+    prev_cov = None
+    for t in range(1, SEED_K + 1):
+        cov_filter = (
+            f"WHERE w NOT IN (SELECT w FROM cov{t - 1})" if prev_cov else ""
+        )
+        rounds.append(
+            f"""g{t} AS (
+  SELECT v, cast(count(*) as bigint) AS gain
+  FROM cover {cov_filter}
+  GROUP BY v),
+p{t} AS (
+  SELECT cast({t} as bigint) AS iteration, v AS seed, gain
+  FROM g{t} ORDER BY gain DESC, v ASC LIMIT 1),
+cov{t} AS (
+  SELECT w FROM cover WHERE v = (SELECT seed FROM p{t})
+  {"UNION SELECT w FROM cov" + str(t - 1) if prev_cov else ""})"""
+        )
+        prev_cov = f"cov{t}"
+    chain = ",\n".join(rounds)
+    picks = " UNION ALL ".join(f"SELECT * FROM p{t}" for t in range(1, SEED_K + 1))
+    return f"""
+WITH {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT a AS n FROM dirs),
+cover AS (
+  SELECT DISTINCT v, w FROM (
+    SELECT a AS v, b AS w FROM dirs
+    UNION ALL SELECT n, n FROM nodes)),
+{chain},
+picks AS ({picks})
+SELECT iteration, seed, gain,
+       cast(sum(gain) OVER (ORDER BY iteration
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+         AS cum_covered
+FROM picks
+"""
+
+
+O_SEED_COVERAGE_GREEDY = _build_o_seed_greedy()
+
+
+# ------------------------------- fetch-timeout sweep (5w)
+
+TMO_HOSTS = 12
+TMO_VALUE_MOD = 200_000  # latency fixture modulus (us)
+TMO_GRID = (50_000, 100_000, 150_000, 200_000)
+TMO_PPM = 1_000_000
+
+
+def q_timeout_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Timeout-grid tradeoff study per host: for each candidate fetch
+    timeout T, how many fetches would be KILLED (latency > T) and how
+    much fetcher time is SPENT (sum of min(latency, T)) — the design
+    curve behind host_ewma_latency's adaptive cap and
+    host_latency_quantiles' percentiles: a scheduler picks T where
+    the loss ppm crosses its SLO, and this query gives the exact
+    discrete curve instead of an assumed distribution. All integers:
+    latencies are the deterministic md5 fixture, the grid is a
+    4-value broadcast, loss is a count and spend is a sum of mins.
+
+    100 TB shape: |grid| x fetch-log rows expand map-side from a
+    broadcast grid (grid is a literal constant), one partial-
+    aggregated groupBy(host, timeout), |hosts|*|grid| output rows.
+    The production form runs on the per-host latency HISTOGRAM
+    (hdr_quantiles' bucket rows) instead of the raw log — same
+    arithmetic over 64*octaves bucket rows per host."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    ).alias("lat")
+    base = e.select(F.pmod(F.col("user_id"), F.lit(TMO_HOSTS)).alias("host"), lat)
+    grid = spark.createDataFrame(
+        [(t,) for t in TMO_GRID], "timeout_us long"
+    )
+    j = base.crossJoin(F.broadcast(grid))
+    return j.groupBy("host", "timeout_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum(F.when(F.col("lat") > F.col("timeout_us"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_lost"),
+        F.sum(F.least(F.col("lat"), F.col("timeout_us"))).alias("spent_us"),
+    ).withColumn(
+        "loss_ppm", F.expr(f"(n_lost * {TMO_PPM}) DIV n_fetches")
+    )
+
+
+O_TIMEOUT_SWEEP = f"""
+WITH base AS (
+  SELECT user_id % {TMO_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS lat
+  FROM events),
+grid AS (SELECT unnest([{", ".join(str(t) for t in TMO_GRID)}]) AS timeout_us)
+SELECT host, cast(timeout_us as bigint) AS timeout_us,
+       cast(count(*) as bigint) AS n_fetches,
+       cast(sum(CASE WHEN lat > timeout_us THEN 1 ELSE 0 END) as bigint)
+         AS n_lost,
+       cast(sum(least(lat, timeout_us)) as bigint) AS spent_us,
+       (cast(sum(CASE WHEN lat > timeout_us THEN 1 ELSE 0 END) as bigint)
+          * {TMO_PPM}) // cast(count(*) as bigint) AS loss_ppm
+FROM base, grid GROUP BY host, timeout_us
+"""
+
+
+# -------------------------- shrunken host success rates (5w)
+
+SHRINK_ALPHA = 2   # Beta(2, 2) prior: pseudo 2 successes / 2 failures
+SHRINK_BETA = 2
+SHRINK_HOSTS = 40  # host ids 0..39, pull mass ramps linearly with id
+SHRINK_PPM = 1_000_000
+
+
+def q_host_rate_shrunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-host fetch success rates —
+    the smoothing every scheduler needs before ranking hosts with
+    few observations: the raw rate w/n is replaced by the Beta(2,2)
+    posterior mean (w+2)/(n+4), pulling small-sample hosts toward
+    1/2 while leaving well-observed hosts almost untouched. Emitted
+    per host: both rates in exact ppm (floor divisions of exact
+    integers — the prior makes the denominator never zero), both
+    ranks (deterministic tie-breaks), and the signed rank movement —
+    the hosts whose priority the smoothing actually changes. The
+    same (host, pulls, wins) mergeable state as the UCB tier.
+
+    100 TB shape: one partial-aggregated groupBy(host) plus two
+    bounded-cardinality rank sorts — the scheduler rank-tail regime.
+    Reference analog: rate-limit-aware account ordering under sparse
+    history (SURVEY §2 S1/J5), made robust to small n."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    # SKEWED host assignment (unlike the uniform UCB fixture): host =
+    # floor(sqrt(h mod 1600)) puts linearly more pulls on higher host
+    # ids, so sparse hosts (n ~ a handful) genuinely exist and the
+    # shrinkage reorders them — a uniform fixture would make raw and
+    # shrunk ranks identical (monotone transform at constant n).
+    # floor(sqrt) is exact here: arguments < 1600, perfect squares are
+    # exactly representable and non-squares are nowhere near a double
+    # rounding boundary.
+    hh = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hrs:"), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SHRINK_HOSTS * SHRINK_HOSTS),
+    )
+    host = F.floor(F.sqrt(hh.cast("double"))).cast("long")
+    agg = (
+        e.select(host.alias("host"), win.alias("w"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("pulls"),
+            F.sum("w").cast("long").alias("wins"),
+        )
+    )
+    raw = F.expr(f"(wins * {SHRINK_PPM}) DIV pulls")
+    shr = F.expr(
+        f"((wins + {SHRINK_ALPHA}) * {SHRINK_PPM})"
+        f" DIV (pulls + {SHRINK_ALPHA + SHRINK_BETA})"
+    )
+    scored = agg.withColumn("raw_ppm", raw).withColumn("shrunk_ppm", shr)
+    rank_raw = F.row_number().over(
+        Window.orderBy(F.col("raw_ppm").desc(), F.col("host").asc())
+    )
+    rank_shr = F.row_number().over(
+        Window.orderBy(F.col("shrunk_ppm").desc(), F.col("host").asc())
+    )
+    return (
+        scored.withColumn("rank_raw", rank_raw.cast("long"))
+        .withColumn("rank_shrunk", rank_shr.cast("long"))
+        .withColumn("rank_moved", F.col("rank_raw") - F.col("rank_shrunk"))
+    )
+
+
+O_HOST_RATE_SHRUNK = f"""
+WITH per AS (
+  SELECT cast(floor(sqrt((('0x' || substring(md5('hrs:' || cast(event_id as varchar)), 1, 15))
+                            ::BIGINT % {SHRINK_HOSTS * SHRINK_HOSTS})::double)) as bigint)
+           AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS pulls,
+         cast(sum(w) as bigint) AS wins
+  FROM per GROUP BY host),
+scored AS (
+  SELECT *,
+         (wins * {SHRINK_PPM}) // pulls AS raw_ppm,
+         ((wins + {SHRINK_ALPHA}) * {SHRINK_PPM})
+           // (pulls + {SHRINK_ALPHA + SHRINK_BETA}) AS shrunk_ppm
+  FROM agg)
+SELECT host, pulls, wins, raw_ppm, shrunk_ppm,
+       cast(row_number() OVER (ORDER BY raw_ppm DESC, host ASC) as bigint)
+         AS rank_raw,
+       cast(row_number() OVER (ORDER BY shrunk_ppm DESC, host ASC) as bigint)
+         AS rank_shrunk,
+       cast(row_number() OVER (ORDER BY raw_ppm DESC, host ASC) as bigint)
+         - cast(row_number() OVER (ORDER BY shrunk_ppm DESC, host ASC) as bigint)
+         AS rank_moved
+FROM scored
+"""
