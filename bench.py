@@ -154,6 +154,10 @@ HEADLINE_QUERIES = (
     "seed_coverage_greedy",
     "timeout_sweep",
     "host_rate_shrunk",
+    # round-5x tier
+    "modularity_audit",
+    "source_overlap",
+    "crawl_yield_curve",
 )
 
 

@@ -152,6 +152,9 @@ AUDIT = (
     "seed_coverage_greedy",
     "timeout_sweep",
     "host_rate_shrunk",
+    "modularity_audit",
+    "source_overlap",
+    "crawl_yield_curve",
 )
 
 
@@ -569,6 +572,15 @@ def main():
         f.write("  the raw log.\n")
         f.write("- `host_rate_shrunk`: one groupBy(host) + two bounded rank sorts\n")
         f.write("  — the scheduler rank-tail regime, mergeable (host,n,w) state.\n")
+        f.write("- `modularity_audit`: components from the audited CC operator;\n")
+        f.write("  per-community aggregates are two node/pair-key partials; m and\n")
+        f.write("  the Q numerator are 1-row broadcasts. All arithmetic BIGINT.\n")
+        f.write("- `source_overlap`: one fingerprint-key groupBy (the exact-dedup\n")
+        f.write("  shuffle) collecting a bounded source set; only multi-source\n")
+        f.write("  fingerprints explode into the |sources|^2-bounded pair matrix.\n")
+        f.write("- `crawl_yield_curve`: rank deciles come free from the plan's\n")
+        f.write("  budget-rank column; two bounded exchanges (per-url doc counts,\n")
+        f.write("  per-decile rollup) on keys the round already shuffles.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

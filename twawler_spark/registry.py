@@ -210,6 +210,12 @@ QUERIES: dict[str, QueryFn] = {
     "seed_coverage_greedy": wq.q_seed_coverage_greedy,
     "timeout_sweep": wq.q_timeout_sweep,
     "host_rate_shrunk": wq.q_host_rate_shrunk,
+    # round-5x wave (same out-of-window gating): exact modularity of
+    # the component partition, the cross-source duplicate matrix, and
+    # the round's rank-decile yield curve
+    "modularity_audit": wq.q_modularity_audit,
+    "source_overlap": tq.q_source_overlap,
+    "crawl_yield_curve": wq.q_crawl_yield_curve,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -452,6 +458,9 @@ ORACLES: dict[str, str] = {
     "seed_coverage_greedy": wq.O_SEED_COVERAGE_GREEDY,
     "timeout_sweep": wq.O_TIMEOUT_SWEEP,
     "host_rate_shrunk": wq.O_HOST_RATE_SHRUNK,
+    "modularity_audit": wq.O_MODULARITY_AUDIT,
+    "source_overlap": tq.O_SOURCE_OVERLAP,
+    "crawl_yield_curve": wq.O_CRAWL_YIELD_CURVE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -5284,3 +5284,133 @@ SELECT cl // 8 AS mult_bucket,
        cast(sum(in_sample * contrib) as bigint) * {JSZ_SAMPLE_MOD} AS est_rows
 FROM j GROUP BY 1
 """
+
+
+# ------------------------------ cross-source overlap matrix (5x)
+
+SRC_OVERLAP_PPM = 1_000_000
+
+
+def _with_syndicated(d: DataFrame) -> DataFrame:
+    """documents ∪ a syndicated copy of every third doc into the NEXT
+    source (src{k} -> src{(k+1) mod 20}, same text) — the planted
+    cross-source duplication this audit exists to find; deterministic
+    and identical in the SQL twin."""
+    orig = d.select("doc_id", "source", "text")
+    synd = (
+        d.where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.col("doc_id"),
+            F.concat(
+                F.lit("src"),
+                F.pmod(
+                    F.regexp_extract("source", r"src(\d+)", 1).cast("long") + 1,
+                    F.lit(20),
+                ).cast("string"),
+            ).alias("source"),
+            "text",
+        )
+    )
+    return orig.unionByName(synd)
+
+
+def q_source_overlap(spark, sf):
+    """Cross-source duplicate contamination matrix: for every ordered
+    source pair (a < b), how many exact-duplicate fingerprints they
+    SHARE, with each side's distinct-fingerprint count and the
+    overlap in ppm of the smaller side. This is the syndication/
+    mirror audit a corpus mixer runs before weighting sources as if
+    they were independent — a pair sharing 30% of its content is one
+    source counted twice (RefinedWeb and Dolma both report exactly
+    this cross-dump dedup accounting). Fixture: every third document
+    is syndicated into the next source, so adjacent pairs share mass
+    and non-adjacent pairs are empty — both matrix regimes present.
+
+    100 TB shape: fingerprints groupBy once on the hash key carrying
+    a source set (collect_set over a bounded source universe), then
+    the pair expansion explodes ONLY multi-source fingerprints
+    (dup mass, not corpus mass) into a bounded pair-key aggregate —
+    the matrix is |sources|^2 at worst, the shuffle is the same
+    fingerprint key the exact-dedup tier already uses. Reference
+    analog: S12's dup-tolerant insert accounting, lifted to a
+    source-pair matrix."""
+    alld = _with_syndicated(_t(spark, sf, "documents"))
+    fp = alld.select(
+        F.md5(F.lower(F.col("text"))).alias("fp"), "source"
+    ).distinct()
+    sets = fp.groupBy("fp").agg(F.collect_set("source").alias("srcs"))
+    multi = sets.where(F.size("srcs") >= 2)
+    pairs = multi.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.array_sort("srcs"),
+                        lambda a: F.transform(
+                            F.array_sort(F.col("srcs")), lambda b: F.struct(
+                                a.alias("src_a"), b.alias("src_b")
+                            )
+                        ),
+                    )
+                ),
+                lambda p: p["src_a"] < p["src_b"],
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
+    )
+    per_src = fp.groupBy("source").agg(
+        F.countDistinct("fp").cast("long").alias("n_fp")
+    )
+    j = (
+        shared.join(
+            F.broadcast(per_src.select(F.col("source").alias("src_a"),
+                                       F.col("n_fp").alias("fp_a"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("src_b"),
+                                       F.col("n_fp").alias("fp_b"))),
+            "src_b",
+        )
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_shared",
+        "fp_a",
+        "fp_b",
+        F.expr(f"(n_shared * {SRC_OVERLAP_PPM}) DIV least(fp_a, fp_b)").alias(
+            "overlap_ppm"
+        ),
+    )
+
+
+O_SOURCE_OVERLAP = f"""
+WITH alld AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'src' || cast((cast(regexp_extract(source, 'src(\\d+)', 1) as bigint) + 1) % 20
+                       as varchar) AS source,
+         text
+  FROM documents WHERE doc_id % 3 = 0),
+fp AS (SELECT DISTINCT md5(lower(text)) AS fp, source FROM alld),
+pairs AS (
+  SELECT a.fp, a.source AS src_a, b.source AS src_b
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source),
+shared AS (
+  SELECT src_a, src_b, cast(count(*) as bigint) AS n_shared
+  FROM pairs GROUP BY src_a, src_b),
+per_src AS (
+  SELECT source, cast(count(DISTINCT fp) as bigint) AS n_fp
+  FROM fp GROUP BY source)
+SELECT s.src_a, s.src_b, s.n_shared,
+       pa.n_fp AS fp_a, pb.n_fp AS fp_b,
+       (s.n_shared * {SRC_OVERLAP_PPM}) // least(pa.n_fp, pb.n_fp)
+         AS overlap_ppm
+FROM shared s
+JOIN per_src pa ON pa.source = s.src_a
+JOIN per_src pb ON pb.source = s.src_b
+"""

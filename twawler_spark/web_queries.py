@@ -3856,3 +3856,203 @@ SELECT host, pulls, wins, raw_ppm, shrunk_ppm,
          AS rank_moved
 FROM scored
 """
+
+
+# ------------------------------ modularity of the CC partition (5x)
+
+MODQ_PPM = 1_000_000
+
+
+def q_modularity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Newman modularity of the connected-component partition of the
+    host graph — computed EXACTLY: with m undirected edges, community
+    internal-edge counts e_c and degree sums d_c, Q * 4m^2 =
+    sum_c (4m*e_c - d_c^2) is an exact BIGINT (for the CC partition
+    every edge is internal, so the sum is 4m^2 - sum d_c^2 >= 0 and
+    the ppm division is a floor division of non-negatives). Per
+    community: size, internal edges, degree mass, and the exact
+    contribution; the global Q in ppm rides every row. Crawl use: Q
+    near zero says the islands partition carries no real structure
+    (one giant component dominates — crawl everything from any seed);
+    high Q says the component split IS the community structure and
+    per-island seed budgets matter. Companion of host_components
+    (which finds the partition) and host_robustness (which stresses
+    it).
+
+    100 TB shape: components come from the audited large-star/
+    small-star CC operator; the per-community aggregates are two
+    node-key/pair-key partial aggregations; the global constants (m,
+    sum of contributions) are 1-row broadcasts. Reference analog:
+    community-quality scoring over the follower graph (SURVEY §2
+    graph tier), made exact."""
+    from .operators.dedup import connected_components
+
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    cc = connected_components(edges, "u", "v")
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    memb = nodes.join(cc, nodes["n"] == cc["node"], "left").select(
+        "n", F.coalesce("component", F.col("n")).alias("comp")
+    )
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dmass = (
+        memb.join(deg, "n")
+        .groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").alias("d_mass"),
+        )
+    )
+    eint = (
+        edges.join(memb.select(F.col("n").alias("u"), F.col("comp").alias("cu")), "u")
+        .join(memb.select(F.col("n").alias("v"), F.col("comp").alias("cv")), "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("comp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_int"))
+    )
+    m_row = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    per = (
+        dmass.join(eint, "comp", "left")
+        .fillna({"e_int": 0})
+        .crossJoin(F.broadcast(m_row))
+        .withColumn(
+            "contrib",
+            F.lit(4).cast("long") * F.col("m") * F.col("e_int")
+            - F.col("d_mass") * F.col("d_mass"),
+        )
+    )
+    tot = per.agg(F.sum("contrib").alias("q_num"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "comp",
+        "n_nodes",
+        "e_int",
+        "d_mass",
+        "contrib",
+        F.expr(f"(q_num * {MODQ_PPM}) DIV (4 * m * m)").alias("q_ppm"),
+    )
+
+
+def _build_o_modularity() -> str:
+    return f"""
+WITH RECURSIVE {_SQL_TRI_EDGES},
+und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, x.v FROM reach r JOIN und x ON r.v = x.u),
+memb AS (SELECT u AS n, min(v) AS comp FROM reach GROUP BY u),
+deg AS (
+  SELECT n, cast(count(*) as bigint) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+dmass AS (
+  SELECT comp, cast(count(*) as bigint) AS n_nodes,
+         cast(sum(d) as bigint) AS d_mass
+  FROM memb JOIN deg ON deg.n = memb.n GROUP BY comp),
+eint AS (
+  SELECT mu.comp, cast(count(*) as bigint) AS e_int
+  FROM e JOIN memb mu ON mu.n = e.u JOIN memb mv ON mv.n = e.v
+  WHERE mu.comp = mv.comp GROUP BY mu.comp),
+mrow AS (SELECT cast(count(*) as bigint) AS m FROM e),
+per AS (
+  SELECT d.comp, d.n_nodes, coalesce(i.e_int, 0) AS e_int, d.d_mass,
+         4 * mrow.m * coalesce(i.e_int, 0) - d.d_mass * d.d_mass AS contrib,
+         mrow.m
+  FROM dmass d LEFT JOIN eint i ON i.comp = d.comp, mrow),
+tot AS (SELECT cast(sum(contrib) as bigint) AS q_num FROM per)
+SELECT comp, n_nodes, e_int, d_mass, contrib,
+       (tot.q_num * {MODQ_PPM}) // (4 * per.m * per.m) AS q_ppm
+FROM per, tot
+"""
+
+
+O_MODULARITY_AUDIT = _build_o_modularity()
+
+
+# ---------------------------------- crawl yield by rank decile (5x)
+
+YIELD_PPM = 1_000_000
+YIELD_BUCKETS = 10
+
+
+def q_crawl_yield_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """Diminishing-returns curve of the round's OWN schedule: bucket
+    scheduled URLs by their within-host fetch rank into deciles and
+    measure the realized document yield of each decile (docs fetched
+    per URL scheduled, integer ppm) plus the dead-fetch share. This
+    is the scheduler's economics audit — if the deep deciles yield a
+    fraction of the head, the per-host budget should shrink; if the
+    curve is flat, budget is leaving docs on the table. Runs entirely
+    on the engine's fetch surface (the same plan + synthesis chain
+    the crawl_round_* oracles pin), so the curve is THE one the
+    production round would see.
+
+    100 TB shape: rank deciles come free from the plan's existing
+    budget-rank column (no extra window); the doc counts partial-
+    aggregate per url_hash then per decile — two bounded exchanges on
+    keys the round already shuffles. Reference analog: per-account
+    page-depth yield in the reference's timeline crawler (how many
+    new tweets the Nth page returns — dumpall's since_id paging),
+    re-keyed to rank deciles."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    per_url = docs.groupBy("url_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    ranked = plan.select(
+        "url_hash",
+        F.least(
+            F.lit(YIELD_BUCKETS - 1).cast("long"),
+            (F.col("fetch_rank") - 1).cast("long"),
+        ).alias("decile"),
+    )
+    j = ranked.join(per_url, "url_hash", "left").fillna({"n_docs": 0})
+    return j.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scheduled"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_docs") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_yieldless"),
+    ).withColumn(
+        "yield_ppm", F.expr(f"(n_docs * {YIELD_PPM}) DIV n_scheduled")
+    ).withColumn(
+        "dead_ppm", F.expr(f"(n_yieldless * {YIELD_PPM}) DIV n_scheduled")
+    )
+
+
+def _build_o_yield() -> str:
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, fetch_rank, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+nd AS (
+  SELECT url_hash, fetch_rank,
+         CASE WHEN r100 < 88
+              THEN (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT
+              ELSE 0 END AS n_docs
+  FROM st2),
+yrank AS (
+  SELECT least({YIELD_BUCKETS - 1}, fetch_rank - 1)::BIGINT AS decile,
+         n_docs
+  FROM nd)
+SELECT decile,
+       cast(count(*) as bigint) AS n_scheduled,
+       cast(sum(n_docs) as bigint) AS n_docs,
+       cast(sum(CASE WHEN n_docs = 0 THEN 1 ELSE 0 END) as bigint)
+         AS n_yieldless,
+       (cast(sum(n_docs) as bigint) * {YIELD_PPM})
+         // cast(count(*) as bigint) AS yield_ppm,
+       (cast(sum(CASE WHEN n_docs = 0 THEN 1 ELSE 0 END) as bigint)
+          * {YIELD_PPM}) // cast(count(*) as bigint) AS dead_ppm
+FROM yrank GROUP BY decile
+"""
+
+
+O_CRAWL_YIELD_CURVE = _build_o_yield()
