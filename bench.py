@@ -158,6 +158,10 @@ HEADLINE_QUERIES = (
     "modularity_audit",
     "source_overlap",
     "crawl_yield_curve",
+    # round-5y tier
+    "burn_rate_alerts",
+    "maxmin_budget_alloc",
+    "link_prediction_features",
 )
 
 

@@ -155,6 +155,9 @@ AUDIT = (
     "modularity_audit",
     "source_overlap",
     "crawl_yield_curve",
+    "burn_rate_alerts",
+    "maxmin_budget_alloc",
+    "link_prediction_features",
 )
 
 
@@ -581,6 +584,17 @@ def main():
         f.write("- `crawl_yield_curve`: rank deciles come free from the plan's\n")
         f.write("  budget-rank column; two bounded exchanges (per-url doc counts,\n")
         f.write("  per-decile rollup) on keys the round already shuffles.\n")
+        f.write("- `burn_rate_alerts`: short windows partial-aggregate on (host,\n")
+        f.write("  hour) — the streaming tumbling-window shape; the long window\n")
+        f.write("  joins a bounded 6 short partials per key (mergeable counts).\n")
+        f.write("- `maxmin_budget_alloc`: demands aggregate per host; the fill\n")
+        f.write("  level is one prefix-sum scan over the demand-sorted host list\n")
+        f.write("  (bounded cardinality) + a 1-row broadcast; allocation is then\n")
+        f.write("  map-side with a Hamilton-style integer remainder.\n")
+        f.write("- `link_prediction_features`: negatives expand map-side from a\n")
+        f.write("  range + broadcast node-rank table; common neighbors are one\n")
+        f.write("  wedge join bounded by candidates x degree; components reuse\n")
+        f.write("  the audited CC operator.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -216,6 +216,12 @@ QUERIES: dict[str, QueryFn] = {
     "modularity_audit": wq.q_modularity_audit,
     "source_overlap": tq.q_source_overlap,
     "crawl_yield_curve": wq.q_crawl_yield_curve,
+    # round-5y wave (same out-of-window gating): SRE multi-window
+    # burn-rate alerting, max-min fair budget allocation, and the
+    # link-prediction feature build
+    "burn_rate_alerts": wq.q_burn_rate_alerts,
+    "maxmin_budget_alloc": wq.q_maxmin_budget_alloc,
+    "link_prediction_features": wq.q_link_prediction_features,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -461,6 +467,9 @@ ORACLES: dict[str, str] = {
     "modularity_audit": wq.O_MODULARITY_AUDIT,
     "source_overlap": tq.O_SOURCE_OVERLAP,
     "crawl_yield_curve": wq.O_CRAWL_YIELD_CURVE,
+    "burn_rate_alerts": wq.O_BURN_RATE_ALERTS,
+    "maxmin_budget_alloc": wq.O_MAXMIN_BUDGET_ALLOC,
+    "link_prediction_features": wq.O_LINK_PREDICTION_FEATURES,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -4056,3 +4056,473 @@ FROM yrank GROUP BY decile
 
 
 O_CRAWL_YIELD_CURVE = _build_o_yield()
+
+
+# -------------------------- SLO burn-rate alerting (5y)
+
+BURN_HOSTS = 12
+BURN_SHORT_H = 1     # short window: 1 hour
+BURN_LONG_H = 6      # long window: 6 hours
+BURN_SLO_PPM = 400_000   # error-budget SLO: 40% fixture error rate
+BURN_FAST = 2        # short-window burn multiple that pages
+BURN_SLOW = 1        # long-window burn multiple that must ALSO hold
+BURN_PPM = 1_000_000
+
+
+def q_burn_rate_alerts(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-window burn-rate alerting over the fetch-error stream —
+    the SRE-workbook pattern (Beyer et al., ch.5) applied to the
+    crawler fleet: a host pages only when BOTH its short-window (1h)
+    error rate exceeds BURN_FAST x the SLO budget AND its long-window
+    (6h) rate exceeds BURN_SLOW x — the two-window AND is what kills
+    flappy alerts (a one-minute spike trips the short window but not
+    the long; a slow leak trips the long but pages only while it is
+    still burning fast). All comparisons are exact cross-products
+    (errors * 1e6 vs multiple * SLO * total), no rate is ever a
+    float. Output per (host, anchored short window): counts for both
+    windows, both rates in ppm, and the page flag.
+
+    100 TB shape: the short windows partial-aggregate on (host,
+    window) — the streaming tier's tumbling-window shape (s3_stream_
+    windowed ships the live form); the long window joins 6 short
+    partials per key (mergeable counts, the HLL/EWMA checkpoint
+    discipline). Reference analog: the reference's rate-limit /
+    error-backoff bookkeeping per account (SURVEY §2 S1, A13
+    counters), lifted to windowed SLO alerting."""
+    e = _t(spark, sf, "events")
+    err = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("brn:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5"),
+        1,
+    ).otherwise(0)
+    hours = F.floor(
+        F.unix_timestamp(F.col("ts")) / F.lit(3600)
+    ).cast("long")
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(BURN_HOSTS)).alias("host"),
+        hours.alias("h"),
+        err.alias("e"),
+    )
+    short = base.groupBy("host", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_short"),
+        F.sum("e").cast("long").alias("err_short"),
+    )
+    # long window anchored at each short window's hour: previous
+    # BURN_LONG_H hours inclusive
+    s2 = short.select(
+        F.col("host").alias("h2"), F.col("h").alias("hh"),
+        "n_short", "err_short",
+    )
+    joined = short.alias("a").join(
+        s2.alias("b"),
+        (F.col("a.host") == F.col("b.h2"))
+        & (F.col("b.hh") <= F.col("a.h"))
+        & (F.col("b.hh") > F.col("a.h") - BURN_LONG_H),
+    ).groupBy(F.col("a.host").alias("host"), F.col("a.h").alias("h")).agg(
+        F.max(F.when(F.col("b.hh") == F.col("a.h"), F.col("b.n_short"))).alias(
+            "n_short"
+        ),
+        F.max(F.when(F.col("b.hh") == F.col("a.h"), F.col("b.err_short"))).alias(
+            "err_short"
+        ),
+        F.sum("b.n_short").alias("n_long"),
+        F.sum("b.err_short").alias("err_long"),
+    )
+    page = (
+        (
+            F.col("err_short") * F.lit(BURN_PPM).cast("long")
+            > F.lit(BURN_FAST * BURN_SLO_PPM).cast("long") * F.col("n_short")
+        )
+        & (
+            F.col("err_long") * F.lit(BURN_PPM).cast("long")
+            > F.lit(BURN_SLOW * BURN_SLO_PPM).cast("long") * F.col("n_long")
+        )
+    )
+    return joined.select(
+        "host",
+        "h",
+        "n_short",
+        "err_short",
+        "n_long",
+        "err_long",
+        F.expr(f"(err_short * {BURN_PPM}) DIV n_short").alias("rate_short_ppm"),
+        F.expr(f"(err_long * {BURN_PPM}) DIV n_long").alias("rate_long_ppm"),
+        page.cast("int").alias("paged"),
+    )
+
+
+O_BURN_RATE_ALERTS = f"""
+WITH base AS (
+  SELECT user_id % {BURN_HOSTS} AS host,
+         cast(floor(epoch(ts) / 3600) as bigint) AS h,
+         CASE WHEN substring(md5('brn:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5') THEN 1 ELSE 0 END AS e
+  FROM events),
+short AS (
+  SELECT host, h, cast(count(*) as bigint) AS n_short,
+         cast(sum(e) as bigint) AS err_short
+  FROM base GROUP BY host, h),
+joined AS (
+  SELECT a.host, a.h,
+         max(CASE WHEN b.h = a.h THEN b.n_short END) AS n_short,
+         max(CASE WHEN b.h = a.h THEN b.err_short END) AS err_short,
+         cast(sum(b.n_short) as bigint) AS n_long,
+         cast(sum(b.err_short) as bigint) AS err_long
+  FROM short a JOIN short b
+    ON b.host = a.host AND b.h <= a.h AND b.h > a.h - {BURN_LONG_H}
+  GROUP BY a.host, a.h)
+SELECT host, h, n_short, err_short, n_long, err_long,
+       (err_short * {BURN_PPM}) // n_short AS rate_short_ppm,
+       (err_long * {BURN_PPM}) // n_long AS rate_long_ppm,
+       cast(CASE WHEN err_short * {BURN_PPM}
+                      > {BURN_FAST * BURN_SLO_PPM} * n_short
+                  AND err_long * {BURN_PPM}
+                      > {BURN_SLOW * BURN_SLO_PPM} * n_long
+            THEN 1 ELSE 0 END as int) AS paged
+FROM joined
+"""
+
+
+# ---------------------- max-min fair budget allocation (5y)
+
+MMF_HOSTS = 24
+MMF_BUDGET = 600
+MMF_DEMAND_MOD = 97
+
+
+def q_maxmin_budget_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-min fair (water-filling) allocation of a global fetch
+    budget across hosts with heterogeneous demands — the ALLOCATOR
+    that sched_fairness measures after the fact: find the largest
+    integer fill level L with sum(min(demand_h, L)) <= B, give every
+    host min(demand_h, L), then hand the B - sum remaining seats one
+    each to the lowest-id still-capped hosts (the Hamilton-style
+    integer remainder, so the budget is spent EXACTLY). Max-min
+    fairness is the classic answer to 'no host starves, no host
+    hogs' (Bertsekas/Gallager §6.5.2); the emitted capped flag marks
+    the hosts whose demand exceeded the fair level — the ones a
+    bigger budget would actually help. Everything is exact integer
+    arithmetic over prefix sums.
+
+    100 TB shape: demands partial-aggregate per host; the fill level
+    comes from a prefix-sum scan over the DEMAND-SORTED host list
+    (bounded cardinality — the scheduler rank tail); the allocation
+    is then map-side. At 10^7 hosts the sorted scan is still one
+    bounded shuffle — demands, not documents. Reference analog: the
+    per-account rate budget split of the reference's crawler fleet
+    (SURVEY §2 J5 budget claim), made max-min fair."""
+    e = _t(spark, sf, "events")
+    # one md5 draw PER HOST (not per event): a per-event max would
+    # saturate at the modulus for every host and collapse the demand
+    # vector to a constant
+    demand = (
+        e.select(F.pmod(F.col("event_id"), F.lit(MMF_HOSTS)).alias("host"))
+        .distinct()
+        .select(
+            "host",
+            (
+                F.lit(1)
+                + F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit("mmf:"), F.col("host").cast("string"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(MMF_DEMAND_MOD),
+                )
+            ).alias("demand"),
+        )
+    )
+    w_all = Window.orderBy(F.col("demand").asc(), F.col("host").asc())
+    srt = demand.withColumn("rk", F.row_number().over(w_all)).withColumn(
+        "cum", F.sum("demand").over(w_all.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    n_row = srt.agg(F.count(F.lit(1)).cast("long").alias("n_hosts"))
+    # fill level candidates: for each sorted host k, if level == its
+    # demand, spent = cum_k + demand_k * (n - k). L = the largest
+    # integer level with spend <= B: compute the best base level from
+    # the candidate below, then extend arithmetically.
+    cand = srt.crossJoin(F.broadcast(n_row)).withColumn(
+        "spend_at_demand",
+        F.col("cum") + F.col("demand") * (F.col("n_hosts") - F.col("rk")),
+    )
+    feas = cand.where(F.col("spend_at_demand") <= MMF_BUDGET).select(
+        F.col("demand").alias("l0"),
+        F.col("cum").alias("cum0"),
+        F.col("rk").alias("rk0"),
+        F.col("n_hosts"),
+    )
+    # virtual level-0 candidate: always feasible, covers the
+    # budget-starved regime where even min(demand) * n exceeds B (the
+    # fill level then sits BELOW every demand: L = B DIV n)
+    virtual = n_row.select(
+        F.lit(0).cast("long").alias("l0"),
+        F.lit(0).cast("long").alias("cum0"),
+        F.lit(0).cast("long").alias("rk0"),
+        F.col("n_hosts"),
+    )
+    base = (
+        feas.unionByName(virtual)
+        .orderBy(F.col("l0").desc(), F.col("rk0").desc())
+        .limit(1)
+    )
+    # hosts above rk0 all have demand > l0; raise level by
+    # (B - spend0) DIV n_above, then distribute the remainder
+    lvl = base.select(
+        "l0",
+        "cum0",
+        "rk0",
+        "n_hosts",
+        (F.col("n_hosts") - F.col("rk0")).alias("n_above"),
+        (
+            F.lit(MMF_BUDGET).cast("long")
+            - (F.col("cum0") + F.col("l0") * (F.col("n_hosts") - F.col("rk0")))
+        ).alias("slack"),
+    ).select(
+        "rk0",
+        "n_above",
+        F.when(
+            F.col("n_above") > 0,
+            F.col("l0") + F.expr("slack DIV n_above"),
+        )
+        .otherwise(F.col("l0"))
+        .alias("level"),
+        F.when(
+            F.col("n_above") > 0, F.expr("slack % n_above")
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("extra"),
+    )
+    j = srt.crossJoin(F.broadcast(lvl))
+    alloc_base = F.least(F.col("demand"), F.col("level"))
+    # the `extra` remainder seats go to the lowest-id hosts whose
+    # demand exceeds the level (still capped after the base fill)
+    w_extra = Window.orderBy(F.col("host").asc())
+    capped = j.where(F.col("demand") > F.col("level")).withColumn(
+        "extra_rk", F.row_number().over(w_extra)
+    ).select(
+        F.col("host").alias("xh"),
+        (F.col("extra_rk") <= F.col("extra")).cast("long").alias("bonus"),
+    )
+    out = (
+        j.join(capped, j["host"] == capped["xh"], "left")
+        .fillna({"bonus": 0})
+        .select(
+            "host",
+            "demand",
+            (alloc_base + F.col("bonus")).alias("alloc"),
+            (F.col("demand") > F.col("level")).cast("int").alias("capped"),
+            F.col("level").cast("long").alias("fill_level"),
+        )
+    )
+    return out
+
+
+O_MAXMIN_BUDGET_ALLOC = f"""
+WITH demand AS (
+  SELECT host,
+         cast(1 + ('0x' || substring(md5('mmf:' || cast(host as varchar)), 1, 15))
+                    ::BIGINT % {MMF_DEMAND_MOD} as bigint) AS demand
+  FROM (SELECT DISTINCT event_id % {MMF_HOSTS} AS host FROM events)),
+srt AS (
+  SELECT *, row_number() OVER (ORDER BY demand ASC, host ASC) AS rk,
+         sum(demand) OVER (ORDER BY demand ASC, host ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         count(*) OVER () AS n_hosts
+  FROM demand),
+feas AS (
+  SELECT demand AS l0, cum AS cum0, rk AS rk0, n_hosts FROM srt
+  WHERE cum + demand * (n_hosts - rk) <= {MMF_BUDGET}
+  UNION ALL
+  SELECT cast(0 as bigint), cast(0 as bigint), cast(0 as bigint),
+         (SELECT count(*) FROM demand)),
+base AS (
+  SELECT l0, cum0, rk0, n_hosts
+  FROM feas ORDER BY l0 DESC, rk0 DESC LIMIT 1),
+lvl AS (
+  SELECT rk0, n_hosts - rk0 AS n_above,
+         CASE WHEN n_hosts - rk0 > 0
+              THEN l0 + ({MMF_BUDGET} - (cum0 + l0 * (n_hosts - rk0)))
+                     // (n_hosts - rk0)
+              ELSE l0 END AS level,
+         CASE WHEN n_hosts - rk0 > 0
+              THEN ({MMF_BUDGET} - (cum0 + l0 * (n_hosts - rk0)))
+                     % (n_hosts - rk0)
+              ELSE 0 END AS extra
+  FROM base),
+withlvl AS (SELECT srt.*, lvl.level, lvl.extra FROM srt, lvl),
+capped AS (
+  SELECT host, row_number() OVER (ORDER BY host ASC) AS extra_rk
+  FROM withlvl WHERE demand > level)
+SELECT w.host, w.demand,
+       cast(least(w.demand, w.level)
+         + CASE WHEN c.extra_rk IS NOT NULL AND c.extra_rk <= w.extra
+                THEN 1 ELSE 0 END as bigint) AS alloc,
+       cast(CASE WHEN w.demand > w.level THEN 1 ELSE 0 END as int) AS capped,
+       cast(w.level as bigint) AS fill_level
+FROM withlvl w LEFT JOIN capped c ON c.host = w.host
+"""
+
+
+# ------------------------ link-prediction feature build (5y)
+
+LPF_NEG = 60   # md5-drawn negative candidate pairs
+
+
+def q_link_prediction_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data preparation for host-graph link prediction — the
+    feature-engineering pass a graph-ML pipeline runs over the crawl
+    graph: positives are a deterministic third of the real edges
+    ((u*31 + v) % 3 == 0), negatives are LPF_NEG md5-drawn node pairs
+    anti-joined against the edge set, and every pair gets the
+    classic integer features — common-neighbor count (the
+    Liben-Nowell/Kleinberg baseline), the preferential-attachment
+    degree product, and the same-component flag (from the audited CC
+    operator). No floats anywhere (Adamic-Adar's 1/log(deg) is
+    deliberately NOT emitted — its libm surface is exactly what this
+    engine's exactness contract excludes; CN and PA are the
+    log-free members of that feature family). Labels + features in
+    one frame, ready for a split like train_split's hash-mod.
+
+    100 TB shape: negatives expand from a range + broadcast
+    node-rank table (map-side); common neighbors are one wedge join
+    on the candidate pair's endpoints against the directed edge list
+    (the triangle tier's exchange pattern, bounded by the candidate
+    count x degree); components come from the already-audited CC
+    run. Reference analog: follower-recommendation features over the
+    reference's graph (SURVEY §2 J10 similarity tier), packaged as
+    labeled training rows."""
+    from .operators.dedup import connected_components
+
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    deg = dirs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nodes = deg.select("a").withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("a").asc())) - 1
+    )
+    n_nodes = nodes.count()
+    pos = edges.where((F.col("u") * 31 + F.col("v")) % 3 == 0).select(
+        "u", "v", F.lit(1).cast("int").alias("label")
+    )
+    ks = spark.range(LPF_NEG).select(F.col("id").cast("long").alias("k"))
+    h1 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("lpn:a:"), F.col("k").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_nodes),
+    )
+    h2 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("lpn:b:"), F.col("k").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n_nodes),
+    )
+    drawn = (
+        ks.select(h1.alias("r1"), h2.alias("r2"))
+        .join(F.broadcast(nodes.select(F.col("rk").alias("r1"), F.col("a").alias("na"))), "r1")
+        .join(F.broadcast(nodes.select(F.col("rk").alias("r2"), F.col("a").alias("nb"))), "r2")
+        .where(F.col("na") != F.col("nb"))
+        .select(F.least("na", "nb").alias("u"), F.greatest("na", "nb").alias("v"))
+        .distinct()
+    )
+    neg = drawn.join(edges, ["u", "v"], "left_anti").select(
+        "u", "v", F.lit(0).cast("int").alias("label")
+    )
+    cand = pos.unionByName(neg)
+    nb = dirs.select(F.col("a").alias("n"), F.col("b").alias("nbr"))
+    cn = (
+        cand.join(nb.select(F.col("n").alias("u"), F.col("nbr").alias("w1")), "u")
+        .join(
+            nb.select(F.col("n").alias("v"), F.col("nbr").alias("w2")), "v"
+        )
+        .where(F.col("w1") == F.col("w2"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    cc = connected_components(edges, "u", "v")
+    comp = cc.select(F.col("node"), F.col("component"))
+    out = (
+        cand.join(cn, ["u", "v"], "left")
+        .fillna({"common_neighbors": 0})
+        .join(deg.select(F.col("a").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("a").alias("v"), F.col("d").alias("dv")), "v")
+        .join(comp.select(F.col("node").alias("u"), F.col("component").alias("cu")), "u")
+        .join(comp.select(F.col("node").alias("v"), F.col("component").alias("cv")), "v")
+    )
+    return out.select(
+        "u",
+        "v",
+        "label",
+        "common_neighbors",
+        (F.col("du") * F.col("dv")).alias("deg_product"),
+        (F.col("cu") == F.col("cv")).cast("int").alias("same_component"),
+    )
+
+
+def _build_o_lpf() -> str:
+    h = lambda tag: (  # noqa: E731
+        f"('0x' || substring(md5('lpn:{tag}:' || cast(k as varchar)), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH RECURSIVE {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT a, cast(count(*) as bigint) AS d FROM dirs GROUP BY a),
+nodes AS (
+  SELECT a, row_number() OVER (ORDER BY a ASC) - 1 AS rk FROM deg),
+nn AS (SELECT cast(count(*) as bigint) AS n_nodes FROM nodes),
+pos AS (
+  SELECT u, v, cast(1 as int) AS label FROM e
+  WHERE (u * 31 + v) % 3 = 0),
+ks AS (SELECT unnest(range(0, {LPF_NEG})) AS k),
+drawn AS (
+  SELECT DISTINCT least(na.a, nb.a) AS u, greatest(na.a, nb.a) AS v
+  FROM (SELECT ({h('a')}) % nn.n_nodes AS r1,
+               ({h('b')}) % nn.n_nodes AS r2
+        FROM ks, nn) dr
+  JOIN nodes na ON na.rk = dr.r1
+  JOIN nodes nb ON nb.rk = dr.r2
+  WHERE na.a <> nb.a),
+neg AS (
+  SELECT d.u, d.v, cast(0 as int) AS label
+  FROM drawn d LEFT JOIN e ON e.u = d.u AND e.v = d.v
+  WHERE e.u IS NULL),
+cand AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+cn AS (
+  SELECT c.u, c.v, cast(count(*) as bigint) AS common_neighbors
+  FROM cand c
+  JOIN dirs x ON x.a = c.u
+  JOIN dirs y ON y.a = c.v AND y.b = x.b
+  GROUP BY c.u, c.v),
+und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, x.v FROM reach r JOIN und x ON r.v = x.u),
+comp AS (SELECT u AS node, min(v) AS component FROM reach GROUP BY u)
+SELECT c.u, c.v, c.label,
+       coalesce(cn.common_neighbors, 0) AS common_neighbors,
+       du.d * dv.d AS deg_product,
+       cast(CASE WHEN cu.component = cv.component THEN 1 ELSE 0 END as int)
+         AS same_component
+FROM cand c
+LEFT JOIN cn ON cn.u = c.u AND cn.v = c.v
+JOIN deg du ON du.a = c.u
+JOIN deg dv ON dv.a = c.v
+JOIN comp cu ON cu.node = c.u
+JOIN comp cv ON cv.node = c.v
+"""
+
+
+O_LINK_PREDICTION_FEATURES = _build_o_lpf()
