@@ -162,6 +162,10 @@ HEADLINE_QUERIES = (
     "burn_rate_alerts",
     "maxmin_budget_alloc",
     "link_prediction_features",
+    # round-5z tier
+    "doc_novelty",
+    "timing_regularity",
+    "link_locality",
 )
 
 

@@ -158,6 +158,9 @@ AUDIT = (
     "burn_rate_alerts",
     "maxmin_budget_alloc",
     "link_prediction_features",
+    "doc_novelty",
+    "timing_regularity",
+    "link_locality",
 )
 
 
@@ -595,6 +598,16 @@ def main():
         f.write("  range + broadcast node-rank table; common neighbors are one\n")
         f.write("  wedge join bounded by candidates x degree; components reuse\n")
         f.write("  the audited CC operator.\n")
+        f.write("- `doc_novelty`: one shingle-key exchange (min-doc credit, the\n")
+        f.write("  dedup tier's key) + one doc rollup; order-deterministic credit\n")
+        f.write("  so resumes agree.\n")
+        f.write("- `timing_regularity`: one lag window per user partition (the\n")
+        f.write("  a7/w-family ordered scan) + partial-aggregated moments; all\n")
+        f.write("  comparisons are exact cross-products, CV^2 emitted at milli\n")
+        f.write("  scale to stay within int64 on month-long gap fixtures.\n")
+        f.write("- `link_locality`: map-side internal/external classification\n")
+        f.write("  inside the outlink expansion into one groupBy(src_host) —\n")
+        f.write("  strictly cheaper than anchor_text on the same surface.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

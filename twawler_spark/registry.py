@@ -222,6 +222,12 @@ QUERIES: dict[str, QueryFn] = {
     "burn_rate_alerts": wq.q_burn_rate_alerts,
     "maxmin_budget_alloc": wq.q_maxmin_budget_alloc,
     "link_prediction_features": wq.q_link_prediction_features,
+    # round-5z wave (same out-of-window gating): per-doc novelty
+    # valuation, metronome bot-timing detection, and the internal/
+    # external outlink locality split
+    "doc_novelty": tq.q_doc_novelty,
+    "timing_regularity": wq.q_timing_regularity,
+    "link_locality": wq.q_link_locality,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -470,6 +476,9 @@ ORACLES: dict[str, str] = {
     "burn_rate_alerts": wq.O_BURN_RATE_ALERTS,
     "maxmin_budget_alloc": wq.O_MAXMIN_BUDGET_ALLOC,
     "link_prediction_features": wq.O_LINK_PREDICTION_FEATURES,
+    "doc_novelty": tq.O_DOC_NOVELTY,
+    "timing_regularity": wq.O_TIMING_REGULARITY,
+    "link_locality": wq.O_LINK_LOCALITY,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

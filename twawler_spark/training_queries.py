@@ -5414,3 +5414,63 @@ FROM shared s
 JOIN per_src pa ON pa.source = s.src_a
 JOIN per_src pb ON pb.source = s.src_b
 """
+
+
+# ------------------------------- per-doc novelty scoring (5z)
+
+NOV_PPM = 1_000_000
+
+
+def q_doc_novelty(spark, sf):
+    """Per-document novelty scoring over the 5-gram shingle universe
+    — the data-valuation signal under contribution-aware sampling
+    (what does THIS doc add that the corpus before it did not?): a
+    shingle is credited to the LOWEST doc_id containing it
+    (first-occurrence in ingestion order), and each document reports
+    its shingle count, its novel-shingle count, and novelty in ppm.
+    Docs with novelty near zero are redundant given their
+    predecessors (candidates for down-sampling before dedup even
+    runs); near-1e6 docs carry fresh content. vocab_growth is the
+    BATCH rollup of exactly this credit assignment; this is the
+    per-document ledger, and corpus_sample/token_budget_select can
+    consume it as a quality column.
+
+    100 TB shape: one exchange on the shingle key (min-doc credit —
+    the same key the dedup tier shuffles), one groupBy(doc) rollup.
+    The credit assignment is order-deterministic (doc_id, not
+    arrival), so re-runs and resumes agree. Reference analog: none —
+    training-data-valuation infrastructure per the brief."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    first = sh.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    j = sh.join(first, "tok")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+    ).withColumn(
+        "novelty_ppm", F.expr(f"(n_novel * {NOV_PPM}) DIV n_shingles")
+    )
+
+
+O_DOC_NOVELTY = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM documents),
+shf AS (SELECT doc_id, tok FROM sh WHERE tok != ''),
+first AS (SELECT tok, min(doc_id) AS first_doc FROM shf GROUP BY tok)
+SELECT s.doc_id,
+       cast(count(*) as bigint) AS n_shingles,
+       cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) as bigint)
+         AS n_novel,
+       (cast(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) as bigint)
+          * {NOV_PPM}) // cast(count(*) as bigint) AS novelty_ppm
+FROM shf s JOIN first f ON f.tok = s.tok
+GROUP BY s.doc_id
+"""

@@ -4526,3 +4526,215 @@ JOIN comp cv ON cv.node = c.v
 
 
 O_LINK_PREDICTION_FEATURES = _build_o_lpf()
+
+
+# --------------------------- inter-event timing regularity (5z)
+
+TREG_MIN_EVENTS = 20   # users below this have no stable timing signal
+TREG_K = 10            # flag when CV^2 < 1/K (metronome-like cadence)
+TREG_BOTS = 3          # planted metronome accounts (negative user ids)
+TREG_BOT_EVENTS = 200  # fixture events rewritten into bot cadences
+
+
+def q_timing_regularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event timing regularity — the single-account
+    bot signal complementary to j8_synchrotrap's PAIRWISE lockstep
+    detection: automation posts on a metronome (tiny gap variance),
+    humans are bursty (CV near or above 1). Computed with NO mean and
+    NO float variance: for each user with >= TREG_MIN_EVENTS events,
+    the gap moments (n, sum g, sum g^2) are exact BIGINTs, the
+    dispersion numerator n*sum(g^2) - (sum g)^2 >= 0 is exact, and
+    the metronome flag is the exact cross-product comparison
+    K * (n*sum_g2 - sum_g^2) < (sum g)^2  <=>  CV^2 < 1/K. Emitted:
+    the moments, the dispersion numerator, CV^2 in ppm (one floor
+    division), and the flag.
+
+    100 TB shape: gaps are one lag window inside the (user) partition
+    — the same per-key ordered scan as a7/w-family; moments
+    partial-aggregate. Reference analog: the reference's bot heuristics
+    over posting cadence (SURVEY §2's bot tier, botornot features),
+    re-expressed as an exact dispersion test."""
+    e = _t(spark, sf, "events")
+    # order by the floored second (not raw ts) so same-second ties
+    # break identically to the oracle: (s, event_id) in both engines
+    w = Window.partitionBy("user_id").orderBy(F.col("s").asc(), F.col("event_id").asc())
+    sec = F.unix_timestamp(F.col("ts")).cast("long")
+    real = e.select("user_id", "event_id", sec.alias("s"))
+    # planted metronome accounts (negative user ids): 600 s cadence
+    # with +/-1 s md5 jitter — organic fixture users all sit at
+    # CV^2 ~ 1 (Poisson), so without planting, the metronome branch
+    # would be vacuous at every SF
+    bots = e.where(F.col("event_id") < TREG_BOT_EVENTS).select(
+        (-(F.lit(1) + F.pmod(F.col("event_id"), F.lit(TREG_BOTS)))).alias(
+            "user_id"
+        ),
+        F.col("event_id"),
+        (
+            F.lit(1700000000).cast("long")
+            + F.expr(f"(event_id DIV {TREG_BOTS}) * 600")
+            + F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("bot:"), F.col("event_id").cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(3),
+            )
+        ).alias("s"),
+    )
+    gaps = (
+        real.unionByName(bots)
+        .withColumn("g", F.col("s") - F.lag("s").over(w))
+        .where(F.col("g").isNotNull())
+    )
+    mom = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum("g").alias("sum_g"),
+        F.sum(F.col("g") * F.col("g")).alias("sum_g2"),
+    ).where(F.col("n_gaps") >= TREG_MIN_EVENTS - 1)
+    disp = F.col("n_gaps") * F.col("sum_g2") - F.col("sum_g") * F.col("sum_g")
+    return mom.select(
+        "user_id",
+        "n_gaps",
+        "sum_g",
+        "sum_g2",
+        disp.alias("disp_num"),
+        # milli scale, not ppm: disp can reach ~1e15 on month-long
+        # fixtures, so *1e6 would overflow int64 (and silently promote
+        # to HUGEINT in DuckDB); *1e3 stays within 2^63 in both engines
+        F.expr(
+            "CASE WHEN sum_g > 0 THEN"
+            " ((n_gaps * sum_g2 - sum_g * sum_g) * 1000)"
+            " DIV (sum_g * sum_g) ELSE 0 END"
+        ).alias("cv2_milli"),
+        (
+            (F.lit(TREG_K).cast("long") * disp < F.col("sum_g") * F.col("sum_g"))
+            .cast("int")
+        ).alias("metronome"),
+    )
+
+
+O_TIMING_REGULARITY = f"""
+WITH sec AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS s
+  FROM events
+  UNION ALL
+  SELECT -(1 + event_id % {TREG_BOTS}) AS user_id, event_id,
+         1700000000 + (event_id // {TREG_BOTS}) * 600
+           + ('0x' || substring(md5('bot:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % 3 AS s
+  FROM events WHERE event_id < {TREG_BOT_EVENTS}),
+gaps AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC)
+           AS g
+  FROM sec),
+mom AS (
+  SELECT user_id, cast(count(*) as bigint) AS n_gaps,
+         cast(sum(g) as bigint) AS sum_g,
+         cast(sum(g*g) as bigint) AS sum_g2
+  FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+  HAVING count(*) >= {TREG_MIN_EVENTS - 1})
+SELECT user_id, n_gaps, sum_g, sum_g2,
+       n_gaps * sum_g2 - sum_g * sum_g AS disp_num,
+       CASE WHEN sum_g > 0
+            THEN ((n_gaps * sum_g2 - sum_g * sum_g) * 1000)
+                   // (sum_g * sum_g)
+            ELSE 0 END AS cv2_milli,
+       cast(CASE WHEN {TREG_K} * (n_gaps * sum_g2 - sum_g * sum_g)
+                      < sum_g * sum_g
+            THEN 1 ELSE 0 END as int) AS metronome
+FROM mom
+"""
+
+
+# ------------------------------ outlink locality split (5z)
+
+LOC_PPM = 1_000_000
+
+
+def q_link_locality(spark: SparkSession, sf: str) -> DataFrame:
+    """Internal-vs-external outlink split per source host over the
+    round's discovered links: internal links (target == source host)
+    are site navigation — they deepen the crawl WITHIN a host budget;
+    external links are discovery — they grow the frontier. The
+    internal share tells the scheduler which hosts are link FARMS
+    (near-zero external), which are HUBS/directories (near-total
+    external), and how much frontier growth to expect per fetch from
+    each. Exact counts + one ppm floor division per host; the
+    discovery yield column (external links per fetched URL) prices
+    outlink expansion directly.
+
+    100 TB shape: one map-side classification inside the outlink
+    expansion (the target host is a regexp over the URL the expansion
+    already carries) into one partial-aggregated groupBy(src_host) —
+    strictly cheaper than anchor_text over the same surface.
+    Reference analog: the reference's follow-edge expansion rate per
+    account (SURVEY §2 S5: how many NEW accounts a crawled account's
+    edges reference), re-keyed host-to-host."""
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    src_n = F.substring("src_host", 2, 10).cast("long")
+    dst_n = F.regexp_extract("url", r"^https://h(\d+)\.", 1).cast("long")
+    cls = links.select(
+        src_n.alias("host"),
+        (src_n == dst_n).cast("long").alias("internal"),
+    )
+    n_fetched = (
+        plan.select(F.substring("host", 2, 10).cast("long").alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_urls_fetched"))
+    )
+    agg = cls.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.sum("internal").alias("n_internal"),
+    )
+    return (
+        agg.join(n_fetched, "host")
+        .withColumn("n_external", F.col("n_links") - F.col("n_internal"))
+        .withColumn(
+            "internal_ppm", F.expr(f"(n_internal * {LOC_PPM}) DIV n_links")
+        )
+        .withColumn(
+            "discovery_per_fetch_ppm",
+            F.expr(f"(n_external * {LOC_PPM}) DIV n_urls_fetched"),
+        )
+    )
+
+
+def _build_o_locality() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM ok),
+cls AS (
+  SELECT cast(substring(src_host, 2) as bigint) AS host,
+         CASE WHEN {th} = cast(substring(src_host, 2) as bigint)
+              THEN 1 ELSE 0 END AS internal
+  FROM lj),
+nf AS (
+  SELECT cast(substring(host, 2) as bigint) AS host,
+         cast(count(*) as bigint) AS n_urls_fetched
+  FROM plan GROUP BY 1),
+lagg AS (
+  SELECT host, cast(count(*) as bigint) AS n_links,
+         cast(sum(internal) as bigint) AS n_internal
+  FROM cls GROUP BY host)
+SELECT a.host, a.n_links, a.n_internal, nf.n_urls_fetched,
+       a.n_links - a.n_internal AS n_external,
+       (a.n_internal * {LOC_PPM}) // a.n_links AS internal_ppm,
+       ((a.n_links - a.n_internal) * {LOC_PPM}) // nf.n_urls_fetched
+         AS discovery_per_fetch_ppm
+FROM lagg a JOIN nf ON nf.host = a.host
+"""
+
+
+O_LINK_LOCALITY = _build_o_locality()
