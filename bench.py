@@ -166,6 +166,10 @@ HEADLINE_QUERIES = (
     "doc_novelty",
     "timing_regularity",
     "link_locality",
+    # round-6a tier
+    "queue_backlog_lindley",
+    "littles_law_audit",
+    "weight_sweep_winners",
 )
 
 

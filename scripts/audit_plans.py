@@ -161,6 +161,9 @@ AUDIT = (
     "doc_novelty",
     "timing_regularity",
     "link_locality",
+    "queue_backlog_lindley",
+    "littles_law_audit",
+    "weight_sweep_winners",
 )
 
 
@@ -608,6 +611,14 @@ def main():
         f.write("- `link_locality`: map-side internal/external classification\n")
         f.write("  inside the outlink expansion into one groupBy(src_host) —\n")
         f.write("  strictly cheaper than anchor_text on the same surface.\n")
+        f.write("- `queue_backlog_lindley`: arrivals partial-aggregate on (host,\n")
+        f.write("  round); the Lindley closed form is two windows inside the host\n")
+        f.write("  partition over ROUNDS rows — no recursion, no driver loop.\n")
+        f.write("- `littles_law_audit`: one groupBy(host) + a 1-row span\n")
+        f.write("  broadcast; |hosts| output rows, all integer.\n")
+        f.write("- `weight_sweep_winners`: WSW_STEPS-row broadcast onto the host\n")
+        f.write("  signature table, one argmax per weight over bounded hosts, a\n")
+        f.write("  skyline verification join against the dominator rollup.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

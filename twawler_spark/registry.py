@@ -228,6 +228,12 @@ QUERIES: dict[str, QueryFn] = {
     "doc_novelty": tq.q_doc_novelty,
     "timing_regularity": wq.q_timing_regularity,
     "link_locality": wq.q_link_locality,
+    # round-6a wave (same out-of-window gating): closed-form Lindley
+    # backlog forecasting, Little's-law pool sizing, and the
+    # scalarization sweep pinned against the skyline
+    "queue_backlog_lindley": wq.q_queue_backlog_lindley,
+    "littles_law_audit": wq.q_littles_law_audit,
+    "weight_sweep_winners": wq.q_weight_sweep_winners,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -479,6 +485,9 @@ ORACLES: dict[str, str] = {
     "doc_novelty": tq.O_DOC_NOVELTY,
     "timing_regularity": wq.O_TIMING_REGULARITY,
     "link_locality": wq.O_LINK_LOCALITY,
+    "queue_backlog_lindley": wq.O_QUEUE_BACKLOG_LINDLEY,
+    "littles_law_audit": wq.O_LITTLES_LAW_AUDIT,
+    "weight_sweep_winners": wq.O_WEIGHT_SWEEP_WINNERS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

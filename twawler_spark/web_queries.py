@@ -4738,3 +4738,288 @@ FROM lagg a JOIN nf ON nf.host = a.host
 
 
 O_LINK_LOCALITY = _build_o_locality()
+
+
+# ---------------------- Lindley queue-backlog recurrence (6a)
+
+QBL_HOSTS = 12
+QBL_ROUNDS = 6
+# capacity is DATA-DERIVED: the global mean arrivals per (host, round)
+# cell — cells fluctuate around the mean, so overload (backlog grows)
+# and drain (backlog hits 0) both occur at every SF by construction;
+# a fixed constant would make the queue all-idle at small fixtures
+
+
+def q_queue_backlog_lindley(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host fetch-queue backlog under a fixed politeness capacity
+    — the Lindley recurrence backlog_r = max(0, backlog_{r-1} +
+    arrivals_r - capacity), computed NOT as an iterative loop but via
+    its exact closed form: with S_r the running sum of
+    (arrivals - capacity), backlog_r = S_r - min(0, min_{k<=r} S_k)
+    — two window aggregates, no recursion, no driver loop (Lindley
+    1952; the max-prefix identity is the standard queueing trick).
+    This is the backlog forecast the scheduler consults before
+    admitting more URLs for a host: a host whose backlog grows every
+    round is under-provisioned at this politeness cap and will starve
+    its tail (crawl_backlog measures the standing queue; THIS derives
+    its whole trajectory from arrivals alone). All integers; the
+    identity backlog == iterative recurrence is pinned by the python
+    third implementation.
+
+    100 TB shape: arrivals partial-aggregate on (host, round); both
+    windows run inside the host partition over ROUNDS rows (the
+    host_ewma shape) — nothing iterative, nothing driver-side.
+    Reference analog: rate-limit window queue depth per account
+    (SURVEY §2 S1/J5), forecast in closed form."""
+    e = _t(spark, sf, "events")
+    arr = (
+        e.select(
+            F.pmod(F.col("user_id"), F.lit(QBL_HOSTS)).alias("host"),
+            F.pmod(F.col("event_id"), F.lit(QBL_ROUNDS)).alias("round"),
+        )
+        .groupBy("host", "round")
+        .agg(F.count(F.lit(1)).cast("long").alias("arrivals"))
+    )
+    cap = e.agg(
+        F.expr(f"count(*) DIV {QBL_HOSTS * QBL_ROUNDS}")
+        .cast("long")
+        .alias("capacity")
+    )
+    arr = arr.crossJoin(F.broadcast(cap))
+    w = Window.partitionBy("host").orderBy("round").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s_run = F.sum(F.col("arrivals") - F.col("capacity")).over(w)
+    with_s = arr.withColumn("s_run", s_run)
+    min_s = F.min(F.least(F.col("s_run"), F.lit(0).cast("long"))).over(w)
+    return with_s.select(
+        "host",
+        "round",
+        "arrivals",
+        "capacity",
+        (F.col("s_run") - F.least(min_s, F.lit(0).cast("long"))).alias("backlog"),
+    )
+
+
+O_QUEUE_BACKLOG_LINDLEY = f"""
+WITH arr AS (
+  SELECT user_id % {QBL_HOSTS} AS host,
+         event_id % {QBL_ROUNDS} AS round,
+         cast(count(*) as bigint) AS arrivals
+  FROM events GROUP BY 1, 2),
+cap AS (
+  SELECT cast(count(*) // {QBL_HOSTS * QBL_ROUNDS} as bigint) AS capacity
+  FROM events),
+s AS (
+  SELECT arr.*, cap.capacity,
+         sum(arrivals - cap.capacity) OVER (PARTITION BY host ORDER BY round
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_run
+  FROM arr, cap)
+SELECT host, round, arrivals, capacity,
+       cast(s_run - least(min(least(s_run, 0)) OVER (PARTITION BY host
+              ORDER BY round
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+            as bigint) AS backlog
+FROM s
+"""
+
+
+# --------------------------- Little's law concurrency audit (6a)
+
+LL_HOSTS = 12
+LL_LAT_MOD = 200_000  # per-fetch latency fixture modulus (us)
+LL_REPLAY_FACTOR = 30_000  # compressed-replay speedup for pool sizing
+
+
+def q_littles_law_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Fetcher-pool sizing by Little's law, L = lambda * W: over the
+    fixture's observation window, each host's mean in-flight fetch
+    concurrency equals its total busy time divided by the window span
+    — computed exactly as sum(latency_us) (BIGINT) with the window
+    span, emitting L in MILLI-connections via one floor division
+    (sum_busy_us * 1000 DIV span_us). The fetcher pool for a host
+    needs ceil(L) slots to sustain its arrival rate at its observed
+    latency; the emitted slots_needed = (sum_busy*1000 DIV span +
+    999) DIV 1000 is that ceiling, exactly. This closes the capacity
+    loop: timeout_sweep prices the latency cap, host_ewma tracks its
+    drift, Lindley forecasts the backlog — Little's law converts it
+    all into POOL SLOTS, the number ops actually provisions.
+
+    100 TB shape: one partial-aggregated groupBy(host) over the
+    fetch log plus a 1-row window-span broadcast; |hosts| output
+    rows. Reference analog: sizing the reference's parallel crawler
+    account pool against rate windows (SURVEY §2 S1 fleet)."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(LL_LAT_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(LL_HOSTS)).alias("host"),
+        lat.alias("lat_us"),
+        F.unix_timestamp(F.col("ts")).cast("long").alias("s"),
+    )
+    span = base.agg(
+        ((F.max("s") - F.min("s")) * F.lit(1_000_000).cast("long")).alias(
+            "span_us"
+        )
+    )
+    agg = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        F.sum("lat_us").alias("busy_us"),
+    )
+    j = agg.crossJoin(F.broadcast(span))
+    # the fixture log is SPARSE (a month of wall time, sub-second
+    # latencies), so L is ~3e-5 — emit it at nano scale plus the pool
+    # size for a LL_REPLAY_FACTOR x compressed replay (the batch
+    # re-crawl case: a month of fetch work replayed in ~minutes needs
+    # ceil(L * factor) slots, which straddles 1-2 per host here)
+    return j.select(
+        "host",
+        "n_fetches",
+        "busy_us",
+        "span_us",
+        F.expr("(busy_us * 1000000000) DIV span_us").alias("concurrency_nano"),
+        F.expr(
+            f"(busy_us * {LL_REPLAY_FACTOR} + span_us - 1) DIV span_us"
+        ).alias("replay_slots"),
+    )
+
+
+O_LITTLES_LAW_AUDIT = f"""
+WITH base AS (
+  SELECT user_id % {LL_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {LL_LAT_MOD} AS lat_us,
+         cast(floor(epoch(ts)) as bigint) AS s
+  FROM events),
+span AS (
+  SELECT (max(s) - min(s)) * 1000000 AS span_us FROM base),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS n_fetches,
+         cast(sum(lat_us) as bigint) AS busy_us
+  FROM base GROUP BY host)
+SELECT host, n_fetches, busy_us, cast(span.span_us as bigint) AS span_us,
+       (busy_us * 1000000000) // span.span_us AS concurrency_nano,
+       (busy_us * {LL_REPLAY_FACTOR} + span.span_us - 1) // span.span_us
+         AS replay_slots
+FROM agg, span
+"""
+
+
+# ----------------------- scalarization sweep vs skyline (6a)
+
+WSW_STEPS = 5  # weight grid k/4 for k = 0..4
+
+
+def q_weight_sweep_winners(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalarization sweep over the two priority signals: for each
+    weight k/4 (k = 0..4), the host maximizing k*degree +
+    (4-k)*n_tri (integer scores, ties to the lower id) — the
+    concrete budget-priority choice under each monotone weighting,
+    and the constructive half of the skyline story: every sweep
+    winner is Pareto-undominated (a dominator would score at least
+    as high on every weight and strictly higher on one), which the
+    emitted on_skyline column pins at 1 per row under the driver
+    hash. skyline_hosts gives the full candidate SET; this picks the
+    actual winners as the weight moves from pure-closure (k=0) to
+    pure-degree (k=4), and the number of DISTINCT winners across the
+    sweep measures how much the weight choice actually matters.
+
+    100 TB shape: a WSW_STEPS-row broadcast onto the host signature
+    table, one argmax per weight over bounded host cardinality, and
+    a skyline verification join against the (bounded) dominator
+    rollup. Reference analog: SURVEY §2 O1/O4 priority-order
+    variants, unified under one sweep."""
+    from .operators.graph import triangle_counts
+
+    sig = triangle_counts(_tri_edges(_t(spark, sf, "documents"))).select(
+        "node", "degree", "n_tri"
+    )
+    ks = spark.range(WSW_STEPS).select(F.col("id").cast("long").alias("k"))
+    scored = sig.crossJoin(F.broadcast(ks)).withColumn(
+        "score", F.col("k") * F.col("degree") + (4 - F.col("k")) * F.col("n_tri")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(F.col("score").desc(), F.col("node").asc())
+    )
+    winners = scored.withColumn("rn", rn).where(F.col("rn") == 1).select(
+        "k", "node", "degree", "n_tri", "score"
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("b.degree") >= F.col("a.degree"))
+            & (F.col("b.n_tri") >= F.col("a.n_tri"))
+            & (
+                (F.col("b.degree") > F.col("a.degree"))
+                | (F.col("b.n_tri") > F.col("a.n_tri"))
+            ),
+        )
+        .groupBy(F.col("a.node").alias("node"))
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    return (
+        winners.join(dominated, "node", "left")
+        .withColumn(
+            "on_skyline", F.when(F.col("nd").isNull(), 1).otherwise(0).cast("int")
+        )
+        .select("k", "node", "degree", "n_tri", "score", "on_skyline")
+    )
+
+
+def _build_o_weight_sweep() -> str:
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1 JOIN e e2 ON e2.u = e1.v
+            JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+cnt AS (
+  SELECT n, count(*) AS n_tri
+  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY n),
+sig AS (
+  SELECT deg.n AS node, cast(deg.d as bigint) AS degree,
+         cast(coalesce(cnt.n_tri, 0) as bigint) AS n_tri
+  FROM deg LEFT JOIN cnt ON cnt.n = deg.n
+  WHERE deg.d >= 2),
+ks AS (SELECT cast(unnest(range(0, {WSW_STEPS})) as bigint) AS k),
+scored AS (
+  SELECT k, node, degree, n_tri, k * degree + (4 - k) * n_tri AS score
+  FROM sig, ks),
+winners AS (
+  SELECT k, node, degree, n_tri, score
+  FROM (SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY score DESC, node ASC) AS rn
+        FROM scored)
+  WHERE rn = 1),
+dom AS (
+  SELECT a.node, count(*) AS nd
+  FROM sig a JOIN sig b
+    ON b.degree >= a.degree AND b.n_tri >= a.n_tri
+   AND (b.degree > a.degree OR b.n_tri > a.n_tri)
+  GROUP BY a.node)
+SELECT w.k, w.node, w.degree, w.n_tri, w.score,
+       cast(CASE WHEN dom.node IS NULL THEN 1 ELSE 0 END as int) AS on_skyline
+FROM winners w LEFT JOIN dom ON dom.node = w.node
+"""
+
+
+O_WEIGHT_SWEEP_WINNERS = _build_o_weight_sweep()
