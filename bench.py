@@ -170,6 +170,10 @@ HEADLINE_QUERIES = (
     "queue_backlog_lindley",
     "littles_law_audit",
     "weight_sweep_winners",
+    # round-6b tier
+    "crawl_round2_delta",
+    "span_budget_fit",
+    "rank_normalize",
 )
 
 

@@ -164,6 +164,9 @@ AUDIT = (
     "queue_backlog_lindley",
     "littles_law_audit",
     "weight_sweep_winners",
+    "crawl_round2_delta",
+    "span_budget_fit",
+    "rank_normalize",
 )
 
 
@@ -619,6 +622,16 @@ def main():
         f.write("- `weight_sweep_winners`: WSW_STEPS-row broadcast onto the host\n")
         f.write("  signature table, one argmax per weight over bounded hosts, a\n")
         f.write("  skyline verification join against the dominator rollup.\n")
+        f.write("- `crawl_round2_delta`: two invocations of the same Arrow fetch\n")
+        f.write("  surface at different round numbers, one doc-key anti/semi join\n")
+        f.write("  pair + per-host rollups; pins since_id disjointness under the\n")
+        f.write("  driver hash.\n")
+        f.write("- `span_budget_fit`: per-doc array HOFs inside the fetch\n")
+        f.write("  projection (no explode), one rollup on the 2^3 verdict\n")
+        f.write("  alphabet — constant-size output.\n")
+        f.write("- `rank_normalize`: two bounded global sorts over doc signals —\n")
+        f.write("  the exact calibration baseline; warehouse scale runs the a8\n")
+        f.write("  histogram/percentile tier instead (documented in-query).\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

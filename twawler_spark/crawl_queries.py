@@ -1225,3 +1225,80 @@ JOIN r{HG_ITERS} ON nodes.host = r{HG_ITERS}.host
 
 
 O_HOST_GRAPH_RANK = _build_o_host_graph()
+
+
+# ----------------------- two-round since_id delta invariant (6b)
+
+
+def q_crawl_round2_delta(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-round refetch DELTA audit — the driver-checked form of the
+    north rule's resumability invariant: when round 2 refetches a URL
+    that round 1 already fetched, the synthesis yields the documents
+    SINCE the checkpoint (dumpall.py since_id paging), never
+    duplicates of round 1's page. Per host over the URLs that fetch
+    OK in both rounds: round-1 doc count, round-2 doc count, the
+    SHARED doc-key count — hash-pinned at zero, which is the whole
+    point: the driver value-hash now fails if any engine change makes
+    a refetch replay old documents — and the union count proving the
+    two pages are additive (r1 + r2 == union).
+
+    100 TB shape: two invocations of the same Arrow fetch-synthesis
+    surface at different round numbers, one pair-key anti-join on the
+    doc key, per-host rollup. Reference parity:
+    twkit/crawler/dumpall.py:83-87 (since_id checkpoint advance);
+    engine-side the 5-round pytest (test_round_equivalence) already
+    crosses this — THIS query puts the invariant under the driver's
+    oracle hash as well."""
+    _, plan = _plan(spark, sf)
+    d1 = fetch_documents(plan, ROUND_NO).select("host", "doc_id")
+    d2 = fetch_documents(plan, ROUND_NO + 1).select("host", "doc_id")
+    shared = d1.join(d2.select(F.col("doc_id").alias("doc_id")), "doc_id").groupBy(
+        "host"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    a1 = d1.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_docs_r1"))
+    a2 = d2.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_docs_r2"))
+    un = (
+        d1.unionByName(d2)
+        .distinct()
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union"))
+    )
+    return (
+        a1.join(a2, "host")
+        .join(un, "host")
+        .join(shared, "host", "left")
+        .fillna({"n_shared": 0})
+        .select("host", "n_docs_r1", "n_docs_r2", "n_shared", "n_union")
+    )
+
+
+def _build_o_round2_delta() -> str:
+    dk = lambda base: _stream("u", docspec._S_DOCKEY, f"{base} + j")  # noqa: E731
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT host, u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dj AS (SELECT host, u, unnest(range(0, nd)) AS j FROM ok),
+d1 AS (SELECT host, ({dk(256)}) AS d FROM dj),
+d2 AS (SELECT host, ({dk(512)}) AS d FROM dj),
+a1 AS (SELECT host, cast(count(*) as bigint) AS n_docs_r1 FROM d1 GROUP BY host),
+a2 AS (SELECT host, cast(count(*) as bigint) AS n_docs_r2 FROM d2 GROUP BY host),
+sh AS (
+  SELECT d1.host, cast(count(*) as bigint) AS n_shared
+  FROM d1 JOIN d2 ON d2.d = d1.d GROUP BY d1.host),
+un AS (
+  SELECT host, cast(count(*) as bigint) AS n_union FROM (
+    SELECT DISTINCT host, d FROM (
+      SELECT host, d FROM d1 UNION ALL SELECT host, d FROM d2))
+  GROUP BY host)
+SELECT a1.host, a1.n_docs_r1, a2.n_docs_r2,
+       coalesce(sh.n_shared, 0) AS n_shared, un.n_union
+FROM a1 JOIN a2 ON a2.host = a1.host
+JOIN un ON un.host = a1.host
+LEFT JOIN sh ON sh.host = a1.host
+"""
+
+
+O_CRAWL_ROUND2_DELTA = _build_o_round2_delta()

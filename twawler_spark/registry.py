@@ -234,6 +234,12 @@ QUERIES: dict[str, QueryFn] = {
     "queue_backlog_lindley": wq.q_queue_backlog_lindley,
     "littles_law_audit": wq.q_littles_law_audit,
     "weight_sweep_winners": wq.q_weight_sweep_winners,
+    # round-6b wave (same out-of-window gating): the two-round
+    # since_id delta invariant under the driver hash, multimodal
+    # packing-budget admission, and exact rank normalization
+    "crawl_round2_delta": crq.q_crawl_round2_delta,
+    "span_budget_fit": wq.q_span_budget_fit,
+    "rank_normalize": tq.q_rank_normalize,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -488,6 +494,9 @@ ORACLES: dict[str, str] = {
     "queue_backlog_lindley": wq.O_QUEUE_BACKLOG_LINDLEY,
     "littles_law_audit": wq.O_LITTLES_LAW_AUDIT,
     "weight_sweep_winners": wq.O_WEIGHT_SWEEP_WINNERS,
+    "crawl_round2_delta": crq.O_CRAWL_ROUND2_DELTA,
+    "span_budget_fit": wq.O_SPAN_BUDGET_FIT,
+    "rank_normalize": tq.O_RANK_NORMALIZE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

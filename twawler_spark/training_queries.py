@@ -5474,3 +5474,79 @@ SELECT s.doc_id,
 FROM shf s JOIN first f ON f.tok = s.tok
 GROUP BY s.doc_id
 """
+
+
+# ----------------------- exact rank normalization (6b)
+
+RNORM_PPM = 1_000_000
+
+
+def q_rank_normalize(spark, sf):
+    """Exact rank normalization of heterogeneous document signals —
+    the float-free feature scaling a composite quality score needs
+    before mixing signals with incomparable units (chars vs tokens vs
+    novelty): each signal is mapped to (RANK() - 1) * 1e6 DIV (n - 1)
+    where RANK is the standard competition rank (ties share the rank,
+    identical in both engines), so every signal lands in [0, 1e6]
+    with its order exactly preserved and ties preserved as ties.
+    Emitted per doc: both raw signals (n_chars; whitespace token
+    count), both rank-ppm normalizations, and the combined score
+    (their integer mean) — the two-signal composite in the same
+    units. quality_classifier and token_budget_select can consume
+    this directly in place of min-max scaling (which one outlier
+    destroys; rank scaling is outlier-immune by construction).
+
+    100 TB shape: two global sorts over the doc signal columns — at
+    warehouse scale the same computation runs as a percentile
+    approximation or a bucketed rank (a8's histogram tier); the
+    exact form here is the calibration baseline, same discipline as
+    the sketch tiers' exact legs. Reference analog: score
+    normalization in the reference's user-ranking exports (SURVEY §2
+    A-family stats), made explicit and float-free."""
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        toks.alias("n_tokens"),
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r_chars = F.rank().over(W.orderBy(F.col("n_chars").asc())).cast("long")
+    r_toks = F.rank().over(W.orderBy(F.col("n_tokens").asc())).cast("long")
+    ranked = base.withColumn("rk_chars", r_chars).withColumn("rk_toks", r_toks)
+    j = ranked.crossJoin(F.broadcast(n_row))
+    return j.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.expr(f"((rk_chars - 1) * {RNORM_PPM}) DIV (n - 1)").alias(
+            "chars_rank_ppm"
+        ),
+        F.expr(f"((rk_toks - 1) * {RNORM_PPM}) DIV (n - 1)").alias(
+            "tokens_rank_ppm"
+        ),
+        F.expr(
+            f"(((rk_chars - 1) * {RNORM_PPM}) DIV (n - 1)"
+            f" + ((rk_toks - 1) * {RNORM_PPM}) DIV (n - 1)) DIV 2"
+        ).alias("combined_ppm"),
+    )
+
+
+O_RANK_NORMALIZE = f"""
+WITH base AS (
+  SELECT doc_id, cast(n_chars as bigint) AS n_chars,
+         cast(len(string_split(text, ' ')) as bigint) AS n_tokens
+  FROM documents),
+ranked AS (
+  SELECT *,
+         cast(rank() OVER (ORDER BY n_chars ASC) as bigint) AS rk_chars,
+         cast(rank() OVER (ORDER BY n_tokens ASC) as bigint) AS rk_toks,
+         cast(count(*) OVER () as bigint) AS n
+  FROM base)
+SELECT doc_id, n_chars, n_tokens,
+       ((rk_chars - 1) * {RNORM_PPM}) // (n - 1) AS chars_rank_ppm,
+       ((rk_toks - 1) * {RNORM_PPM}) // (n - 1) AS tokens_rank_ppm,
+       (((rk_chars - 1) * {RNORM_PPM}) // (n - 1)
+          + ((rk_toks - 1) * {RNORM_PPM}) // (n - 1)) // 2 AS combined_ppm
+FROM ranked
+"""

@@ -5023,3 +5023,102 @@ FROM winners w LEFT JOIN dom ON dom.node = w.node
 
 
 O_WEIGHT_SWEEP_WINNERS = _build_o_weight_sweep()
+
+
+# ---------------------- multimodal packing-budget fit (6b)
+
+SBF_TOKEN_BUDGET = 24   # text-token budget per packed sequence slot
+SBF_MEDIA_BUDGET = 2    # media slots per packed sequence
+
+
+def q_span_budget_fit(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing-budget fit of one round's interleaved documents: per
+    fetched doc, the exact text-token count (sum of per-span word
+    counts over its TEXT spans) and media-span count, and whether the
+    doc fits a (SBF_TOKEN_BUDGET tokens, SBF_MEDIA_BUDGET media)
+    packing slot as-is — with the two violation flags separated,
+    because the remedies differ (over-token docs get split at span
+    boundaries; over-media docs get frame-sampled). This is the
+    admission gate in front of sequence_packing for the MULTIMODAL
+    case: text-only packing counts tokens, interleaved packing must
+    budget BOTH axes, and span_patterns/span_transitions describe the
+    shapes while THIS prices them against a concrete slot. Runs on
+    the engine's own fetch surface; all counts exact.
+
+    100 TB shape: per-doc array HOFs over the spans column (token
+    sums are ordered folds inside the fetch projection, no explode),
+    one partial-aggregated rollup per (fits, over_tokens, over_media)
+    verdict cell — output bounded by the 2^3 verdict alphabet with
+    per-cell doc counts, token mass, and media mass. Reference
+    analog: tweet-length/media-count admission in the reference's
+    dump path, lifted to span sequences."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    n_tok = F.aggregate(
+        F.col("spans"),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc
+        + F.when(
+            s["kind"] == "text", F.size(F.split(s["text"], " ")).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    n_med = F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).cast(
+        "long"
+    )
+    flagged = docs.select(
+        n_tok.alias("n_tokens"),
+        n_med.alias("n_media"),
+    ).select(
+        "n_tokens",
+        "n_media",
+        (F.col("n_tokens") > SBF_TOKEN_BUDGET).cast("int").alias("over_tokens"),
+        (F.col("n_media") > SBF_MEDIA_BUDGET).cast("int").alias("over_media"),
+    )
+    return flagged.groupBy("over_tokens", "over_media").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("n_media").alias("sum_media"),
+    ).withColumn(
+        "fits",
+        ((F.col("over_tokens") == 0) & (F.col("over_media") == 0)).cast("int"),
+    )
+
+
+def _build_o_span_budget() -> str:
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+       FROM (SELECT u, unnest(range(0, nd)) AS j FROM ok)),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+per AS (
+  SELECT
+    cast(coalesce(list_sum(list_transform(
+      list_filter(range(0, nsp), k -> {kind('k')} = 't'),
+      k -> {nwords})), 0) as bigint) AS n_tokens,
+    cast(len(list_filter(range(0, nsp), k -> {kind('k')} = 'm')) as bigint)
+      AS n_media
+  FROM dd),
+flagged AS (
+  SELECT n_tokens, n_media,
+         cast(CASE WHEN n_tokens > {SBF_TOKEN_BUDGET} THEN 1 ELSE 0 END as int)
+           AS over_tokens,
+         cast(CASE WHEN n_media > {SBF_MEDIA_BUDGET} THEN 1 ELSE 0 END as int)
+           AS over_media
+  FROM per)
+SELECT over_tokens, over_media,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_tokens) as bigint) AS sum_tokens,
+       cast(sum(n_media) as bigint) AS sum_media,
+       cast(CASE WHEN over_tokens = 0 AND over_media = 0 THEN 1 ELSE 0 END
+            as int) AS fits
+FROM flagged GROUP BY over_tokens, over_media
+"""
+
+
+O_SPAN_BUDGET_FIT = _build_o_span_budget()
