@@ -174,6 +174,10 @@ HEADLINE_QUERIES = (
     "crawl_round2_delta",
     "span_budget_fit",
     "rank_normalize",
+    # round-6c tier
+    "lsh_config_chooser",
+    "span_position_profile",
+    "alloc_gini",
 )
 
 

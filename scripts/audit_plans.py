@@ -167,6 +167,9 @@ AUDIT = (
     "crawl_round2_delta",
     "span_budget_fit",
     "rank_normalize",
+    "lsh_config_chooser",
+    "span_position_profile",
+    "alloc_gini",
 )
 
 
@@ -632,6 +635,14 @@ def main():
         f.write("- `rank_normalize`: two bounded global sorts over doc signals —\n")
         f.write("  the exact calibration baseline; warehouse scale runs the a8\n")
         f.write("  histogram/percentile tier instead (documented in-query).\n")
+        f.write("- `lsh_config_chooser`: one signature build (the dedup\n")
+        f.write("  exchange) + per-config band self-joins over the SAMPLE only —\n")
+        f.write("  calibration, not the corpus path.\n")
+        f.write("- `span_position_profile`: bounded explode into a MAX_SPANS-\n")
+        f.write("  cardinality groupBy — constant-size output.\n")
+        f.write("- `alloc_gini`: per-host counts partial-aggregate; the sorted\n")
+        f.write("  prefix and deciles run over host cardinality (the rank-tail\n")
+        f.write("  regime), 1-row moment broadcast.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

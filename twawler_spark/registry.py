@@ -240,6 +240,12 @@ QUERIES: dict[str, QueryFn] = {
     "crawl_round2_delta": crq.q_crawl_round2_delta,
     "span_budget_fit": wq.q_span_budget_fit,
     "rank_normalize": tq.q_rank_normalize,
+    # round-6c wave (same out-of-window gating): the LSH banding
+    # chooser, the positional span profile, and the Lorenz/Gini
+    # allocation audit
+    "lsh_config_chooser": tq.q_lsh_config_chooser,
+    "span_position_profile": wq.q_span_position_profile,
+    "alloc_gini": wq.q_alloc_gini,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -497,6 +503,9 @@ ORACLES: dict[str, str] = {
     "crawl_round2_delta": crq.O_CRAWL_ROUND2_DELTA,
     "span_budget_fit": wq.O_SPAN_BUDGET_FIT,
     "rank_normalize": tq.O_RANK_NORMALIZE,
+    "lsh_config_chooser": tq.O_LSH_CONFIG_CHOOSER,
+    "span_position_profile": wq.O_SPAN_POSITION_PROFILE,
+    "alloc_gini": wq.O_ALLOC_GINI,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -5550,3 +5550,192 @@ SELECT doc_id, n_chars, n_tokens,
           + ((rk_toks - 1) * {RNORM_PPM}) // (n - 1)) // 2 AS combined_ppm
 FROM ranked
 """
+
+
+# ------------------------- LSH (b, r) config chooser (6c)
+
+# candidate bandings of the 8-hash signature: (bands, rows_per_band)
+LSHC_CONFIGS = ((2, 4), (4, 2), (8, 1))
+LSHC_HIGH_J10 = 8   # "true pair" = jaccard decile >= 0.8
+LSHC_PPM = 1_000_000
+
+
+def q_lsh_config_chooser(spark, sf):
+    """LSH banding chooser on the calibration sample: for EACH way of
+    banding the same 8-hash minhash signature — (2 bands x 4 rows:
+    precise), (4 x 2: the registered production config), (8 x 1:
+    recall-greedy) — the empirical candidate-pair cost, the recall on
+    high-jaccard pairs (decile >= 0.8), and the precision among
+    candidates, all integer ppm on the same three-level planted
+    sample as lsh_s_curve. The s-curve VALIDATES one config against
+    theory; this puts the alternatives side by side the way a dedup
+    tier actually chooses: more rows per band moves the S-curve right
+    (fewer candidates, lower recall), fewer moves it left. The config
+    whose recall clears the target at the lowest candidate cost wins;
+    at 8 hashes that trade is real in both directions on this sample.
+
+    100 TB shape: one signature build (the dedup tier's exchange),
+    then per config a band-key self-join over the SAMPLE only —
+    calibration, not the corpus path (dedup_minhash_lsh remains the
+    production single-shuffle tier). All-pairs truth is the same
+    sample-bounded baseline as lsh_s_curve."""
+    sample = _scurve_sample_spark(_t(spark, sf, "documents"))
+    sh = sample.select("doc_id", _shingles_spark(F.col("text")).alias("sh"))
+    toks = sample.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+            .cast("long")
+            .alias("i"),
+            F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            .cast("long")
+            .alias("u"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.expr("(10 * i) DIV u") >= LSHC_HIGH_J10).cast("long").alias("hi"),
+        )
+    )
+    out = None
+    for nb, rows in LSHC_CONFIGS:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band_idx"),
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"h{bi * rows + ri}") for ri in range(rows)],
+                            ).alias("band_val"),
+                        )
+                        for bi in range(nb)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_val")
+        x, y = bands.alias("x"), bands.alias("y")
+        cands = (
+            x.join(
+                y,
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_val") == F.col("y.band_val"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+            )
+            .distinct()
+            .withColumn("cand", F.lit(1).cast("long"))
+        )
+        j = truth.join(cands, ["doc_a", "doc_b"], "left").fillna({"cand": 0})
+        agg = j.agg(
+            F.sum("cand").alias("n_candidates"),
+            F.sum("hi").alias("n_high_pairs"),
+            F.sum(F.col("cand") * F.col("hi")).alias("n_caught"),
+        ).select(
+            F.lit(nb).cast("long").alias("bands"),
+            F.lit(rows).cast("long").alias("rows_per_band"),
+            "n_candidates",
+            "n_high_pairs",
+            "n_caught",
+            F.expr(f"(n_caught * {LSHC_PPM}) DIV n_high_pairs").alias("recall_ppm"),
+            F.expr(
+                f"CASE WHEN n_candidates > 0 THEN"
+                f" (n_caught * {LSHC_PPM}) DIV n_candidates ELSE 0 END"
+            ).alias("precision_ppm"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _o_lsh_config_chooser() -> str:
+    M = 1 << 59
+    hs = ",\n         ".join(
+        f"min((('0x' || substring(md5(tok), 1, 15))::BIGINT % {M}"
+        f" + {k} * (('0x' || substring(md5(tok), 17, 15))::BIGINT % {M})) % {M})"
+        f" AS h{k}"
+        for k in range(N_MINHASH)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), "
+        "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))"
+    )
+    per_cfg = []
+    for nb, rows in LSHC_CONFIGS:
+        joins = "\nUNION\n".join(
+            "SELECT x.doc_id AS doc_a, y.doc_id AS doc_b FROM bands_{nb} x "
+            "JOIN bands_{nb} y ON x.b{bi} = y.b{bi} AND x.doc_id < y.doc_id".format(
+                nb=nb, bi=bi
+            )
+            for bi in range(nb)
+        )
+        band_cols = ", ".join(
+            "concat_ws('|', "
+            + ", ".join(f"h{bi * rows + ri}" for ri in range(rows))
+            + f") AS b{bi}"
+            for bi in range(nb)
+        )
+        per_cfg.append(
+            f"""bands_{nb} AS (SELECT doc_id, {band_cols} FROM sigs),
+cands_{nb} AS ({joins}),
+agg_{nb} AS (
+  SELECT cast({nb} as bigint) AS bands, cast({rows} as bigint) AS rows_per_band,
+         cast(sum(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           AS n_candidates,
+         cast(sum(t.hi) as bigint) AS n_high_pairs,
+         cast(sum(CASE WHEN c.doc_a IS NOT NULL THEN t.hi ELSE 0 END) as bigint)
+           AS n_caught
+  FROM truth t LEFT JOIN cands_{nb} c
+    ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)"""
+        )
+    cfg_sql = ",\n".join(per_cfg)
+    finals = " UNION ALL ".join(
+        f"SELECT *, (n_caught * {LSHC_PPM}) // n_high_pairs AS recall_ppm, "
+        f"CASE WHEN n_candidates > 0 THEN (n_caught * {LSHC_PPM}) // n_candidates "
+        f"ELSE 0 END AS precision_ppm FROM agg_{nb}"
+        for nb, _ in LSHC_CONFIGS
+    )
+    return f"""
+WITH docs AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd',
+         substring(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_h',
+         array_to_string(
+           (string_split(text, ' '))[1:cast(ceil(len(string_split(text, ' ')) / 2) as int)],
+           ' ')
+  FROM documents WHERE doc_id < {SCURVE_DOCS}),
+sh AS (SELECT doc_id, {shingles} AS sh FROM docs),
+toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+sigs AS (
+  SELECT doc_id,
+         {hs}
+  FROM toks WHERE tok != '' GROUP BY doc_id),
+truth AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CASE WHEN (10 * len(list_intersect(a.sh, b.sh)))
+                     // len(list_distinct(list_concat(a.sh, b.sh)))
+                   >= {LSHC_HIGH_J10}
+              THEN 1 ELSE 0 END AS hi
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+{cfg_sql}
+{finals}
+"""
+
+
+O_LSH_CONFIG_CHOOSER = _o_lsh_config_chooser()

@@ -5122,3 +5122,167 @@ FROM flagged GROUP BY over_tokens, over_media
 
 
 O_SPAN_BUDGET_FIT = _build_o_span_budget()
+
+
+# ----------------------- span position profile (6c)
+
+SPP_PPM = 1_000_000
+
+
+def q_span_position_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Positional profile of the interleaved payload: per span OFFSET
+    k (0-based), how many documents have a span there, how many of
+    those spans are text vs media, the media share in ppm, and the
+    exact text-token mass at that position. Packing and truncation
+    policies are positional — 'cut at 8 spans', 'media rarely leads'
+    (span_transitions showed direction; THIS shows absolute
+    position), 'late spans carry less text' — and this query is the
+    profile those policies read. Runs on the engine's fetch surface;
+    offsets are the north rule's order invariant made into the
+    group key.
+
+    100 TB shape: one bounded explode (<= MAX_SPANS per doc) into a
+    partial-aggregated groupBy(offset) whose cardinality is
+    MAX_SPANS — constant-size output at any corpus scale."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    ex = docs.select(F.explode("spans").alias("s")).select(
+        F.col("s.offset").cast("long").alias("offset"),
+        (F.col("s.kind") == "media").cast("long").alias("is_media"),
+        F.when(
+            F.col("s.kind") == "text",
+            F.size(F.split(F.col("s.text"), " ")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("n_words"),
+    )
+    return ex.groupBy("offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("is_media").alias("n_media"),
+        F.sum("n_words").alias("sum_words"),
+    ).select(
+        "offset",
+        "n_spans",
+        "n_media",
+        (F.col("n_spans") - F.col("n_media")).alias("n_text"),
+        "sum_words",
+        F.expr(f"(n_media * {SPP_PPM}) DIV n_spans").alias("media_ppm"),
+    )
+
+
+def _build_o_span_profile() -> str:
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+       FROM (SELECT u, unnest(range(0, nd)) AS j FROM ok)),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+ex AS (
+  SELECT cast(k as bigint) AS "offset",
+         CASE WHEN {kind('k')} = 'm' THEN 1 ELSE 0 END AS is_media,
+         CASE WHEN {kind('k')} = 't' THEN {nwords} ELSE 0 END AS n_words
+  FROM (SELECT d, nsp, unnest(range(0, nsp)) AS k FROM dd))
+SELECT "offset",
+       cast(count(*) as bigint) AS n_spans,
+       cast(sum(is_media) as bigint) AS n_media,
+       cast(count(*) - sum(is_media) as bigint) AS n_text,
+       cast(sum(n_words) as bigint) AS sum_words,
+       (cast(sum(is_media) as bigint) * {SPP_PPM})
+         // cast(count(*) as bigint) AS media_ppm
+FROM ex GROUP BY "offset"
+"""
+
+
+O_SPAN_POSITION_PROFILE = _build_o_span_profile()
+
+
+# --------------------------- Gini of the fetch allocation (6c)
+
+GINI_PPM = 1_000_000
+
+
+def q_alloc_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of the round's per-host fetch allocation —
+    the rank-based inequality reading next to sched_fairness's Jain
+    index (Jain is mean-square-based and moved most by the largest
+    holders; Gini weighs the whole Lorenz curve, the standard
+    econ/SRE inequality number). Exact from the sorted-prefix
+    identity G = (2 * sum_i i*x_(i) - (n+1) * S) / (n * S) — every
+    term a BIGINT over the demand-sorted allocation (ties broken by
+    host id; the i*x products are exact), one ppm floor division at
+    the end. Output: the Lorenz-curve deciles (cumulative allocation
+    share at each tenth of hosts, integer ppm — hash-pinning the
+    whole curve) with the Gini on every row.
+
+    100 TB shape: per-host counts partial-aggregate; the sorted
+    prefix runs over HOST cardinality (the scheduler rank-tail
+    regime, same bound as maxmin/fairness); deciles are a bounded
+    rollup. Reference analog: crawl-account load imbalance (SURVEY
+    §2 S1 fleet), measured on the Lorenz scale."""
+    _, plan = _plan(spark, sf)
+    x = plan.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.orderBy(F.col("x").asc(), F.col("host").asc())
+    srt = x.withColumn("i", F.row_number().over(w).cast("long")).withColumn(
+        "cum", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = srt.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("i") * F.col("x")).alias("iwx"),
+    )
+    g = tot.select(
+        "n",
+        "s",
+        F.expr(
+            f"((2 * iwx - (n + 1) * s) * {GINI_PPM}) DIV (n * s)"
+        ).alias("gini_ppm"),
+    )
+    dec = srt.crossJoin(F.broadcast(g)).withColumn(
+        "decile", F.expr("(10 * i + n - 1) DIV n")
+    )
+    return (
+        dec.groupBy("decile", "n", "s", "gini_ppm")
+        .agg(F.max("cum").alias("cum_alloc"))
+        .select(
+            "decile",
+            F.col("n").alias("n_hosts"),
+            F.col("s").alias("total_alloc"),
+            "cum_alloc",
+            F.expr(f"(cum_alloc * {GINI_PPM}) DIV s").alias("lorenz_ppm"),
+            "gini_ppm",
+        )
+    )
+
+
+O_ALLOC_GINI = f"""
+WITH {_SQL_PLAN_BASE},
+x AS (
+  SELECT host, cast(count(*) as bigint) AS x FROM plan GROUP BY host),
+srt AS (
+  SELECT *,
+         cast(row_number() OVER (ORDER BY x ASC, host ASC) as bigint) AS i,
+         cast(sum(x) OVER (ORDER BY x ASC, host ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           AS cum
+  FROM x),
+tot AS (
+  SELECT cast(count(*) as bigint) AS n, cast(sum(x) as bigint) AS s,
+         cast(sum(i * x) as bigint) AS iwx
+  FROM srt),
+g AS (
+  SELECT n, s,
+         ((2 * iwx - (n + 1) * s) * {GINI_PPM}) // (n * s) AS gini_ppm
+  FROM tot)
+SELECT (10 * srt.i + g.n - 1) // g.n AS decile,
+       g.n AS n_hosts, g.s AS total_alloc,
+       max(srt.cum) AS cum_alloc,
+       (max(srt.cum) * {GINI_PPM}) // g.s AS lorenz_ppm,
+       g.gini_ppm
+FROM srt, g
+GROUP BY 1, g.n, g.s, g.gini_ppm
+"""
