@@ -178,6 +178,10 @@ HEADLINE_QUERIES = (
     "lsh_config_chooser",
     "span_position_profile",
     "alloc_gini",
+    # round-6d tier
+    "column_stats_for_encoding",
+    "retry_cost_forecast",
+    "host_reputation",
 )
 
 

@@ -170,6 +170,9 @@ AUDIT = (
     "lsh_config_chooser",
     "span_position_profile",
     "alloc_gini",
+    "column_stats_for_encoding",
+    "retry_cost_forecast",
+    "host_reputation",
 )
 
 
@@ -643,6 +646,14 @@ def main():
         f.write("- `alloc_gini`: per-host counts partial-aggregate; the sorted\n")
         f.write("  prefix and deciles run over host cardinality (the rank-tail\n")
         f.write("  regime), 1-row moment broadcast.\n")
+        f.write("- `column_stats_for_encoding`: per column one distinct partial\n")
+        f.write("  and one write-order lag window; at warehouse scale the same\n")
+        f.write("  statistic runs per row group.\n")
+        f.write("- `retry_cost_forecast`: one groupBy(host) + map-side exact\n")
+        f.write("  geometric-series arithmetic; |hosts| rows.\n")
+        f.write("- `host_reputation`: three partial-aggregated per-host passes +\n")
+        f.write("  three bounded rank sorts + one composite sort — the rank-tail\n")
+        f.write("  regime end to end.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -246,6 +246,12 @@ QUERIES: dict[str, QueryFn] = {
     "lsh_config_chooser": tq.q_lsh_config_chooser,
     "span_position_profile": wq.q_span_position_profile,
     "alloc_gini": wq.q_alloc_gini,
+    # round-6d wave (same out-of-window gating): parquet encoding
+    # statistics, the exact retry amplification forecast, and the
+    # composite host reputation panel
+    "column_stats_for_encoding": tq.q_column_stats_for_encoding,
+    "retry_cost_forecast": wq.q_retry_cost_forecast,
+    "host_reputation": wq.q_host_reputation,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -506,6 +512,9 @@ ORACLES: dict[str, str] = {
     "lsh_config_chooser": tq.O_LSH_CONFIG_CHOOSER,
     "span_position_profile": wq.O_SPAN_POSITION_PROFILE,
     "alloc_gini": wq.O_ALLOC_GINI,
+    "column_stats_for_encoding": tq.O_COLUMN_STATS_FOR_ENCODING,
+    "retry_cost_forecast": wq.O_RETRY_COST_FORECAST,
+    "host_reputation": wq.O_HOST_REPUTATION,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

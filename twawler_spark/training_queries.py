@@ -5739,3 +5739,98 @@ truth AS (
 
 
 O_LSH_CONFIG_CHOOSER = _o_lsh_config_chooser()
+
+
+# --------------------- column encoding-choice statistics (6d)
+
+ENC_PPM = 1_000_000
+ENC_COLUMNS = ("lang", "source")
+
+
+def q_column_stats_for_encoding(spark, sf):
+    """Parquet/ORC encoding-choice statistics per column — the
+    warehouse-layout decision THIS engine's own storage tier makes
+    when writing the corpus: dictionary encoding pays off when the
+    distinct ratio is low; run-length encoding pays off when values
+    repeat in ADJACENT rows of the write order. Per column: row
+    count, distinct count and ratio (dictionary signal), and the
+    run count in doc_id order with the run-compression ratio (RLE
+    signal; n_runs/n near 1e6 means RLE is useless, near 0 means
+    the column is sorted/clustered). Exact integers: runs are
+    value-change counts over a lag window in write order — the same
+    ordered-scan shape as the gap tiers.
+
+    100 TB shape: the distinct side partial-aggregates per column;
+    the run side is one lag window in write order per column
+    (at warehouse scale this statistic is computed per row group —
+    same arithmetic over bounded rows). The unpivot is a literal
+    2-column stack. Reference analog: none — storage-layout
+    infrastructure the 100 TB target requires (the bucketBy/sortBy
+    decisions cited across PLANS.md are downstream of exactly these
+    numbers)."""
+    d = _t(spark, sf, "documents")
+    outs = []
+    for col in ENC_COLUMNS:
+        w = W.orderBy("doc_id")
+        runs = (
+            d.select("doc_id", F.col(col).cast("string").alias("v"))
+            .withColumn("prev", F.lag("v").over(w))
+            .select(
+                F.when(
+                    F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1
+                )
+                .otherwise(0)
+                .cast("long")
+                .alias("new_run")
+            )
+            .agg(F.sum("new_run").alias("n_runs"))
+        )
+        stats = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(col).cast("long").alias("n_distinct"),
+        )
+        outs.append(
+            stats.crossJoin(runs).select(
+                F.lit(col).alias("column_name"),
+                "n_rows",
+                "n_distinct",
+                F.expr(f"(n_distinct * {ENC_PPM}) DIV n_rows").alias(
+                    "distinct_ppm"
+                ),
+                F.col("n_runs").cast("long").alias("n_runs"),
+                F.expr(f"(n_runs * {ENC_PPM}) DIV n_rows").alias("runs_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _o_column_stats() -> str:
+    parts = []
+    for col in ENC_COLUMNS:
+        parts.append(
+            f"""SELECT '{col}' AS column_name,
+       (SELECT cast(count(*) as bigint) FROM documents) AS n_rows,
+       (SELECT cast(count(DISTINCT {col}) as bigint) FROM documents)
+         AS n_distinct,
+       ((SELECT cast(count(DISTINCT {col}) as bigint) FROM documents)
+          * {ENC_PPM})
+         // (SELECT cast(count(*) as bigint) FROM documents) AS distinct_ppm,
+       (SELECT cast(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+                    as bigint)
+        FROM (SELECT cast({col} as varchar) AS v,
+                     lag(cast({col} as varchar)) OVER (ORDER BY doc_id) AS prev
+              FROM documents)) AS n_runs,
+       ((SELECT cast(sum(CASE WHEN prev IS NULL OR v <> prev THEN 1 ELSE 0 END)
+                     as bigint)
+         FROM (SELECT cast({col} as varchar) AS v,
+                      lag(cast({col} as varchar)) OVER (ORDER BY doc_id) AS prev
+               FROM documents)) * {ENC_PPM})
+         // (SELECT cast(count(*) as bigint) FROM documents) AS runs_ppm"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+O_COLUMN_STATS_FOR_ENCODING = _o_column_stats()

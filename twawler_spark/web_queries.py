@@ -5286,3 +5286,307 @@ SELECT (10 * srt.i + g.n - 1) // g.n AS decile,
 FROM srt, g
 GROUP BY 1, g.n, g.s, g.gini_ppm
 """
+
+
+# -------------------------- retry amplification forecast (6d)
+
+RETRY_MAX = 3        # retries after the first attempt
+RETRY_PPM = 1_000_000
+
+
+def q_retry_cost_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Retry amplification per host under an up-to-RETRY_MAX-retries
+    policy, computed EXACTLY from the observed failure rate: with
+    per-host failure probability p = err/tot (a rational), the
+    expected attempts per URL is the truncated geometric series
+    sum_{k=0..R} p^k = (tot^{R+1} - err^{R+1}) / (tot^R * (tot -
+    err)) — both sides exact BIGINTs at fixture scale, one ppm floor
+    division. The fetcher fleet's real capacity is demand x THIS
+    factor; a host at 40% errors with 3 retries costs 1.62x its
+    nominal budget, and the emitted extra_attempts column is that
+    surcharge in absolute expected attempts for the host's observed
+    volume — the number capacity planning actually subtracts from
+    the politeness budget.
+
+    100 TB shape: one partial-aggregated groupBy(host) + map-side
+    exact-power arithmetic; |hosts| rows. The mergeable state is the
+    same (host, n, err) pair as the rate tiers. Reference analog:
+    the reference's retry/backoff bookkeeping per account (SURVEY §2
+    S1/S2 error paths), priced in expectation."""
+    e = _t(spark, sf, "events")
+    err = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("brn:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5"),
+        1,
+    ).otherwise(0)
+    agg = (
+        e.select(
+            F.pmod(F.col("user_id"), F.lit(BURN_HOSTS)).alias("host"),
+            err.alias("e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tot"),
+            F.sum("e").cast("long").alias("err"),
+        )
+    )
+    r = RETRY_MAX
+    # sum_{k=0..R} p^k = sum_{k=0..R} err^k / tot^k
+    #                  = (sum_{k=0..R} err^k * tot^(R-k)) / tot^R
+    terms = []
+    for k in range(r + 1):
+        e_part = "*".join(["err"] * k) if k else "1"
+        t_part = "*".join(["tot"] * (r - k)) if r - k else "1"
+        terms.append(f"({e_part}) * ({t_part})")
+    series_num = " + ".join(terms)
+    den = "*".join(["tot"] * r)
+    out = agg.select(
+        "host",
+        "tot",
+        "err",
+        F.expr(f"(({series_num}) * {RETRY_PPM}) DIV ({den})").alias(
+            "attempts_ppm"
+        ),
+    )
+    return out.withColumn(
+        "extra_attempts",
+        F.expr(f"(tot * attempts_ppm) DIV {RETRY_PPM} - tot"),
+    )
+
+
+def _o_retry_cost() -> str:
+    r = RETRY_MAX
+    terms = []
+    for k in range(r + 1):
+        e_part = "*".join(["err"] * k) if k else "1"
+        t_part = "*".join(["tot"] * (r - k)) if r - k else "1"
+        terms.append(f"({e_part}) * ({t_part})")
+    series_num = " + ".join(terms)
+    den = "*".join(["tot"] * r)
+    return f"""
+WITH per AS (
+  SELECT user_id % {BURN_HOSTS} AS host,
+         CASE WHEN substring(md5('brn:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5') THEN 1 ELSE 0 END AS e
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS tot,
+         cast(sum(e) as bigint) AS err
+  FROM per GROUP BY host)
+SELECT host, tot, err,
+       (({series_num}) * {RETRY_PPM}) // ({den}) AS attempts_ppm,
+       (tot * ((({series_num}) * {RETRY_PPM}) // ({den}))) // {RETRY_PPM} - tot
+         AS extra_attempts
+FROM agg
+"""
+
+
+O_RETRY_COST_FORECAST = _o_retry_cost()
+
+
+# --------------------------- composite host reputation (6d)
+
+REP_HOSTS = 12
+REP_PPM = 1_000_000
+
+
+def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite host reputation — the capstone join of the health
+    tiers into ONE rank: per host, (a) fetch error rate (burn-rate
+    fixture), (b) exact median latency (the quantile tier's rank
+    rule), (c) discovery value (external outlinks per fetched URL,
+    the link_locality rate) — each rank-normalized to [0, 1e6] with
+    GOOD = HIGH (errors and latency rank descending, discovery
+    ascending) exactly as rank_normalize does for documents, then
+    averaged into the composite and ranked. This is the
+    multi-signal ordering a scheduler would actually deploy after
+    the per-signal audits; the skyline/sweep tiers explored the
+    frontier of two signals, this commits to a concrete three-signal
+    score with exact, outlier-immune scaling.
+
+    100 TB shape: three partial-aggregated per-host passes (counts,
+    median via the cumulative-count rule, locality rates from the
+    outlink expansion), three bounded rank sorts over host
+    cardinality, one composite sort. Everything integer. Reference
+    analog: the reference's account-health ordering (rate limits x
+    latency x yield) unified (SURVEY §2 S1/J5/O1)."""
+    e = _t(spark, sf, "events")
+    err = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("brn:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5"),
+        1,
+    ).otherwise(0)
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(REP_HOSTS)).alias("host"),
+        err.alias("e"),
+        lat.alias("lat"),
+    )
+    rates = base.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("e").cast("long").alias("n_err"),
+    ).withColumn("err_ppm", F.expr(f"(n_err * {REP_PPM}) DIV n"))
+    cum = (
+        base.groupBy("host", "lat")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "cumc",
+            F.sum("c").over(
+                Window.partitionBy("host")
+                .orderBy("lat")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("nn", F.sum("c").over(Window.partitionBy("host")))
+    )
+    p50 = (
+        cum.where(F.col("cumc") >= F.ceil(F.col("nn") / 2))
+        .groupBy("host")
+        .agg(F.min("lat").alias("p50_us"))
+    )
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    src_n = F.substring("src_host", 2, 10).cast("long")
+    dst_n = F.regexp_extract("url", r"^https://h(\d+)\.", 1).cast("long")
+    ext = (
+        links.select(
+            F.pmod(src_n, F.lit(REP_HOSTS)).alias("host"),
+            (src_n != dst_n).cast("long").alias("is_ext"),
+        )
+        .groupBy("host")
+        .agg(F.sum("is_ext").alias("n_ext"))
+    )
+    nf = (
+        plan.select(
+            F.pmod(F.substring("host", 2, 10).cast("long"), F.lit(REP_HOSTS)).alias(
+                "host"
+            )
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_fetched"))
+    )
+    disc = ext.join(nf, "host").withColumn(
+        "disc_ppm", F.expr(f"(n_ext * {REP_PPM}) DIV n_fetched")
+    )
+    j = rates.join(p50, "host").join(
+        disc.select("host", "disc_ppm"), "host"
+    )
+    n_row = j.agg(F.count(F.lit(1)).cast("long").alias("nh"))
+    # good = high: errors + latency rank DESC (low is good), discovery ASC
+    r_err = F.rank().over(Window.orderBy(F.col("err_ppm").desc())).cast("long")
+    r_lat = F.rank().over(Window.orderBy(F.col("p50_us").desc())).cast("long")
+    r_disc = F.rank().over(Window.orderBy(F.col("disc_ppm").asc())).cast("long")
+    ranked = (
+        j.withColumn("rk_err", r_err)
+        .withColumn("rk_lat", r_lat)
+        .withColumn("rk_disc", r_disc)
+        .crossJoin(F.broadcast(n_row))
+    )
+    norm = lambda c: F.expr(f"(({c} - 1) * {REP_PPM}) DIV (nh - 1)")  # noqa: E731
+    scored = ranked.select(
+        "host",
+        "err_ppm",
+        "p50_us",
+        "disc_ppm",
+        norm("rk_err").alias("err_score"),
+        norm("rk_lat").alias("lat_score"),
+        norm("rk_disc").alias("disc_score"),
+    ).withColumn(
+        "composite_ppm",
+        F.expr("(err_score + lat_score + disc_score) DIV 3"),
+    )
+    return scored.withColumn(
+        "rep_rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("composite_ppm").desc(), F.col("host").asc()))
+        .cast("long"),
+    )
+
+
+def _o_host_reputation_real() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+base AS (
+  SELECT user_id % {REP_HOSTS} AS host,
+         CASE WHEN substring(md5('brn:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5') THEN 1 ELSE 0 END AS e,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS lat
+  FROM events),
+rates AS (
+  SELECT host, cast(count(*) as bigint) AS n,
+         cast(sum(e) as bigint) AS n_err,
+         (cast(sum(e) as bigint) * {REP_PPM}) // cast(count(*) as bigint)
+           AS err_ppm
+  FROM base GROUP BY host),
+cum AS (
+  SELECT host, lat,
+         sum(count(*)) OVER (PARTITION BY host ORDER BY lat
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         sum(count(*)) OVER (PARTITION BY host) AS nn
+  FROM base GROUP BY host, lat),
+p50 AS (
+  SELECT host, min(lat) AS p50_us
+  FROM cum WHERE cumc >= ceil(nn / 2.0) GROUP BY host),
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+okl AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM okl),
+extl AS (
+  SELECT cast(substring(src_host, 2) as bigint) % {REP_HOSTS} AS host,
+         CASE WHEN {th} <> cast(substring(src_host, 2) as bigint)
+              THEN 1 ELSE 0 END AS is_ext
+  FROM lj),
+ext AS (
+  SELECT host, cast(sum(is_ext) as bigint) AS n_ext FROM extl GROUP BY host),
+nf AS (
+  SELECT cast(substring(host, 2) as bigint) % {REP_HOSTS} AS host,
+         cast(count(*) as bigint) AS n_fetched
+  FROM plan GROUP BY 1),
+disc AS (
+  SELECT ext.host, (ext.n_ext * {REP_PPM}) // nf.n_fetched AS disc_ppm
+  FROM ext JOIN nf ON nf.host = ext.host),
+j AS (
+  SELECT r.host, r.err_ppm, p.p50_us, d.disc_ppm
+  FROM rates r JOIN p50 p ON p.host = r.host JOIN disc d ON d.host = r.host),
+reprank AS (
+  SELECT *,
+         cast(rank() OVER (ORDER BY err_ppm DESC) as bigint) AS rk_err,
+         cast(rank() OVER (ORDER BY p50_us DESC) as bigint) AS rk_lat,
+         cast(rank() OVER (ORDER BY disc_ppm ASC) as bigint) AS rk_disc,
+         cast(count(*) OVER () as bigint) AS nh
+  FROM j),
+repscored AS (
+  SELECT host, err_ppm, p50_us, disc_ppm,
+         ((rk_err - 1) * {REP_PPM}) // (nh - 1) AS err_score,
+         ((rk_lat - 1) * {REP_PPM}) // (nh - 1) AS lat_score,
+         ((rk_disc - 1) * {REP_PPM}) // (nh - 1) AS disc_score
+  FROM reprank)
+SELECT *,
+       (err_score + lat_score + disc_score) // 3 AS composite_ppm,
+       cast(row_number() OVER (
+              ORDER BY (err_score + lat_score + disc_score) // 3 DESC,
+                       host ASC) as bigint) AS rep_rank
+FROM repscored
+"""
+
+
+O_HOST_REPUTATION = _o_host_reputation_real()
