@@ -182,6 +182,10 @@ HEADLINE_QUERIES = (
     "column_stats_for_encoding",
     "retry_cost_forecast",
     "host_reputation",
+    # round-6e tier
+    "ks_latency_drift",
+    "rich_club",
+    "metronome_roc",
 )
 
 

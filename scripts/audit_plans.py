@@ -173,6 +173,9 @@ AUDIT = (
     "column_stats_for_encoding",
     "retry_cost_forecast",
     "host_reputation",
+    "ks_latency_drift",
+    "rich_club",
+    "metronome_roc",
 )
 
 
@@ -654,6 +657,14 @@ def main():
         f.write("- `host_reputation`: three partial-aggregated per-host passes +\n")
         f.write("  three bounded rank sorts + one composite sort — the rank-tail\n")
         f.write("  regime end to end.\n")
+        f.write("- `ks_latency_drift`: (host, value) partial counts + cumulative\n")
+        f.write("  windows (the quantile exchange pattern); at warehouse scale the\n")
+        f.write("  same statistic runs over hdr_quantiles' bucket rows.\n")
+        f.write("- `rich_club`: one node-key degree aggregation; each threshold\n")
+        f.write("  is an endpoint-decorated filter + count — |grid| rows.\n")
+        f.write("- `metronome_roc`: the gap moments are computed once (the\n")
+        f.write("  timing_regularity exchange); every threshold is a map-side\n")
+        f.write("  comparison — |grid| column sweeps, not |grid| passes.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -252,6 +252,12 @@ QUERIES: dict[str, QueryFn] = {
     "column_stats_for_encoding": tq.q_column_stats_for_encoding,
     "retry_cost_forecast": wq.q_retry_cost_forecast,
     "host_reputation": wq.q_host_reputation,
+    # round-6e wave (same out-of-window gating): exact two-sample KS
+    # drift, the rich-club coefficient curve, and the metronome
+    # detector's exact ROC sweep
+    "ks_latency_drift": wq.q_ks_latency_drift,
+    "rich_club": wq.q_rich_club,
+    "metronome_roc": wq.q_metronome_roc,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -515,6 +521,9 @@ ORACLES: dict[str, str] = {
     "column_stats_for_encoding": tq.O_COLUMN_STATS_FOR_ENCODING,
     "retry_cost_forecast": wq.O_RETRY_COST_FORECAST,
     "host_reputation": wq.O_HOST_REPUTATION,
+    "ks_latency_drift": wq.O_KS_LATENCY_DRIFT,
+    "rich_club": wq.O_RICH_CLUB,
+    "metronome_roc": wq.O_METRONOME_ROC,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -5590,3 +5590,319 @@ FROM repscored
 
 
 O_HOST_REPUTATION = _o_host_reputation_real()
+
+
+# ---------------------- two-sample KS latency drift (6e)
+
+KS_HOSTS = 12
+KS_PPM = 1_000_000
+
+
+def q_ks_latency_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per host against
+    the pooled fleet: KS_h = max over latency values of |F_h(v) -
+    F_all(v)| — computed with NO floats as the max of the
+    cross-multiplied integers |cum_h * n_all - cum_all * n_h| over
+    the merged value grid, divided once into ppm at the end. This is
+    the distribution-level drift detector above the summary tiers:
+    a host can match the fleet's median (host_latency_quantiles) and
+    mean (host_ewma) and still be bimodal or heavy-tailed — KS sees
+    the whole CDF. Emitted per host: sample size, the KS numerator
+    and its exact location (the latency value where the gap peaks,
+    tie to the smallest value), and ks_ppm.
+
+    100 TB shape: one (host, value) partial count + cumulative
+    windows inside the host partition (the quantile tier's exchange
+    pattern); the pooled CDF is the same aggregation without the
+    host key, broadcast-joined by value via the merged grid. At
+    warehouse scale the same statistic runs over the hdr_quantiles
+    bucket rows (64*octaves per host) instead of raw values — same
+    arithmetic, bounded rows. Reference analog: none — fleet
+    monitoring infrastructure (the classical KS drift check, exact).
+    """
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(KS_HOSTS)).alias("host"), lat.alias("v")
+    )
+    hv = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = base.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_h"))
+    n_all_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    # merged grid: every distinct v paired with every host, so both
+    # CDFs are evaluated at the same points (missing cells = 0)
+    grid = base.select("v").distinct().crossJoin(totals.select("host"))
+    cells = grid.join(hv, ["host", "v"], "left").fillna({"c": 0})
+    w_h = Window.partitionBy("host").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum_h = F.sum("c").over(w_h)
+    allv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    w_a = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    all_cdf = allv.withColumn("cum_all", F.sum("ca").over(w_a)).select(
+        "v", "cum_all"
+    )
+    j = (
+        cells.withColumn("cum_h", cum_h)
+        .join(all_cdf, "v")
+        .join(totals, "host")
+        .crossJoin(F.broadcast(n_all_row))
+        .withColumn(
+            "gap",
+            F.abs(
+                F.col("cum_h") * F.col("n_all") - F.col("cum_all") * F.col("n_h")
+            ),
+        )
+    )
+    best = j.groupBy("host", "n_h", "n_all").agg(
+        F.max("gap").alias("ks_num"),
+        F.expr("min_by(v, struct(-gap, v))").alias("ks_at_v"),
+    )
+    return best.select(
+        "host",
+        "n_h",
+        "ks_num",
+        "ks_at_v",
+        F.expr(f"(ks_num * {KS_PPM}) DIV (n_h * n_all)").alias("ks_ppm"),
+    )
+
+
+O_KS_LATENCY_DRIFT = f"""
+WITH base AS (
+  SELECT user_id % {KS_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS v
+  FROM events),
+hv AS (
+  SELECT host, v, cast(count(*) as bigint) AS c FROM base GROUP BY host, v),
+totals AS (
+  SELECT host, cast(count(*) as bigint) AS n_h FROM base GROUP BY host),
+nall AS (SELECT cast(count(*) as bigint) AS n_all FROM base),
+grid AS (
+  SELECT t.host, g.v FROM (SELECT DISTINCT v FROM base) g, totals t),
+cells AS (
+  SELECT grid.host, grid.v, coalesce(hv.c, 0) AS c
+  FROM grid LEFT JOIN hv ON hv.host = grid.host AND hv.v = grid.v),
+cumh AS (
+  SELECT host, v,
+         sum(c) OVER (PARTITION BY host ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h
+  FROM cells),
+alls AS (
+  SELECT v, sum(count(*)) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM base GROUP BY v),
+j AS (
+  SELECT c.host, c.v, t.n_h, nall.n_all,
+         abs(c.cum_h * nall.n_all - a.cum_all * t.n_h) AS gap
+  FROM cumh c
+  JOIN alls a ON a.v = c.v
+  JOIN totals t ON t.host = c.host
+  CROSS JOIN nall)
+SELECT host, n_h,
+       cast(max(gap) as bigint) AS ks_num,
+       cast(first(v ORDER BY gap DESC, v ASC) as bigint) AS ks_at_v,
+       (cast(max(gap) as bigint) * {KS_PPM}) // (n_h * max(n_all)) AS ks_ppm
+FROM j GROUP BY host, n_h
+"""
+
+
+# ----------------------------- rich-club coefficient (6e)
+
+RC_PPM = 1_000_000
+RC_KS = (1, 2, 3, 4, 6, 8)
+
+
+def q_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club coefficient curve over the host graph: for each
+    degree threshold k, the density among the 'rich' nodes (degree >
+    k) — phi(k) = E_rich / C(N_rich, 2) in exact integer ppm
+    (Colizza et al. 2006, log-free by nature). A rising phi(k) says
+    high-degree hosts preferentially interlink (a rich CLUB — here
+    the planted clique, which saturates phi at high k); flat-or-
+    falling says hubs are mutually independent aggregators. The
+    crawl reading: a strong rich club means hub politeness budgets
+    interact (they cite each other's pages), and mirror/farm tiers
+    should check club members first.
+
+    100 TB shape: degrees are one node-key aggregation; each
+    threshold is a broadcast filter + one edge-subset count (edges
+    with BOTH endpoints rich — an endpoint-decorated filter, no new
+    shuffle shape); the curve is |thresholds| rows. Reference
+    analog: the follower-graph elite-interconnection stats of SURVEY
+    §2's graph tier."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dec = edges.join(
+        deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u"
+    ).join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    out = None
+    for k in RC_KS:
+        n_rich = deg.where(F.col("d") > k).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rich")
+        )
+        e_rich = dec.where((F.col("du") > k) & (F.col("dv") > k)).agg(
+            F.count(F.lit(1)).cast("long").alias("e_rich")
+        )
+        row = n_rich.crossJoin(e_rich).select(
+            F.lit(k).cast("long").alias("k"),
+            "n_rich",
+            "e_rich",
+            F.expr(
+                f"CASE WHEN n_rich >= 2 THEN"
+                f" (e_rich * {RC_PPM} * 2) DIV (n_rich * (n_rich - 1))"
+                f" ELSE 0 END"
+            ).alias("phi_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _build_o_rich_club() -> str:
+    rows = []
+    for k in RC_KS:
+        rows.append(
+            f"""SELECT cast({k} as bigint) AS k,
+       (SELECT cast(count(*) as bigint) FROM deg WHERE d > {k}) AS n_rich,
+       (SELECT cast(count(*) as bigint) FROM e
+        JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+        WHERE du.d > {k} AND dv.d > {k}) AS e_rich,
+       CASE WHEN (SELECT count(*) FROM deg WHERE d > {k}) >= 2 THEN
+         ((SELECT cast(count(*) as bigint) FROM e
+           JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+           WHERE du.d > {k} AND dv.d > {k}) * {RC_PPM} * 2)
+           // ((SELECT cast(count(*) as bigint) FROM deg WHERE d > {k})
+               * ((SELECT cast(count(*) as bigint) FROM deg WHERE d > {k}) - 1))
+       ELSE 0 END AS phi_ppm"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH {_SQL_TRI_EDGES},
+deg AS (
+  SELECT n, cast(count(*) as bigint) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n)
+{union}
+"""
+
+
+O_RICH_CLUB = _build_o_rich_club()
+
+
+# ------------------------ metronome detector ROC sweep (6e)
+
+ROC_KS = (1, 10, 1000, 100_000, 1_000_000)
+ROC_PPM = 1_000_000
+
+
+def q_metronome_roc(spark: SparkSession, sf: str) -> DataFrame:
+    """ROC points of the metronome bot detector against planted
+    truth: for each threshold K in the grid, flag users with
+    K * dispersion < sum_g^2 (CV^2 < 1/K — timing_regularity's exact
+    cross-product test) and score it against the known labels
+    (planted negative-id bots = positive class). Per K: TP/FP/FN/TN
+    and exact tpr/fpr ppm — the calibration sweep that chooses the
+    production threshold (timing_regularity ships K=10; THIS shows
+    what moving K buys or costs). All integers; truth is by
+    construction, so the ROC is exact, not estimated.
+
+    100 TB shape: the gap moments are computed ONCE (the
+    timing_regularity exchange) and every threshold is a map-side
+    comparison over |users| rows — the sweep costs |grid| column
+    expressions, not |grid| passes. Reference analog: tuning the
+    reference's bot heuristics (SURVEY §2 bot tier), done as an
+    exact ROC."""
+    mom = q_timing_regularity(spark, sf).select(
+        "user_id", "n_gaps", "sum_g", "disp_num"
+    )
+    out = None
+    # floor-threshold form disp < (sum_g^2) DIV K — equivalent to the
+    # production K*disp < sum_g^2 test up to the floor, and safe for
+    # ANY K (K * disp would overflow int64 at the high-K end of the
+    # sweep on month-long organic dispersions)
+    for k in ROC_KS:
+        flag = (
+            F.col("disp_num")
+            < F.expr(f"(sum_g * sum_g) DIV {k}")
+        ).cast("long")
+        truth = (F.col("user_id") < 0).cast("long")
+        agg = (
+            mom.select(flag.alias("f"), truth.alias("t"))
+            .agg(
+                F.sum(F.expr("f * t")).alias("tp"),
+                F.sum(F.expr("f * (1 - t)")).alias("fp"),
+                F.sum(F.expr("(1 - f) * t")).alias("fn"),
+                F.sum(F.expr("(1 - f) * (1 - t)")).alias("tn"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("tp").cast("long").alias("tp"),
+                F.col("fp").cast("long").alias("fp"),
+                F.col("fn").cast("long").alias("fn"),
+                F.col("tn").cast("long").alias("tn"),
+                F.expr(
+                    f"CASE WHEN tp + fn > 0 THEN (tp * {ROC_PPM}) DIV (tp + fn)"
+                    f" ELSE 0 END"
+                ).alias("tpr_ppm"),
+                F.expr(
+                    f"CASE WHEN fp + tn > 0 THEN (fp * {ROC_PPM}) DIV (fp + tn)"
+                    f" ELSE 0 END"
+                ).alias("fpr_ppm"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def _build_o_metronome_roc() -> str:
+    rows = []
+    for k in ROC_KS:
+        cond = f"disp_num < (sum_g * sum_g) // {k}"
+        rows.append(
+            f"""SELECT cast({k} as bigint) AS k,
+       cast(sum(CASE WHEN {cond} AND user_id < 0
+                THEN 1 ELSE 0 END) as bigint) AS tp,
+       cast(sum(CASE WHEN {cond} AND user_id >= 0
+                THEN 1 ELSE 0 END) as bigint) AS fp,
+       cast(sum(CASE WHEN NOT ({cond}) AND user_id < 0
+                THEN 1 ELSE 0 END) as bigint) AS fn,
+       cast(sum(CASE WHEN NOT ({cond}) AND user_id >= 0
+                THEN 1 ELSE 0 END) as bigint) AS tn,
+       CASE WHEN sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) > 0 THEN
+         (cast(sum(CASE WHEN {cond} AND user_id < 0
+                   THEN 1 ELSE 0 END) as bigint) * {ROC_PPM})
+           // cast(sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END) as bigint)
+       ELSE 0 END AS tpr_ppm,
+       CASE WHEN sum(CASE WHEN user_id >= 0 THEN 1 ELSE 0 END) > 0 THEN
+         (cast(sum(CASE WHEN {cond} AND user_id >= 0
+                   THEN 1 ELSE 0 END) as bigint) * {ROC_PPM})
+           // cast(sum(CASE WHEN user_id >= 0 THEN 1 ELSE 0 END) as bigint)
+       ELSE 0 END AS fpr_ppm
+FROM mom"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    inner = O_TIMING_REGULARITY.strip().rstrip()
+    return f"""
+WITH mom AS ({inner})
+{union}
+"""
+
+
+O_METRONOME_ROC = _build_o_metronome_roc()
