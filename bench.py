@@ -186,6 +186,10 @@ HEADLINE_QUERIES = (
     "ks_latency_drift",
     "rich_club",
     "metronome_roc",
+    # round-6f tier
+    "host_rate_wilson",
+    "random_percolation",
+    "dedup_keeper_quality",
 )
 
 

@@ -176,6 +176,9 @@ AUDIT = (
     "ks_latency_drift",
     "rich_club",
     "metronome_roc",
+    "host_rate_wilson",
+    "random_percolation",
+    "dedup_keeper_quality",
 )
 
 
@@ -665,6 +668,15 @@ def main():
         f.write("- `metronome_roc`: the gap moments are computed once (the\n")
         f.write("  timing_regularity exchange); every threshold is a map-side\n")
         f.write("  comparison — |grid| column sweeps, not |grid| passes.\n")
+        f.write("- `host_rate_wilson`: one groupBy(host) + map-side exact\n")
+        f.write("  integer arithmetic with the corrected floor-isqrt; |hosts|\n")
+        f.write("  rows, the mergeable (host, n, w) state.\n")
+        f.write("- `random_percolation`: per level an md5 map-side filter + the\n")
+        f.write("  audited CC rounds on the contracted graph (the\n")
+        f.write("  host_robustness shape x |grid| driver-iterated levels).\n")
+        f.write("- `dedup_keeper_quality`: clusters from the audited CC operator\n")
+        f.write("  over LSH pairs; keeper picks are two per-cluster aggregations\n")
+        f.write("  on the cluster key.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

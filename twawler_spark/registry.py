@@ -258,6 +258,11 @@ QUERIES: dict[str, QueryFn] = {
     "ks_latency_drift": wq.q_ks_latency_drift,
     "rich_club": wq.q_rich_club,
     "metronome_roc": wq.q_metronome_roc,
+    # round-6f wave (same out-of-window gating): Wilson rate bounds,
+    # random-failure percolation, and quality-ranked dedup keepers
+    "host_rate_wilson": wq.q_host_rate_wilson,
+    "random_percolation": wq.q_random_percolation,
+    "dedup_keeper_quality": tq.q_dedup_keeper_quality,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -524,6 +529,9 @@ ORACLES: dict[str, str] = {
     "ks_latency_drift": wq.O_KS_LATENCY_DRIFT,
     "rich_club": wq.O_RICH_CLUB,
     "metronome_roc": wq.O_METRONOME_ROC,
+    "host_rate_wilson": wq.O_HOST_RATE_WILSON,
+    "random_percolation": wq.O_RANDOM_PERCOLATION,
+    "dedup_keeper_quality": tq.O_DEDUP_KEEPER_QUALITY,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

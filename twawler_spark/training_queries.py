@@ -5834,3 +5834,94 @@ def _o_column_stats() -> str:
 
 
 O_COLUMN_STATS_FOR_ENCODING = _o_column_stats()
+
+
+# ---------------------- quality-ranked dedup keepers (6f)
+
+
+def q_dedup_keeper_quality(spark, sf):
+    """Quality-ranked keeper selection over near-dup clusters — the
+    curation policy choice dedup_clusters leaves open: the connected
+    components of the LSH pair graph say WHICH docs are duplicates;
+    THIS query picks who survives, by (n_chars desc, doc_id asc) —
+    keep the LONGEST member (truncated copies lose to their fuller
+    original) instead of the arbitrary min-id convention — and emits
+    both choices side by side with a differs flag, so the driver
+    hash pins exactly where the policy changes the outcome.
+    Dolma/RefinedWeb both keep a 'best' representative this way;
+    min-id is what a naive GROUP BY gives you.
+
+    Fixture note: near-dup clusters are base + '_nd' (first token
+    dropped) — the base doc is strictly longer, so quality-keep
+    chooses the base while min-id ALSO chooses the base (string
+    '100' < '100_nd'); the policies AGREE on pure pairs and DIFFER
+    exactly on multi-doc chains where a longer doc has a larger id —
+    both regimes occur (tested).
+
+    100 TB shape: clusters come from the audited CC operator over
+    LSH candidate pairs (the dedup_clusters path); the keeper picks
+    are two per-cluster max_by/min aggregations on the cluster key.
+    Reference analog: S12 dup-tolerant insert keeps the FIRST copy;
+    this is the curation-grade upgrade."""
+    from .operators.dedup import connected_components
+
+    d = _t(spark, sf, "documents")
+    pairs = _lsh_pairs(_with_near_dups(d))
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    base = _with_near_dups(d).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    memb = cc.select(F.col("node").alias("doc_id"), "component").join(
+        base, "doc_id"
+    )
+    agg = memb.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.min("doc_id").alias("keeper_minid"),
+        F.expr("max_by(doc_id, struct(n_chars, doc_id))").alias("keeper_quality"),
+        F.max("n_chars").alias("keeper_chars"),
+    )
+    return agg.where(F.col("cluster_size") >= 2).withColumn(
+        "differs",
+        (F.col("keeper_minid") != F.col("keeper_quality")).cast("int"),
+    )
+
+
+def _o_keeper_quality() -> str:
+    ctes, joins = _o_minhash_parts()
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({joins}),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und)
+  UNION
+  SELECT r.u, x.v FROM reach r JOIN und x ON r.v = x.u),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+chars AS (
+  SELECT cast(doc_id as varchar) AS doc_id,
+         cast(length(text) as bigint) AS n_chars
+  FROM documents
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd',
+         cast(length(substring(text, strpos(text, ' ') + 1)) as bigint)
+  FROM documents),
+memb AS (
+  SELECT comp.doc_id, comp.component, chars.n_chars
+  FROM comp JOIN chars ON chars.doc_id = comp.doc_id),
+agg AS (
+  SELECT component,
+         cast(count(*) as bigint) AS cluster_size,
+         min(doc_id) AS keeper_minid,
+         first(doc_id ORDER BY n_chars DESC, doc_id DESC) AS keeper_quality,
+         cast(max(n_chars) as bigint) AS keeper_chars
+  FROM memb GROUP BY component)
+SELECT component, cluster_size, keeper_minid, keeper_quality, keeper_chars,
+       cast(CASE WHEN keeper_minid <> keeper_quality THEN 1 ELSE 0 END as int)
+         AS differs
+FROM agg WHERE cluster_size >= 2
+"""
+
+
+O_DEDUP_KEEPER_QUALITY = _o_keeper_quality()

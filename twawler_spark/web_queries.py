@@ -5906,3 +5906,229 @@ WITH mom AS ({inner})
 
 
 O_METRONOME_ROC = _build_o_metronome_roc()
+
+
+# ------------------------ Wilson confidence bounds (6f)
+
+WIL_PPM = 1_000_000
+# z = 2 (~95.4%): makes every Wilson term rational except one integer
+# square root, which the exact floor-isqrt handles
+
+
+def q_host_rate_wilson(spark: SparkSession, sf: str) -> DataFrame:
+    """Wilson score interval for per-host success rates with z = 2 —
+    the frequentist twin of host_rate_shrunk's Bayes smoothing, and
+    the SMALL-SAMPLE-SAFE bound naive p-hat +/- sqrt(pq/n) is not:
+    with z = 2 the interval is ((w + 2) * n -/+ 2*sqrt(n*(w*(n-w) +
+    n))) / (n * (n + 4)) — every term an exact integer after one
+    floor-isqrt (the UCB tier's corrected integer square root, exact
+    regardless of libm rounding), so both engines and the python
+    third implementation agree bit-for-bit. The scheduler reads the
+    LOWER bound as the pessimistic rate for ranking (one bad fetch
+    on a 3-pull host no longer zeroes its standing) and the interval
+    WIDTH as the value of exploring that host further — the same
+    quantity UCB's bonus approximates, here exact.
+
+    Fixture: the skewed pull distribution of host_rate_shrunk (pulls
+    1..53), so narrow and very wide intervals coexist. 100 TB shape:
+    one groupBy(host) + map-side integer arithmetic, |hosts| rows,
+    the same mergeable (host, n, w) state as every rate tier."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    hh = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hrs:"), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SHRINK_HOSTS * SHRINK_HOSTS),
+    )
+    host = F.floor(F.sqrt(hh.cast("double"))).cast("long")
+    agg = (
+        e.select(host.alias("host"), win.alias("w"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("w"),
+        )
+    )
+    arg = F.expr("n * (w * (n - w) + n)")
+    s0 = F.floor(F.sqrt(arg.cast("double"))).cast("long")
+    isq = (
+        F.when((s0 + 1) * (s0 + 1) <= arg, s0 + 1)
+        .when(s0 * s0 > arg, s0 - 1)
+        .otherwise(s0)
+    )
+    based = agg.withColumn("isq", isq)
+    return based.select(
+        "host",
+        "n",
+        "w",
+        F.expr(f"(w * {WIL_PPM}) DIV n").alias("raw_ppm"),
+        F.expr(
+            f"greatest(((w + 2) * n - 2 * isq) * {WIL_PPM}, 0)"
+            f" DIV (n * (n + 4))"
+        ).alias("wilson_lo_ppm"),
+        F.expr(
+            f"least(((w + 2) * n + 2 * isq) * {WIL_PPM} DIV (n * (n + 4)),"
+            f" {WIL_PPM})"
+        ).alias("wilson_hi_ppm"),
+    )
+
+
+O_HOST_RATE_WILSON = f"""
+WITH per AS (
+  SELECT cast(floor(sqrt((('0x' || substring(md5('hrs:' || cast(event_id as varchar)), 1, 15))
+                            ::BIGINT % {40 * 40})::double)) as bigint) AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS n, cast(sum(w) as bigint) AS w
+  FROM per GROUP BY host),
+r AS (
+  SELECT *,
+         cast(floor(sqrt(cast(n * (w * (n - w) + n) as double))) as bigint)
+           AS s0,
+         n * (w * (n - w) + n) AS arg
+  FROM agg),
+b AS (
+  SELECT host, n, w,
+         CASE WHEN (s0+1)*(s0+1) <= arg THEN s0+1
+              WHEN s0*s0 > arg THEN s0-1
+              ELSE s0 END AS isq
+  FROM r)
+SELECT host, n, w,
+       (w * {WIL_PPM}) // n AS raw_ppm,
+       greatest(((w + 2) * n - 2 * isq) * {WIL_PPM}, 0) // (n * (n + 4))
+         AS wilson_lo_ppm,
+       least(((w + 2) * n + 2 * isq) * {WIL_PPM} // (n * (n + 4)), {WIL_PPM})
+         AS wilson_hi_ppm
+FROM b
+"""
+
+
+# ------------------------- random-removal percolation (6f)
+
+PERC_PS = (0, 2, 4, 6)   # removal probability in tenths (md5-gated)
+
+
+def q_random_percolation(spark: SparkSession, sf: str) -> DataFrame:
+    """RANDOM-failure percolation of the host graph — the
+    complementary experiment to host_robustness's TARGETED hub
+    removal (Albert/Jeong/Barabasi 2000: heterogeneous graphs
+    survive random failure but shatter under attack; the CONTRAST
+    between these two queries is the finding): for each removal
+    probability p (tenths, md5-gated per node so the 'random' sample
+    is deterministic and identical in both engines), drop the
+    selected nodes, rerun the audited CC operator on the induced
+    graph, and report survivor count, edge count, component count,
+    largest component, and the S2 fragmentation index.
+
+    100 TB shape: each p level is a map-side md5 filter + the
+    large-star/small-star CC rounds on the contracted graph (the
+    host_robustness shape, |grid| times). Grid is a small constant;
+    levels are driver-iterated like kmeans/WL."""
+    from .operators.dedup import connected_components
+
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    gate = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("perc:"), F.col("n").cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    gated = nodes.withColumn("g", gate)
+    out = None
+    for p in PERC_PS:
+        keep = gated.where(F.col("g") >= p).select("n")
+        ed = (
+            edges.join(keep.select(F.col("n").alias("u")), "u")
+            .join(keep.select(F.col("n").alias("v")), "v")
+            .select("u", "v")
+        )
+        cc = connected_components(ed, "u", "v")
+        comp = keep.join(cc, keep["n"] == cc["node"], "left").select(
+            "n", F.coalesce("component", F.col("n")).alias("comp")
+        )
+        sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+        summ = sizes.agg(
+            F.count(F.lit(1)).cast("long").alias("n_components"),
+            F.max("sz").alias("largest_comp"),
+            F.sum(F.col("sz") * F.col("sz")).alias("s2_fragmentation"),
+        )
+        meta = keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).crossJoin(
+            ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        )
+        row = meta.crossJoin(summ).select(
+            F.lit(p).cast("long").alias("p_tenths"),
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "largest_comp",
+            "s2_fragmentation",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _build_o_percolation() -> str:
+    per_p = []
+    for p in PERC_PS:
+        per_p.append(
+            f"""keep_{p} AS (
+  SELECT n FROM gated WHERE g >= {p}),
+e_{p} AS (
+  SELECT e.u, e.v FROM e
+  JOIN keep_{p} ku ON ku.n = e.u JOIN keep_{p} kv ON kv.n = e.v),
+und_{p} AS (SELECT u, v FROM e_{p} UNION SELECT v, u FROM e_{p}),
+reach_{p}(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM und_{p})
+  UNION
+  SELECT r.u, x.v FROM reach_{p} r JOIN und_{p} x ON r.v = x.u),
+comp_{p} AS (
+  SELECT k.n, coalesce(c.component, k.n) AS comp
+  FROM keep_{p} k LEFT JOIN
+       (SELECT u AS node, min(v) AS component FROM reach_{p} GROUP BY u) c
+    ON c.node = k.n),
+sizes_{p} AS (
+  SELECT comp, cast(count(*) as bigint) AS sz FROM comp_{p} GROUP BY comp),
+summ_{p} AS (
+  SELECT cast({p} as bigint) AS p_tenths,
+         (SELECT cast(count(*) as bigint) FROM keep_{p}) AS n_nodes,
+         (SELECT cast(count(*) as bigint) FROM e_{p}) AS n_edges,
+         cast(count(*) as bigint) AS n_components,
+         max(sz) AS largest_comp,
+         cast(sum(sz*sz) as bigint) AS s2_fragmentation
+  FROM sizes_{p})"""
+        )
+    chain = ",\n".join(per_p)
+    finals = " UNION ALL ".join(f"SELECT * FROM summ_{p}" for p in PERC_PS)
+    return f"""
+WITH RECURSIVE {_SQL_TRI_EDGES},
+nodes AS (
+  SELECT DISTINCT n FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e)),
+gated AS (
+  SELECT n, ('0x' || substring(md5('perc:' || cast(n as varchar)), 1, 15))
+              ::BIGINT % 10 AS g
+  FROM nodes),
+{chain}
+{finals}
+"""
+
+
+O_RANDOM_PERCOLATION = _build_o_percolation()
