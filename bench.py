@@ -190,6 +190,10 @@ HEADLINE_QUERIES = (
     "host_rate_wilson",
     "random_percolation",
     "dedup_keeper_quality",
+    # round-6g tier
+    "katz3_centrality",
+    "page_stitch_detect",
+    "theil_sen_slope",
 )
 
 

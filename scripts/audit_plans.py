@@ -179,6 +179,9 @@ AUDIT = (
     "host_rate_wilson",
     "random_percolation",
     "dedup_keeper_quality",
+    "katz3_centrality",
+    "page_stitch_detect",
+    "theil_sen_slope",
 )
 
 
@@ -677,6 +680,15 @@ def main():
         f.write("- `dedup_keeper_quality`: clusters from the audited CC operator\n")
         f.write("  over LSH pairs; keeper picks are two per-cluster aggregations\n")
         f.write("  on the cluster key.\n")
+        f.write("- `katz3_centrality`: two node-key message aggregations (the\n")
+        f.write("  pagerank/WL exchange shape) + one bounded rank sort; every\n")
+        f.write("  coefficient BIGINT via the dyadic attenuation.\n")
+        f.write("- `page_stitch_detect`: two map-side boundary-key projections\n")
+        f.write("  into ONE equi-join on the k-gram key — the exact-dedup\n")
+        f.write("  exchange shape, never quadratic.\n")
+        f.write("- `theil_sen_slope`: |hosts|^2 pair expansion in the rank-tail\n")
+        f.write("  regime (sampled at 10^7 hosts), one sort + one rank pick; the\n")
+        f.write("  median is emitted as its exact fraction.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -263,6 +263,12 @@ QUERIES: dict[str, QueryFn] = {
     "host_rate_wilson": wq.q_host_rate_wilson,
     "random_percolation": wq.q_random_percolation,
     "dedup_keeper_quality": tq.q_dedup_keeper_quality,
+    # round-6g wave (same out-of-window gating): all-integer Katz-3
+    # centrality, pagination-stitch detection, and Theil-Sen robust
+    # regression
+    "katz3_centrality": wq.q_katz3_centrality,
+    "page_stitch_detect": wq.q_page_stitch_detect,
+    "theil_sen_slope": wq.q_theil_sen_slope,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -532,6 +538,9 @@ ORACLES: dict[str, str] = {
     "host_rate_wilson": wq.O_HOST_RATE_WILSON,
     "random_percolation": wq.O_RANDOM_PERCOLATION,
     "dedup_keeper_quality": tq.O_DEDUP_KEEPER_QUALITY,
+    "katz3_centrality": wq.O_KATZ3_CENTRALITY,
+    "page_stitch_detect": wq.O_PAGE_STITCH_DETECT,
+    "theil_sen_slope": wq.O_THEIL_SEN_SLOPE,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -6132,3 +6132,326 @@ gated AS (
 
 
 O_RANDOM_PERCOLATION = _build_o_percolation()
+
+
+# ------------------------ truncated Katz centrality (6g)
+
+KATZ_PPM = 1_000_000
+
+
+def q_katz3_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncated Katz centrality with attenuation beta = 1/2 over
+    walks of length <= 3 — ALL-INTEGER: with w1(v) = degree, w2(v) =
+    sum of neighbor degrees, w3(v) = sum of neighbor w2, the dyadic
+    attenuation makes 8 * katz3 = 4*w1 + 2*w2 + w3 an exact BIGINT
+    (Katz 1953 truncated at k=3; walks, not paths — backtracking
+    counts, as in the standard matrix-power definition). Between
+    degree (local) and pagerank (global fixpoint), Katz-3 is the
+    'reach with decay' priority a scheduler can compute in exactly
+    two message rounds — and unlike pagerank it needs no float
+    iteration, so the driver hash covers every coefficient. Emitted:
+    the three walk counts, katz_x8, and the rank.
+
+    100 TB shape: two node-key message aggregations (the
+    pagerank/HITS/WL exchange shape) + one bounded rank sort.
+    Reference analog: follow-edge expansion priority (SURVEY §2 J5/
+    O1) with principled decay instead of a hand-picked mix."""
+    edges = _tri_edges(_t(spark, sf, "documents"))
+    dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    w1 = dirs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("w1"))
+    w2 = (
+        dirs.join(w1.select(F.col("a").alias("b"), F.col("w1").alias("nb_w1")), "b")
+        .groupBy("a")
+        .agg(F.sum("nb_w1").alias("w2"))
+    )
+    w3 = (
+        dirs.join(w2.select(F.col("a").alias("b"), F.col("w2").alias("nb_w2")), "b")
+        .groupBy("a")
+        .agg(F.sum("nb_w2").alias("w3"))
+    )
+    j = w1.join(w2, "a").join(w3, "a").select(
+        F.col("a").alias("node"),
+        "w1",
+        "w2",
+        "w3",
+        (4 * F.col("w1") + 2 * F.col("w2") + F.col("w3")).alias("katz_x8"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("katz_x8").desc(), F.col("node").asc())
+    )
+    return j.withColumn("katz_rank", rk.cast("long"))
+
+
+O_KATZ3_CENTRALITY = f"""
+WITH {_SQL_TRI_EDGES},
+dirs AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+w1 AS (SELECT a, cast(count(*) as bigint) AS w1 FROM dirs GROUP BY a),
+w2 AS (
+  SELECT dirs.a, cast(sum(n.w1) as bigint) AS w2
+  FROM dirs JOIN w1 n ON n.a = dirs.b GROUP BY dirs.a),
+w3 AS (
+  SELECT dirs.a, cast(sum(n.w2) as bigint) AS w3
+  FROM dirs JOIN w2 n ON n.a = dirs.b GROUP BY dirs.a),
+j AS (
+  SELECT w1.a AS node, w1.w1, w2.w2, w3.w3,
+         4 * w1.w1 + 2 * w2.w2 + w3.w3 AS katz_x8
+  FROM w1 JOIN w2 ON w2.a = w1.a JOIN w3 ON w3.a = w1.a)
+SELECT node, w1, w2, w3, katz_x8,
+       cast(row_number() OVER (ORDER BY katz_x8 DESC, node ASC) as bigint)
+         AS katz_rank
+FROM j
+"""
+
+
+# ------------------------- pagination stitch detection (6g)
+
+STITCH_K = 8       # boundary overlap width in tokens
+STITCH_DOCS = 150  # base docs given planted page splits
+
+
+def q_page_stitch_detect(spark: SparkSession, sf: str) -> DataFrame:
+    """Pagination-split reassembly: find document pairs (a, b) where
+    a's LAST STITCH_K tokens equal b's FIRST STITCH_K tokens — the
+    signature of one logical page crawled as two (infinite-scroll
+    pagination, 'continued on next page' splits), which a corpus
+    must stitch or window-dedup before training. One equi-join on
+    the boundary k-gram key — no all-pairs, no fuzzy matching; the
+    boundary width makes accidental collisions vanish (an 8-token
+    overlap in a 31-word vocab is ~31^-8 by chance) while every
+    planted split is found by construction. Emitted per stitched
+    pair: both ids, the boundary fingerprint's md5, and each side's
+    token count — enough to drive the actual merge.
+
+    Fixture: every third base doc with >= 2*K tokens is split into
+    '_p1' (first half + K overlap) and '_p2' (overlap + second
+    half); originals stay in the pool as non-matches. 100 TB shape:
+    two map-side boundary-key projections into ONE equi-join on the
+    k-gram hash — the exact-dedup exchange shape, never quadratic.
+    Reference analog: the reference's truncated-tweet repair
+    (fix_truncated) — the multi-document version."""
+    d = _t(spark, sf, "documents")
+    base = d.where(
+        (F.col("doc_id") < STITCH_DOCS)
+        & (F.size(F.split(F.col("text"), " ")) >= 2 * STITCH_K)
+    )
+    toks = F.split(F.col("text"), " ")
+    half = (F.size(toks) / 2).cast("int")
+    p1 = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_p1")).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), half + F.lit(STITCH_K))).alias(
+            "text"
+        ),
+    )
+    p2 = base.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_p2")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, half + F.lit(1), F.size(toks) - half),
+        ).alias("text"),
+    )
+    pool = (
+        d.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .where(F.expr("doc_id % 3 != 0") | (F.col("doc_id") >= STITCH_DOCS))
+        .unionByName(
+            p1.where(F.expr("cast(substring(doc_id, 1, length(doc_id) - 3) as bigint) % 3 = 0"))
+        )
+        .unionByName(
+            p2.where(F.expr("cast(substring(doc_id, 1, length(doc_id) - 3) as bigint) % 3 = 0"))
+        )
+    )
+    ptoks = F.split(F.col("text"), " ")
+    n = F.size(ptoks)
+    with_keys = pool.where(n >= STITCH_K).select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.slice(ptoks, n - F.lit(STITCH_K - 1), F.lit(STITCH_K)))
+        .alias("suffix_k"),
+        F.concat_ws(" ", F.slice(ptoks, F.lit(1), F.lit(STITCH_K))).alias(
+            "prefix_k"
+        ),
+    )
+    a = with_keys.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tokens").alias("tokens_a"),
+        F.col("suffix_k").alias("k"),
+    )
+    b = with_keys.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tokens").alias("tokens_b"),
+        F.col("prefix_k").alias("k"),
+    )
+    return (
+        a.join(b, "k")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.md5("k").alias("boundary_md5"),
+            "tokens_a",
+            "tokens_b",
+        )
+    )
+
+
+O_PAGE_STITCH_DETECT = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts
+  FROM documents
+  WHERE doc_id < {STITCH_DOCS} AND len(string_split(text, ' ')) >= {2 * STITCH_K}),
+p1 AS (
+  SELECT cast(doc_id as varchar) || '_p1' AS doc_id,
+         array_to_string(ts[1:(len(ts) // 2) + {STITCH_K}], ' ') AS text
+  FROM base WHERE doc_id % 3 = 0),
+p2 AS (
+  SELECT cast(doc_id as varchar) || '_p2' AS doc_id,
+         array_to_string(ts[(len(ts) // 2) + 1:len(ts)], ' ') AS text
+  FROM base WHERE doc_id % 3 = 0),
+pool AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text FROM documents
+  WHERE doc_id % 3 != 0 OR doc_id >= {STITCH_DOCS}
+  UNION ALL SELECT doc_id, text FROM p1
+  UNION ALL SELECT doc_id, text FROM p2),
+keyed AS (
+  SELECT doc_id,
+         cast(len(string_split(text, ' ')) as bigint) AS n_tokens,
+         array_to_string(
+           (string_split(text, ' '))[len(string_split(text, ' ')) - {STITCH_K - 1}:
+                                     len(string_split(text, ' '))], ' ')
+           AS suffix_k,
+         array_to_string((string_split(text, ' '))[1:{STITCH_K}], ' ')
+           AS prefix_k
+  FROM pool WHERE len(string_split(text, ' ')) >= {STITCH_K})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       md5(a.suffix_k) AS boundary_md5,
+       a.n_tokens AS tokens_a, b.n_tokens AS tokens_b
+FROM keyed a JOIN keyed b ON a.suffix_k = b.prefix_k
+WHERE a.doc_id <> b.doc_id
+"""
+
+
+# -------------------------- Theil-Sen robust slope (6g)
+
+TS_PPM = 1_000_000
+
+
+def q_theil_sen_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Theil-Sen robust regression of wins against pulls over the
+    skewed host fixture — the estimator a fleet uses to ask 'what
+    success rate does one extra pull buy' without letting a few
+    outlier hosts bend the line (the median of pairwise slopes has a
+    29% breakdown point; OLS has 0%). Slopes are RATIONALS dy/dx
+    kept as exact integer pairs; the median pick orders them by the
+    IEEE division of the two exact integers (identical in both
+    engines; ties then break on (dy, dx)), and the chosen slope is
+    emitted as its EXACT fraction (dy, dx) plus ppm — the fraction
+    is the answer, the double was only the sort key. Emitted: pair
+    count, the median-by-rank slope pair, slope_ppm, and for
+    comparison the pooled (total wins / total pulls) rate.
+
+    100 TB shape: hosts are bounded, so the pairwise expansion is
+    the |hosts|^2 rank-tail regime (at 10^7 hosts production samples
+    pairs — the calibration discipline); one sort + one rank pick.
+    Reference analog: none — robust-statistics infrastructure for
+    the fleet tiers."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    hh = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hrs:"), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SHRINK_HOSTS * SHRINK_HOSTS),
+    )
+    host = F.floor(F.sqrt(hh.cast("double"))).cast("long")
+    agg = (
+        e.select(host.alias("host"), win.alias("w"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("x"),
+            F.sum("w").cast("long").alias("y"),
+        )
+    )
+    a, b = agg.alias("a"), agg.alias("b")
+    pairs = (
+        a.join(b, F.col("a.host") < F.col("b.host"))
+        .where(F.col("a.x") != F.col("b.x"))
+        .select(
+            (F.col("b.y") - F.col("a.y")).alias("dy"),
+            (F.col("b.x") - F.col("a.x")).alias("dx"),
+        )
+        .select(
+            F.when(F.col("dx") < 0, -F.col("dy")).otherwise(F.col("dy")).alias("dy"),
+            F.abs("dx").alias("dx"),
+        )
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    rn = F.row_number().over(
+        Window.orderBy(
+            (F.col("dy").cast("double") / F.col("dx").cast("double")).asc(),
+            F.col("dy").asc(),
+            F.col("dx").asc(),
+        )
+    )
+    med = (
+        pairs.withColumn("rn", rn)
+        .crossJoin(F.broadcast(n_pairs))
+        .where(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .select("dy", "dx", "n_pairs")
+    )
+    pooled = agg.agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    return med.crossJoin(F.broadcast(pooled)).select(
+        "n_pairs",
+        F.col("dy").alias("slope_dy"),
+        F.col("dx").alias("slope_dx"),
+        F.expr(
+            f"CASE WHEN slope_dy >= 0 THEN (slope_dy * {TS_PPM}) DIV slope_dx"
+            f" ELSE -(((-slope_dy) * {TS_PPM}) DIV slope_dx) END"
+        ).alias("slope_ppm"),
+        F.expr(f"(sy * {TS_PPM}) DIV sx").alias("pooled_rate_ppm"),
+    )
+
+
+O_THEIL_SEN_SLOPE = f"""
+WITH per AS (
+  SELECT cast(floor(sqrt((('0x' || substring(md5('hrs:' || cast(event_id as varchar)), 1, 15))
+                            ::BIGINT % {40 * 40})::double)) as bigint) AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS x, cast(sum(w) as bigint) AS y
+  FROM per GROUP BY host),
+pairs AS (
+  SELECT CASE WHEN (b.x - a.x) < 0 THEN -(b.y - a.y) ELSE (b.y - a.y) END AS dy,
+         abs(b.x - a.x) AS dx
+  FROM agg a JOIN agg b ON a.host < b.host
+  WHERE a.x <> b.x),
+np AS (SELECT cast(count(*) as bigint) AS n_pairs FROM pairs),
+ranked AS (
+  SELECT dy, dx,
+         row_number() OVER (ORDER BY cast(dy as double) / cast(dx as double) ASC,
+                            dy ASC, dx ASC) AS rn
+  FROM pairs),
+med AS (
+  SELECT dy, dx, np.n_pairs FROM ranked, np
+  WHERE rn = (np.n_pairs + 1) // 2),
+pooled AS (SELECT cast(sum(x) as bigint) AS sx, cast(sum(y) as bigint) AS sy FROM agg)
+SELECT med.n_pairs,
+       med.dy AS slope_dy, med.dx AS slope_dx,
+       CASE WHEN med.dy >= 0 THEN (med.dy * {TS_PPM}) // med.dx
+            ELSE -(((-med.dy) * {TS_PPM}) // med.dx) END AS slope_ppm,
+       (pooled.sy * {TS_PPM}) // pooled.sx AS pooled_rate_ppm
+FROM med, pooled
+"""
