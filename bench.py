@@ -194,6 +194,10 @@ HEADLINE_QUERIES = (
     "katz3_centrality",
     "page_stitch_detect",
     "theil_sen_slope",
+    # round-6h tier
+    "equidepth_edges",
+    "rate_policy_agreement",
+    "export_manifest",
 )
 
 

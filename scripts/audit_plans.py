@@ -182,6 +182,9 @@ AUDIT = (
     "katz3_centrality",
     "page_stitch_detect",
     "theil_sen_slope",
+    "equidepth_edges",
+    "rate_policy_agreement",
+    "export_manifest",
 )
 
 
@@ -689,6 +692,14 @@ def main():
         f.write("- `theil_sen_slope`: |hosts|^2 pair expansion in the rank-tail\n")
         f.write("  regime (sampled at 10^7 hosts), one sort + one rank pick; the\n")
         f.write("  median is emitted as its exact fraction.\n")
+        f.write("- `equidepth_edges`: one value partial count + cumulative window\n")
+        f.write("  (the quantile exchange); bucket targets are rank arithmetic on\n")
+        f.write("  a broadcast grid; per-partition merge at warehouse scale.\n")
+        f.write("- `rate_policy_agreement`: one groupBy(host), map-side scoring\n")
+        f.write("  for all three policies, three bounded rank sorts — one pass.\n")
+        f.write("- `export_manifest`: map-side digest + one partial-aggregated\n")
+        f.write("  groupBy(partition key); manifests merge by adding counts and\n")
+        f.write("  sums — writers never coordinate.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -269,6 +269,12 @@ QUERIES: dict[str, QueryFn] = {
     "katz3_centrality": wq.q_katz3_centrality,
     "page_stitch_detect": wq.q_page_stitch_detect,
     "theil_sen_slope": wq.q_theil_sen_slope,
+    # round-6h wave (same out-of-window gating): equi-depth histogram
+    # edges, the rate-policy agreement matrix, and the export
+    # integrity manifest
+    "equidepth_edges": wq.q_equidepth_edges,
+    "rate_policy_agreement": wq.q_rate_policy_agreement,
+    "export_manifest": tq.q_export_manifest,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -541,6 +547,9 @@ ORACLES: dict[str, str] = {
     "katz3_centrality": wq.O_KATZ3_CENTRALITY,
     "page_stitch_detect": wq.O_PAGE_STITCH_DETECT,
     "theil_sen_slope": wq.O_THEIL_SEN_SLOPE,
+    "equidepth_edges": wq.O_EQUIDEPTH_EDGES,
+    "rate_policy_agreement": wq.O_RATE_POLICY_AGREEMENT,
+    "export_manifest": tq.O_EXPORT_MANIFEST,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -5925,3 +5925,71 @@ FROM agg WHERE cluster_size >= 2
 
 
 O_DEDUP_KEEPER_QUALITY = _o_keeper_quality()
+
+
+# -------------------------- export integrity manifest (6h)
+
+MANI_MOD = 1 << 44  # digest space sized so partition sums stay in int64
+
+
+def q_export_manifest(spark, sf):
+    """Per-partition export manifest with ORDER-INSENSITIVE content
+    checksums — what a distributed writer emits alongside each output
+    partition so a reader (or a cross-cluster transfer) can verify
+    integrity without re-reading content: per language partition, the
+    row count, the SUM of per-doc 59-bit md5 content digests (sum is
+    commutative, so the checksum is independent of task order and
+    MERGEABLE across file splits — the HLL-register philosophy
+    applied to integrity), the XOR-free min/max digest as corner
+    evidence, and the total byte mass. A single flipped document
+    changes the sum; a duplicated or dropped row changes count and
+    sum together.
+
+    100 TB shape: map-side digest + one partial-aggregated
+    groupBy(partition key); manifests merge by adding counts and
+    sums — writers never coordinate. Reference analog: the
+    reference's export scripts ship raw CSVs with no integrity
+    trailer; this is the warehouse-grade upgrade the 100 TB target
+    requires."""
+    d = _t(spark, sf, "documents")
+    digest = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("text"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(MANI_MOD),
+    )
+    rows = d.select(
+        "lang",
+        digest.alias("dg"),
+        F.length("text").cast("long").alias("nb"),
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("dg").alias("digest_sum"),
+        F.min("dg").alias("digest_min"),
+        F.max("dg").alias("digest_max"),
+        F.sum("nb").alias("bytes_total"),
+    )
+
+
+O_EXPORT_MANIFEST = f"""
+WITH rows_ AS (
+  SELECT lang,
+         ('0x' || substring(md5(cast(doc_id as varchar) || '|' || text), 1, 15))
+           ::BIGINT % {MANI_MOD} AS dg,
+         cast(length(text) as bigint) AS nb
+  FROM documents)
+SELECT lang,
+       cast(count(*) as bigint) AS n_rows,
+       cast(sum(dg) as bigint) AS digest_sum,
+       cast(min(dg) as bigint) AS digest_min,
+       cast(max(dg) as bigint) AS digest_max,
+       cast(sum(nb) as bigint) AS bytes_total
+FROM rows_ GROUP BY lang
+"""

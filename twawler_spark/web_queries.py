@@ -6455,3 +6455,243 @@ SELECT med.n_pairs,
        (pooled.sy * {TS_PPM}) // pooled.sx AS pooled_rate_ppm
 FROM med, pooled
 """
+
+
+# ---------------------- equi-depth histogram edges (6h)
+
+EQD_BUCKETS = 8
+
+
+def q_equidepth_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth histogram construction over the latency fixture —
+    the statistics object a cost-based optimizer (and this engine's
+    own AQE skew handling) actually consumes: B buckets each holding
+    ~n/B values, with EXACT rank-based boundaries (bucket i spans
+    ranks (i-1)*n/B+1 .. i*n/B under the integer Hamilton split, so
+    bucket populations differ by at most 1 — pinned). Emitted per
+    bucket: lo/hi values (exact order statistics via the cumulative-
+    count rule, no interpolation) and the exact population.
+    column_stats_for_encoding chose the ENCODING; this builds the
+    VALUE distribution stats — together they are the stats-collection
+    pass of a warehouse ANALYZE.
+
+    100 TB shape: one (value) partial count + a cumulative window
+    (the quantile tier's exchange); bucket targets are pure
+    arithmetic on ranks. At warehouse scale this runs per partition
+    and merges counts — the HDR tier's mergeable discipline with
+    exact edges at the merge point."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    vals = e.select(lat.alias("v"))
+    vc = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.withColumn("cum", F.sum("c").over(w))
+    n_row = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    buckets = spark.range(1, EQD_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("b")
+    )
+    tgt = buckets.crossJoin(F.broadcast(n_row)).select(
+        "b",
+        "n",
+        F.expr(f"((b - 1) * n) DIV {EQD_BUCKETS}").alias("lo_rank"),
+        F.expr(f"(b * n) DIV {EQD_BUCKETS}").alias("hi_rank"),
+    )
+    j = tgt.join(
+        cum.select("v", "cum", (F.col("cum") - F.col("c")).alias("cum_prev")),
+        (F.col("cum") > F.col("lo_rank")) & (F.col("cum_prev") < F.col("hi_rank")),
+    )
+    return j.groupBy("b", "lo_rank", "hi_rank").agg(
+        F.min("v").alias("lo_value"),
+        F.max("v").alias("hi_value"),
+    ).select(
+        F.col("b").alias("bucket"),
+        "lo_value",
+        "hi_value",
+        (F.col("hi_rank") - F.col("lo_rank")).alias("population"),
+    )
+
+
+O_EQUIDEPTH_EDGES = f"""
+WITH vals AS (
+  SELECT 1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS v
+  FROM events),
+vc AS (SELECT v, cast(count(*) as bigint) AS c FROM vals GROUP BY v),
+cum AS (
+  SELECT v, c,
+         sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM vc),
+nrow AS (SELECT cast(count(*) as bigint) AS n FROM vals),
+tgt AS (
+  SELECT cast(b as bigint) AS b, nrow.n,
+         ((b - 1) * nrow.n) // {EQD_BUCKETS} AS lo_rank,
+         (b * nrow.n) // {EQD_BUCKETS} AS hi_rank
+  FROM (SELECT unnest(range(1, {EQD_BUCKETS} + 1)) AS b), nrow)
+SELECT t.b AS bucket,
+       min(c.v) AS lo_value,
+       max(c.v) AS hi_value,
+       cast(t.hi_rank - t.lo_rank as bigint) AS population
+FROM tgt t JOIN cum c
+  ON c.cum > t.lo_rank AND (c.cum - c.c) < t.hi_rank
+GROUP BY t.b, t.lo_rank, t.hi_rank
+"""
+
+
+# -------------------- rate-policy agreement matrix (6h)
+
+POL_TOP_B = 8
+
+
+def q_rate_policy_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Do the three rate estimators AGREE on who gets the budget?
+    Rank hosts by raw rate, by the Beta(2,2) shrunk rate, and by the
+    Wilson lower bound (all three already shipped as their own
+    queries over the SAME skewed fixture), take each policy's top
+    POL_TOP_B, and emit per host its three ranks, its membership
+    flags, and the number of policies that would fund it — the
+    decision-level comparison that turns three statistics tiers into
+    one answer. Hosts funded by all three are safe; hosts funded
+    ONLY by the raw rate are exactly the small-sample flukes the
+    robust policies exist to exclude (the fixture guarantees such
+    hosts — tested).
+
+    100 TB shape: one groupBy(host), map-side integer scoring for
+    all three policies (the Wilson isqrt included), three bounded
+    rank sorts — the rank-tail regime, one pass."""
+    e = _t(spark, sf, "events")
+    win = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("ucb:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5", "7", "9", "b", "d", "f"),
+        1,
+    ).otherwise(0)
+    hh = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hrs:"), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(SHRINK_HOSTS * SHRINK_HOSTS),
+    )
+    host = F.floor(F.sqrt(hh.cast("double"))).cast("long")
+    agg = (
+        e.select(host.alias("host"), win.alias("w"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("w").cast("long").alias("w"),
+        )
+    )
+    arg = F.expr("n * (w * (n - w) + n)")
+    s0 = F.floor(F.sqrt(arg.cast("double"))).cast("long")
+    isq = (
+        F.when((s0 + 1) * (s0 + 1) <= arg, s0 + 1)
+        .when(s0 * s0 > arg, s0 - 1)
+        .otherwise(s0)
+    )
+    scored = agg.withColumn("isq", isq).select(
+        "host",
+        "n",
+        "w",
+        F.expr(f"(w * {WIL_PPM}) DIV n").alias("raw_ppm"),
+        F.expr(f"((w + 2) * {WIL_PPM}) DIV (n + 4)").alias("shrunk_ppm"),
+        F.expr(
+            f"greatest(((w + 2) * n - 2 * isq) * {WIL_PPM}, 0) DIV (n * (n + 4))"
+        ).alias("wilson_lo_ppm"),
+    )
+    r_raw = F.row_number().over(
+        Window.orderBy(F.col("raw_ppm").desc(), F.col("host").asc())
+    )
+    r_shr = F.row_number().over(
+        Window.orderBy(F.col("shrunk_ppm").desc(), F.col("host").asc())
+    )
+    r_wil = F.row_number().over(
+        Window.orderBy(F.col("wilson_lo_ppm").desc(), F.col("host").asc())
+    )
+    ranked = (
+        scored.withColumn("rank_raw", r_raw.cast("long"))
+        .withColumn("rank_shrunk", r_shr.cast("long"))
+        .withColumn("rank_wilson", r_wil.cast("long"))
+    )
+    return ranked.select(
+        "host",
+        "n",
+        "w",
+        "rank_raw",
+        "rank_shrunk",
+        "rank_wilson",
+        (F.col("rank_raw") <= POL_TOP_B).cast("int").alias("in_top_raw"),
+        (F.col("rank_shrunk") <= POL_TOP_B).cast("int").alias("in_top_shrunk"),
+        (F.col("rank_wilson") <= POL_TOP_B).cast("int").alias("in_top_wilson"),
+        (
+            (F.col("rank_raw") <= POL_TOP_B).cast("int")
+            + (F.col("rank_shrunk") <= POL_TOP_B).cast("int")
+            + (F.col("rank_wilson") <= POL_TOP_B).cast("int")
+        ).alias("n_policies"),
+    )
+
+
+O_RATE_POLICY_AGREEMENT = f"""
+WITH per AS (
+  SELECT cast(floor(sqrt((('0x' || substring(md5('hrs:' || cast(event_id as varchar)), 1, 15))
+                            ::BIGINT % {40 * 40})::double)) as bigint) AS host,
+         CASE WHEN substring(md5('ucb:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE 0 END AS w
+  FROM events),
+agg AS (
+  SELECT host, cast(count(*) as bigint) AS n, cast(sum(w) as bigint) AS w
+  FROM per GROUP BY host),
+r0 AS (
+  SELECT *,
+         cast(floor(sqrt(cast(n * (w * (n - w) + n) as double))) as bigint)
+           AS s0,
+         n * (w * (n - w) + n) AS arg
+  FROM agg),
+sc AS (
+  SELECT host, n, w,
+         (w * {WIL_PPM}) // n AS raw_ppm,
+         ((w + 2) * {WIL_PPM}) // (n + 4) AS shrunk_ppm,
+         greatest(((w + 2) * n - 2 *
+           (CASE WHEN (s0+1)*(s0+1) <= arg THEN s0+1
+                 WHEN s0*s0 > arg THEN s0-1 ELSE s0 END)) * {WIL_PPM}, 0)
+           // (n * (n + 4)) AS wilson_lo_ppm
+  FROM r0),
+rk AS (
+  SELECT *,
+         cast(row_number() OVER (ORDER BY raw_ppm DESC, host ASC) as bigint)
+           AS rank_raw,
+         cast(row_number() OVER (ORDER BY shrunk_ppm DESC, host ASC) as bigint)
+           AS rank_shrunk,
+         cast(row_number() OVER (ORDER BY wilson_lo_ppm DESC, host ASC) as bigint)
+           AS rank_wilson
+  FROM sc)
+SELECT host, n, w, rank_raw, rank_shrunk, rank_wilson,
+       cast(CASE WHEN rank_raw <= {POL_TOP_B} THEN 1 ELSE 0 END as int)
+         AS in_top_raw,
+       cast(CASE WHEN rank_shrunk <= {POL_TOP_B} THEN 1 ELSE 0 END as int)
+         AS in_top_shrunk,
+       cast(CASE WHEN rank_wilson <= {POL_TOP_B} THEN 1 ELSE 0 END as int)
+         AS in_top_wilson,
+       cast(CASE WHEN rank_raw <= {POL_TOP_B} THEN 1 ELSE 0 END
+            + CASE WHEN rank_shrunk <= {POL_TOP_B} THEN 1 ELSE 0 END
+            + CASE WHEN rank_wilson <= {POL_TOP_B} THEN 1 ELSE 0 END as bigint)
+         AS n_policies
+FROM rk
+"""
