@@ -198,6 +198,10 @@ HEADLINE_QUERIES = (
     "equidepth_edges",
     "rate_policy_agreement",
     "export_manifest",
+    # round-6i tier
+    "session_threshold_sweep",
+    "p95_slo_conformance",
+    "minhash_estimator_bias",
 )
 
 

@@ -185,6 +185,9 @@ AUDIT = (
     "equidepth_edges",
     "rate_policy_agreement",
     "export_manifest",
+    "session_threshold_sweep",
+    "p95_slo_conformance",
+    "minhash_estimator_bias",
 )
 
 
@@ -700,6 +703,14 @@ def main():
         f.write("- `export_manifest`: map-side digest + one partial-aggregated\n")
         f.write("  groupBy(partition key); manifests merge by adding counts and\n")
         f.write("  sums — writers never coordinate.\n")
+        f.write("- `session_threshold_sweep`: gaps computed once (per-user lag\n")
+        f.write("  scan); every threshold is one conditional count — |grid|\n")
+        f.write("  column sweeps, not passes.\n")
+        f.write("- `p95_slo_conformance`: the quantile tier's (host, value)\n")
+        f.write("  partial count + cumulative window; SLO columns map-side.\n")
+        f.write("- `minhash_estimator_bias`: one signature build (the dedup\n")
+        f.write("  exchange) + sample-bounded all-pairs + one decile rollup —\n")
+        f.write("  the calibration discipline.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -275,6 +275,12 @@ QUERIES: dict[str, QueryFn] = {
     "equidepth_edges": wq.q_equidepth_edges,
     "rate_policy_agreement": wq.q_rate_policy_agreement,
     "export_manifest": tq.q_export_manifest,
+    # round-6i wave (same out-of-window gating): the sessionization
+    # threshold curve, p95/p99 SLO conformance, and the minhash
+    # estimator bias audit
+    "session_threshold_sweep": wq.q_session_threshold_sweep,
+    "p95_slo_conformance": wq.q_p95_slo_conformance,
+    "minhash_estimator_bias": tq.q_minhash_estimator_bias,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -550,6 +556,9 @@ ORACLES: dict[str, str] = {
     "equidepth_edges": wq.O_EQUIDEPTH_EDGES,
     "rate_policy_agreement": wq.O_RATE_POLICY_AGREEMENT,
     "export_manifest": tq.O_EXPORT_MANIFEST,
+    "session_threshold_sweep": wq.O_SESSION_THRESHOLD_SWEEP,
+    "p95_slo_conformance": wq.O_P95_SLO_CONFORMANCE,
+    "minhash_estimator_bias": tq.O_MINHASH_ESTIMATOR_BIAS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

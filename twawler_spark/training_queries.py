@@ -5993,3 +5993,154 @@ SELECT lang,
        cast(sum(nb) as bigint) AS bytes_total
 FROM rows_ GROUP BY lang
 """
+
+
+# -------------------- minhash estimator bias audit (6i)
+
+MHB_PPM = 1_000_000
+
+
+def q_minhash_estimator_bias(spark, sf):
+    """Bias audit of the minhash jaccard ESTIMATOR itself: over the
+    calibration sample's all-pairs truth, group pairs by exact
+    jaccard decile and compare the total matching-minhash count
+    against its expectation — E[matches] = K * J per pair, so per
+    decile sum(matches) should track sum over pairs of K*J. Emitted:
+    pair count, observed match total, the exact expectation
+    NUMERATOR sum over pairs of K*i*u_inv... kept exact as the pair
+    of integers (sum of K*i*(u_denominator-normalized)): we emit
+    sum_matches, and the exact-jaccard mass as (sum_i_times_K,
+    sum_u) so the bias check is a cross-multiplied comparison —
+    observed/n vs K*sum_i/sum_u — plus both sides in ppm for
+    reading. The s-curve validated the BANDING; this validates the
+    underlying per-hash collision probability Pr[h_min(A) =
+    h_min(B)] = J that everything above it assumes.
+
+    100 TB shape: signature build once (the dedup exchange),
+    all-pairs on the SAMPLE only (the calibration discipline), one
+    decile rollup."""
+    sample = _scurve_sample_spark(_t(spark, sf, "documents"))
+    sh = sample.select("doc_id", _shingles_spark(F.col("text")).alias("sh"))
+    toks = sample.select(
+        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
+    ).where(F.col("tok") != "")
+    sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
+    j = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+            .cast("long")
+            .alias("i"),
+            F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{k}").alias(f"a{k}") for k in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{k}").alias(f"b{k}") for k in range(N_MINHASH)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    full = (
+        j.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.expr("(10 * i) DIV u").alias("jaccard_bucket"),
+            matches.cast("long").alias("m"),
+            "i",
+            "u",
+        )
+    )
+    agg = full.groupBy("jaccard_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("m").alias("sum_matches"),
+        F.sum(F.col("i") * F.lit(N_MINHASH).cast("long")).alias("sum_ki"),
+        F.sum("u").alias("sum_u"),
+    )
+    return agg.select(
+        "jaccard_bucket",
+        "n_pairs",
+        "sum_matches",
+        "sum_ki",
+        "sum_u",
+        F.expr(f"(sum_matches * {MHB_PPM}) DIV (n_pairs * {N_MINHASH})").alias(
+            "observed_ppm"
+        ),
+        F.expr(f"(sum_ki * {MHB_PPM}) DIV (sum_u * {N_MINHASH})").alias(
+            "expected_ppm"
+        ),
+    )
+
+
+def _o_minhash_bias() -> str:
+    M = 1 << 59
+    hs = ",\n         ".join(
+        f"min((('0x' || substring(md5(tok), 1, 15))::BIGINT % {M}"
+        f" + {k} * (('0x' || substring(md5(tok), 17, 15))::BIGINT % {M})) % {M})"
+        f" AS h{k}"
+        for k in range(N_MINHASH)
+    )
+    shingles = (
+        "list_distinct(list_transform("
+        "range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1), "
+        "i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))"
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.h{k} = sb.h{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+    )
+    return f"""
+WITH docs AS (
+  SELECT cast(doc_id as varchar) AS doc_id, text
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_nd',
+         substring(text, strpos(text, ' ') + 1)
+  FROM documents WHERE doc_id < {SCURVE_DOCS}
+  UNION ALL
+  SELECT cast(doc_id as varchar) || '_h',
+         array_to_string(
+           (string_split(text, ' '))[1:cast(ceil(len(string_split(text, ' ')) / 2) as int)],
+           ' ')
+  FROM documents WHERE doc_id < {SCURVE_DOCS}),
+sh AS (SELECT doc_id, {shingles} AS sh FROM docs),
+toks AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+sigs AS (
+  SELECT doc_id,
+         {hs}
+  FROM toks WHERE tok != '' GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(len(list_intersect(a.sh, b.sh)) as bigint) AS i,
+         cast(len(list_distinct(list_concat(a.sh, b.sh))) as bigint) AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+full_ AS (
+  SELECT (10 * p.i) // p.u AS jaccard_bucket,
+         cast({matches} as bigint) AS m,
+         p.i, p.u
+  FROM pairs p
+  JOIN sigs sa ON sa.doc_id = p.doc_a
+  JOIN sigs sb ON sb.doc_id = p.doc_b)
+SELECT jaccard_bucket,
+       cast(count(*) as bigint) AS n_pairs,
+       cast(sum(m) as bigint) AS sum_matches,
+       cast(sum(i * {N_MINHASH}) as bigint) AS sum_ki,
+       cast(sum(u) as bigint) AS sum_u,
+       (cast(sum(m) as bigint) * {MHB_PPM})
+         // (cast(count(*) as bigint) * {N_MINHASH}) AS observed_ppm,
+       (cast(sum(i * {N_MINHASH}) as bigint) * {MHB_PPM})
+         // (cast(sum(u) as bigint) * {N_MINHASH}) AS expected_ppm
+FROM full_ GROUP BY jaccard_bucket
+"""
+
+
+O_MINHASH_ESTIMATOR_BIAS = _o_minhash_bias()

@@ -6695,3 +6695,196 @@ SELECT host, n, w, rank_raw, rank_shrunk, rank_wilson,
          AS n_policies
 FROM rk
 """
+
+
+# ---------------------- session threshold sweep (6i)
+
+SESS_GRID = (300, 900, 1800, 3600, 7200)  # idle gap thresholds (s)
+SESS_PPM = 1_000_000
+
+
+def q_session_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Idle-threshold tuning curve for sessionization: for each
+    candidate gap threshold T, the exact session count (sessions =
+    users + gaps exceeding T — each long gap opens one new session)
+    and the mean session length in events (ppm) — the elbow curve
+    that justifies the 1800 s the streaming sessionizer
+    (s3_stream_sessions) hard-codes. Gaps are computed ONCE (the
+    timing tier's lag window); every threshold is then one
+    conditional count over the same gap rows — |grid| column sweeps,
+    not |grid| passes, the metronome_roc discipline.
+
+    100 TB shape: one per-user ordered lag scan + one aggregation;
+    the sweep output is |grid| rows. Reference analog: choosing the
+    session window for the reference's burst/dialogue analytics
+    (SURVEY §2 W4/w_sessionize), done as a measured curve instead of
+    a convention."""
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("s").asc(), F.col("event_id").asc()
+    )
+    base = e.select(
+        "user_id", "event_id", F.unix_timestamp("ts").cast("long").alias("s")
+    )
+    gaps = base.withColumn("g", F.col("s") - F.lag("s").over(w))
+    n_users_events = gaps.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    out = None
+    for t in SESS_GRID:
+        agg = gaps.agg(
+            F.sum(F.when(F.col("g") > t, 1).otherwise(0)).cast("long").alias(
+                "n_breaks"
+            )
+        )
+        row = agg.crossJoin(F.broadcast(n_users_events)).select(
+            F.lit(t).cast("long").alias("threshold_s"),
+            (F.col("n_users") + F.col("n_breaks")).alias("n_sessions"),
+            "n_events",
+            F.expr(
+                f"(n_events * {SESS_PPM}) DIV (n_users + n_breaks)"
+            ).alias("mean_len_ppm"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _build_o_session_sweep() -> str:
+    rows = []
+    for t in SESS_GRID:
+        rows.append(
+            f"""SELECT cast({t} as bigint) AS threshold_s,
+       (SELECT cast(count(DISTINCT user_id) as bigint) FROM events)
+         + cast(sum(CASE WHEN g > {t} THEN 1 ELSE 0 END) as bigint)
+         AS n_sessions,
+       cast(count(*) as bigint) AS n_events,
+       (cast(count(*) as bigint) * {SESS_PPM})
+         // ((SELECT cast(count(DISTINCT user_id) as bigint) FROM events)
+             + cast(sum(CASE WHEN g > {t} THEN 1 ELSE 0 END) as bigint))
+         AS mean_len_ppm
+FROM gaps"""
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH sec AS (
+  SELECT user_id, event_id, cast(floor(epoch(ts)) as bigint) AS s
+  FROM events),
+gaps AS (
+  SELECT user_id,
+         s - lag(s) OVER (PARTITION BY user_id ORDER BY s ASC, event_id ASC)
+           AS g
+  FROM sec)
+{union}
+"""
+
+
+O_SESSION_THRESHOLD_SWEEP = _build_o_session_sweep()
+
+
+# -------------------------- p95/p99 SLO conformance (6i)
+
+SLO_P95_US = 190_000
+SLO_HOSTS = 12
+SLO_PPM = 1_000_000
+
+
+def q_p95_slo_conformance(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host p95/p99 latency with SLO conformance — the ops tier
+    above the median: exact ceil-rank order statistics (smallest v
+    whose cumulative count reaches ceil(q*n/100) — percentile_disc
+    semantics, integer output), the conforming flag p95 <= SLO, and
+    the exact count and share of fetches over the SLO value (the
+    error-budget spend, the same quantity burn_rate_alerts meters
+    over time, here as the per-host standing position). All
+    integers.
+
+    100 TB shape: the quantile tier's (host, value) partial count +
+    cumulative window; the SLO columns are map-side. At warehouse
+    scale the same rule runs over hdr_quantiles' buckets."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(SLO_HOSTS)).alias("host"), lat.alias("v")
+    )
+    vc = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("host").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("host"))
+    )
+    p95 = (
+        cum.where(F.col("cum") >= F.expr("(95 * n + 99) DIV 100"))
+        .groupBy("host", "n")
+        .agg(F.min("v").alias("p95_us"))
+    )
+    p99 = (
+        cum.where(F.col("cum") >= F.expr("(99 * n + 99) DIV 100"))
+        .groupBy("host")
+        .agg(F.min("v").alias("p99_us"))
+    )
+    over = base.groupBy("host").agg(
+        F.sum(F.when(F.col("v") > SLO_P95_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_over_slo")
+    )
+    return (
+        p95.join(p99, "host")
+        .join(over, "host")
+        .select(
+            "host",
+            F.col("n").alias("n_fetches"),
+            "p95_us",
+            "p99_us",
+            "n_over_slo",
+            F.expr(f"(n_over_slo * {SLO_PPM}) DIV n").alias("over_slo_ppm"),
+            (F.col("p95_us") <= SLO_P95_US).cast("int").alias("conforms"),
+        )
+    )
+
+
+O_P95_SLO_CONFORMANCE = f"""
+WITH base AS (
+  SELECT user_id % {SLO_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS v
+  FROM events),
+vc AS (SELECT host, v, cast(count(*) as bigint) AS c FROM base GROUP BY host, v),
+cum AS (
+  SELECT host, v, c,
+         sum(c) OVER (PARTITION BY host ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY host) AS n
+  FROM vc),
+p95 AS (
+  SELECT host, n, min(v) AS p95_us
+  FROM cum WHERE cum >= (95 * n + 99) // 100 GROUP BY host, n),
+p99 AS (
+  SELECT host, min(v) AS p99_us
+  FROM cum WHERE cum >= (99 * n + 99) // 100 GROUP BY host),
+over_ AS (
+  SELECT host, cast(sum(CASE WHEN v > {SLO_P95_US} THEN 1 ELSE 0 END) as bigint)
+           AS n_over_slo
+  FROM base GROUP BY host)
+SELECT p95.host, cast(p95.n as bigint) AS n_fetches, p95.p95_us, p99.p99_us,
+       over_.n_over_slo,
+       cast((over_.n_over_slo * {SLO_PPM}) // p95.n as bigint) AS over_slo_ppm,
+       cast(CASE WHEN p95.p95_us <= {SLO_P95_US} THEN 1 ELSE 0 END as int)
+         AS conforms
+FROM p95 JOIN p99 ON p99.host = p95.host JOIN over_ ON over_.host = p95.host
+"""
