@@ -202,6 +202,10 @@ HEADLINE_QUERIES = (
     "session_threshold_sweep",
     "p95_slo_conformance",
     "minhash_estimator_bias",
+    # round-6j tier
+    "quality_novelty_quadrants",
+    "arrival_seasonality",
+    "storage_tiering",
 )
 
 

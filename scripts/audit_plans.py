@@ -188,6 +188,9 @@ AUDIT = (
     "session_threshold_sweep",
     "p95_slo_conformance",
     "minhash_estimator_bias",
+    "quality_novelty_quadrants",
+    "arrival_seasonality",
+    "storage_tiering",
 )
 
 
@@ -711,6 +714,13 @@ def main():
         f.write("- `minhash_estimator_bias`: one signature build (the dedup\n")
         f.write("  exchange) + sample-bounded all-pairs + one decile rollup —\n")
         f.write("  the calibration discipline.\n")
+        f.write("- `quality_novelty_quadrants`: the doc_novelty shingle exchange\n")
+        f.write("  + one bounded quality sort + a 4-key census.\n")
+        f.write("- `arrival_seasonality`: one 168-cardinality partial groupBy\n")
+        f.write("  joined against a broadcast closed grid.\n")
+        f.write("- `storage_tiering`: map-side access synthesis + one bounded\n")
+        f.write("  rank sort (threshold-cut via equidepth at warehouse scale) +\n")
+        f.write("  a 3-key census.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

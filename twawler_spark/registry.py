@@ -281,6 +281,11 @@ QUERIES: dict[str, QueryFn] = {
     "session_threshold_sweep": wq.q_session_threshold_sweep,
     "p95_slo_conformance": wq.q_p95_slo_conformance,
     "minhash_estimator_bias": tq.q_minhash_estimator_bias,
+    # round-6j wave (same out-of-window gating): the curation 2x2
+    # census, the arrival seasonality map, and storage tiering
+    "quality_novelty_quadrants": tq.q_quality_novelty_quadrants,
+    "arrival_seasonality": wq.q_arrival_seasonality,
+    "storage_tiering": tq.q_storage_tiering,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -559,6 +564,9 @@ ORACLES: dict[str, str] = {
     "session_threshold_sweep": wq.O_SESSION_THRESHOLD_SWEEP,
     "p95_slo_conformance": wq.O_P95_SLO_CONFORMANCE,
     "minhash_estimator_bias": tq.O_MINHASH_ESTIMATOR_BIAS,
+    "quality_novelty_quadrants": tq.O_QUALITY_NOVELTY_QUADRANTS,
+    "arrival_seasonality": wq.O_ARRIVAL_SEASONALITY,
+    "storage_tiering": tq.O_STORAGE_TIERING,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

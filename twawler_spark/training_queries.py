@@ -6144,3 +6144,202 @@ FROM full_ GROUP BY jaccard_bucket
 
 
 O_MINHASH_ESTIMATOR_BIAS = _o_minhash_bias()
+
+
+# ------------------- quality x novelty quadrant census (6j)
+
+QNQ_PPM = 1_000_000
+
+
+def q_quality_novelty_quadrants(spark, sf):
+    """The curation 2x2: split documents at the median on BOTH the
+    quality proxy (n_chars rank) and the novelty ledger (doc_novelty's
+    first-occurrence share), and census the four quadrants — the
+    decision table a corpus pipeline actually acts on: hi-quality
+    hi-novelty is kept outright, hi-quality lo-novelty goes to dedup
+    (good text, already represented), lo-quality hi-novelty goes to
+    cleanup (unique but rough), lo-lo is dropped. Splits are EXACT
+    median ranks (ties resolved by the rank rule, same in both
+    engines); per quadrant: doc count, total shingle mass, novel-
+    shingle mass, and char mass — the sizes of the four pipeline
+    branches.
+
+    100 TB shape: the novelty side is the doc_novelty exchange
+    (shingle-key min-doc credit); the quality rank is one bounded
+    sort; the census partial-aggregates on a 4-value key. Reference
+    analog: none — corpus-triage infrastructure per the brief."""
+    d = _t(spark, sf, "documents")
+    sh = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
+    ).where(F.col("tok") != "")
+    first = sh.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    nov = (
+        sh.join(first, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_nov"),
+        )
+    )
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+    ).join(nov, "doc_id")
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk_q = F.rank().over(W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
+    # novelty ordering by the exact fraction n_nov/n_sh via cross-mult-
+    # safe double of two exact ints, ties by doc_id
+    rk_n = F.rank().over(
+        W.orderBy(
+            (F.col("n_nov").cast("double") / F.col("n_sh").cast("double")).asc(),
+            F.col("doc_id").asc(),
+        )
+    )
+    ranked = base.withColumn("rq", rk_q.cast("long")).withColumn(
+        "rn", rk_n.cast("long")
+    ).crossJoin(F.broadcast(n_row))
+    flagged = ranked.select(
+        (F.col("rq") * 2 > F.col("n")).cast("int").alias("hi_quality"),
+        (F.col("rn") * 2 > F.col("n")).cast("int").alias("hi_novelty"),
+        "n_sh",
+        "n_nov",
+        "n_chars",
+    )
+    return flagged.groupBy("hi_quality", "hi_novelty").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_sh").alias("shingle_mass"),
+        F.sum("n_nov").alias("novel_mass"),
+        F.sum("n_chars").alias("char_mass"),
+    )
+
+
+O_QUALITY_NOVELTY_QUADRANTS = f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, greatest(len(string_split(text, ' ')) - 4, 1) + 1),
+      i -> array_to_string((string_split(text, ' '))[i:i+4], ' ')))) AS tok
+  FROM documents),
+shf AS (SELECT doc_id, tok FROM sh WHERE tok != ''),
+first AS (SELECT tok, min(doc_id) AS fd FROM shf GROUP BY tok),
+nov AS (
+  SELECT s.doc_id,
+         cast(count(*) as bigint) AS n_sh,
+         cast(sum(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END) as bigint)
+           AS n_nov
+  FROM shf s JOIN first f ON f.tok = s.tok GROUP BY s.doc_id),
+base AS (
+  SELECT d.doc_id, cast(d.n_chars as bigint) AS n_chars, nov.n_sh, nov.n_nov
+  FROM documents d JOIN nov ON nov.doc_id = d.doc_id),
+ranked AS (
+  SELECT *,
+         cast(rank() OVER (ORDER BY n_chars ASC, doc_id ASC) as bigint) AS rq,
+         cast(rank() OVER (ORDER BY cast(n_nov as double) / cast(n_sh as double)
+                             ASC, doc_id ASC) as bigint) AS rn,
+         cast(count(*) OVER () as bigint) AS n
+  FROM base)
+SELECT cast(CASE WHEN rq * 2 > n THEN 1 ELSE 0 END as int) AS hi_quality,
+       cast(CASE WHEN rn * 2 > n THEN 1 ELSE 0 END as int) AS hi_novelty,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(n_sh) as bigint) AS shingle_mass,
+       cast(sum(n_nov) as bigint) AS novel_mass,
+       cast(sum(n_chars) as bigint) AS char_mass
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# ------------------------- storage tiering placement (6j)
+
+TIER_PPM = 1_000_000
+
+
+def q_storage_tiering(spark, sf):
+    """Hot/warm/cold storage placement by access-rank terciles — the
+    data-temperature decision a 100 TB corpus store makes when
+    choosing NVMe vs disk vs object storage per object: synthesize a
+    deterministic Zipf-ish access count per doc (floor(1e6 / (1 +
+    md5 % 1000)) — a few very hot docs, a long cold tail), rank by
+    (access desc, doc_id) and cut at exact tercile ranks (Hamilton
+    splits). Per tier: object count, byte mass, total access mass,
+    and the access share in ppm — the classic result that the hot
+    tercile carries the overwhelming access share while the cold
+    tercile carries ~a third of the bytes, which is exactly why
+    tiering pays.
+
+    100 TB shape: map-side access synthesis, one bounded rank sort
+    (at warehouse scale the rank cut becomes an access-count
+    threshold from equidepth_edges' histogram — same decision, no
+    global sort), one 3-key census. Reference analog: none —
+    storage-economics infrastructure the brief's scale requires."""
+    d = _t(spark, sf, "documents")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("nb"),
+    ).withColumn(
+        "access",
+        F.expr(
+            "1000000 DIV (1 + pmod(cast(conv(substring(md5(concat('acc:', "
+            "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 1000))"
+        ),
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = F.row_number().over(
+        W.orderBy(F.col("access").desc(), F.col("doc_id").asc())
+    )
+    ranked = base.withColumn("rk", rk.cast("long")).crossJoin(F.broadcast(n_row))
+    tier = (
+        F.when(F.expr("rk * 3 <= n"), F.lit("hot"))
+        .when(F.expr("rk * 3 <= 2 * n"), F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    tot = base.agg(F.sum("access").alias("total_access"))
+    return (
+        ranked.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nb").alias("bytes_total"),
+            F.sum("access").alias("access_total"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tier",
+            "n_docs",
+            "bytes_total",
+            "access_total",
+            F.expr(f"(access_total * {TIER_PPM}) DIV total_access").alias(
+                "access_share_ppm"
+            ),
+        )
+    )
+
+
+O_STORAGE_TIERING = f"""
+WITH base AS (
+  SELECT doc_id, cast(n_chars as bigint) AS nb,
+         1000000 // (1 + ('0x' || substring(md5('acc:' || cast(doc_id as varchar)), 1, 15))
+                       ::BIGINT % 1000) AS access
+  FROM documents),
+nrow AS (SELECT cast(count(*) as bigint) AS n FROM base),
+ranked AS (
+  SELECT base.*, nrow.n,
+         cast(row_number() OVER (ORDER BY access DESC, doc_id ASC) as bigint)
+           AS rk
+  FROM base, nrow),
+tiered AS (
+  SELECT *,
+         CASE WHEN rk * 3 <= n THEN 'hot'
+              WHEN rk * 3 <= 2 * n THEN 'warm'
+              ELSE 'cold' END AS tier
+  FROM ranked),
+tot AS (SELECT cast(sum(access) as bigint) AS total_access FROM base)
+SELECT tier,
+       cast(count(*) as bigint) AS n_docs,
+       cast(sum(nb) as bigint) AS bytes_total,
+       cast(sum(access) as bigint) AS access_total,
+       (cast(sum(access) as bigint) * {TIER_PPM}) // tot.total_access
+         AS access_share_ppm
+FROM tiered, tot GROUP BY tier, tot.total_access
+"""

@@ -6888,3 +6888,76 @@ SELECT p95.host, cast(p95.n as bigint) AS n_fetches, p95.p95_us, p99.p99_us,
          AS conforms
 FROM p95 JOIN p99 ON p99.host = p95.host JOIN over_ ON over_.host = p95.host
 """
+
+
+# ------------------------ arrival seasonality profile (6j)
+
+SEAS_PPM = 1_000_000
+
+
+def q_arrival_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day x day-of-week arrival profile with the exact
+    deviation-from-uniform mass — the seasonality map a crawl
+    planner reads before placing big recrawl jobs (schedule them
+    into the fleet's quiet cells) and a change-detection baseline
+    (a flat profile that develops peaks means a new traffic source).
+    Per (dow, hour) cell: arrivals and the signed exact deviation
+    numerator obs*C - N (with C = 168 cells; positive = hotter than
+    uniform), plus |dev| in ppm of the uniform expectation. The cell
+    grid is closed (all 168 cells emitted, zeros included) so the
+    driver hash pins the quiet cells too.
+
+    100 TB shape: one partial-aggregated groupBy over a
+    168-cardinality key joined against a broadcast closed grid.
+    Reference analog: the reference's tweet-volume daily/hourly
+    censuses (SURVEY §2 A11/A12 time series), re-read as a
+    scheduling input."""
+    e = _t(spark, sf, "events")
+    base = e.select(
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hour"),
+    )
+    counts = base.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("long").alias("arrivals")
+    )
+    dows = spark.range(1, 8).select(F.col("id").cast("long").alias("dow"))
+    hours = spark.range(0, 24).select(F.col("id").cast("long").alias("hour"))
+    grid = dows.crossJoin(hours)
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    full = (
+        grid.join(counts, ["dow", "hour"], "left")
+        .fillna({"arrivals": 0})
+        .crossJoin(F.broadcast(n_row))
+    )
+    dev = F.col("arrivals") * 168 - F.col("n_total")
+    return full.select(
+        "dow",
+        "hour",
+        "arrivals",
+        dev.alias("dev_num"),
+        F.expr(f"(abs(arrivals * 168 - n_total) * {SEAS_PPM}) DIV n_total").alias(
+            "abs_dev_ppm"
+        ),
+    )
+
+
+O_ARRIVAL_SEASONALITY = f"""
+WITH base AS (
+  SELECT cast(dayofweek(ts) + 1 as bigint) AS dow,
+         cast(hour(ts) as bigint) AS hour
+  FROM events),
+counts AS (
+  SELECT dow, hour, cast(count(*) as bigint) AS arrivals
+  FROM base GROUP BY dow, hour),
+grid AS (
+  SELECT cast(d as bigint) AS dow, cast(h as bigint) AS hour
+  FROM (SELECT unnest(range(1, 8)) AS d), (SELECT unnest(range(0, 24)) AS h)),
+nrow AS (SELECT cast(count(*) as bigint) AS n_total FROM base)
+SELECT g.dow, g.hour,
+       coalesce(c.arrivals, 0) AS arrivals,
+       coalesce(c.arrivals, 0) * 168 - nrow.n_total AS dev_num,
+       (abs(coalesce(c.arrivals, 0) * 168 - nrow.n_total) * {SEAS_PPM})
+         // nrow.n_total AS abs_dev_ppm
+FROM grid g LEFT JOIN counts c ON c.dow = g.dow AND c.hour = g.hour
+CROSS JOIN nrow
+"""
