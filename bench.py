@@ -206,6 +206,10 @@ HEADLINE_QUERIES = (
     "quality_novelty_quadrants",
     "arrival_seasonality",
     "storage_tiering",
+    # round-6k tier
+    "failure_streaks",
+    "postings_intersection",
+    "median_ci_rank",
 )
 
 

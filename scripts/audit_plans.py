@@ -191,6 +191,9 @@ AUDIT = (
     "quality_novelty_quadrants",
     "arrival_seasonality",
     "storage_tiering",
+    "failure_streaks",
+    "postings_intersection",
+    "median_ci_rank",
 )
 
 
@@ -721,6 +724,12 @@ def main():
         f.write("- `storage_tiering`: map-side access synthesis + one bounded\n")
         f.write("  rank sort (threshold-cut via equidepth at warehouse scale) +\n")
         f.write("  a 3-key census.\n")
+        f.write("- `failure_streaks`: two per-host ordered window scans (the\n")
+        f.write("  gaps-and-islands rn-difference key) + one island rollup.\n")
+        f.write("- `postings_intersection`: the inverted-index term exchange +\n")
+        f.write("  bounded top-term pair joins (28 pairs) — planner statistics.\n")
+        f.write("- `median_ci_rank`: the quantile (host, value) partial count +\n")
+        f.write("  cumulative window; three rank probes on the same scan.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

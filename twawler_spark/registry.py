@@ -286,6 +286,12 @@ QUERIES: dict[str, QueryFn] = {
     "quality_novelty_quadrants": tq.q_quality_novelty_quadrants,
     "arrival_seasonality": wq.q_arrival_seasonality,
     "storage_tiering": tq.q_storage_tiering,
+    # round-6k wave (same out-of-window gating): gaps-and-islands
+    # failure streaks, postings intersection cost, distribution-free
+    # median confidence bands
+    "failure_streaks": wq.q_failure_streaks,
+    "postings_intersection": tq.q_postings_intersection,
+    "median_ci_rank": wq.q_median_ci_rank,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -567,6 +573,9 @@ ORACLES: dict[str, str] = {
     "quality_novelty_quadrants": tq.O_QUALITY_NOVELTY_QUADRANTS,
     "arrival_seasonality": wq.O_ARRIVAL_SEASONALITY,
     "storage_tiering": tq.O_STORAGE_TIERING,
+    "failure_streaks": wq.O_FAILURE_STREAKS,
+    "postings_intersection": tq.O_POSTINGS_INTERSECTION,
+    "median_ci_rank": wq.O_MEDIAN_CI_RANK,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -6343,3 +6343,98 @@ SELECT tier,
          AS access_share_ppm
 FROM tiered, tot GROUP BY tier, tot.total_access
 """
+
+
+# ---------------------- postings intersection cost (6k)
+
+PIX_TOP_TERMS = 8
+PIX_PPM = 1_000_000
+
+
+def q_postings_intersection(spark, sf):
+    """AND-query cost over the inverted index: for every pair of the
+    PIX_TOP_TERMS highest-df terms, the exact posting-list
+    intersection size and its selectivity against the smaller list —
+    the statistic a search planner uses to order a conjunctive
+    query's term merges (start with the most selective pair) and the
+    empirical check of the independence assumption df_a*df_b/N that
+    naive planners make. All integers: intersections are doc-key
+    joins, top terms are a bounded df sort with ties to the
+    lexicographically first term.
+
+    100 TB shape: posting lists come from the inverted_index tier's
+    one term exchange; the pair intersections join doc-id sets for a
+    BOUNDED top-term set (28 pairs) — planner statistics, not query
+    execution. Reference analog: the search half of S14's index
+    export, given its cost model."""
+    d = _t(spark, sf, "documents")
+    ex = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    df = ex.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    top = (
+        df.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(PIX_TOP_TERMS)
+        .select("term", "df")
+    )
+    post = ex.join(F.broadcast(top.select("term")), "term")
+    a = post.select(F.col("term").alias("term_a"), "doc_id")
+    b = post.select(F.col("term").alias("term_b"), "doc_id")
+    inter = (
+        a.join(b, "doc_id")
+        .where(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ta = top.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    tb = top.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    n_row = d.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return (
+        inter.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "term_a",
+            "term_b",
+            "df_a",
+            "df_b",
+            "n_both",
+            F.expr(f"(n_both * {PIX_PPM}) DIV least(df_a, df_b)").alias(
+                "selectivity_ppm"
+            ),
+            F.expr(f"(df_a * df_b * {PIX_PPM}) DIV (n_docs * least(df_a, df_b))")
+            .alias("independence_ppm"),
+        )
+    )
+
+
+O_POSTINGS_INTERSECTION = f"""
+WITH ex AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+    FROM documents)
+  WHERE term != ''),
+df AS (SELECT term, cast(count(*) as bigint) AS df FROM ex GROUP BY term),
+top AS (
+  SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {PIX_TOP_TERMS}),
+post AS (SELECT ex.term, ex.doc_id FROM ex JOIN top ON top.term = ex.term),
+inter AS (
+  SELECT a.term AS term_a, b.term AS term_b,
+         cast(count(*) as bigint) AS n_both
+  FROM post a JOIN post b ON b.doc_id = a.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term),
+nrow AS (SELECT cast(count(*) as bigint) AS n_docs FROM documents)
+SELECT i.term_a, i.term_b, ta.df AS df_a, tb.df AS df_b, i.n_both,
+       (i.n_both * {PIX_PPM}) // least(ta.df, tb.df) AS selectivity_ppm,
+       (ta.df * tb.df * {PIX_PPM}) // (nrow.n_docs * least(ta.df, tb.df))
+         AS independence_ppm
+FROM inter i
+JOIN top ta ON ta.term = i.term_a
+JOIN top tb ON tb.term = i.term_b
+CROSS JOIN nrow
+"""

@@ -6961,3 +6961,252 @@ SELECT g.dow, g.hour,
 FROM grid g LEFT JOIN counts c ON c.dow = g.dow AND c.hour = g.hour
 CROSS JOIN nrow
 """
+
+
+# ----------------------- failure streaks and backoff (6k)
+
+STREAK_HOSTS = 12
+STREAK_CAP = 6  # backoff exponent cap: delay = 2^min(streak, cap) rounds
+
+
+def q_failure_streaks(spark: SparkSession, sf: str) -> DataFrame:
+    """Consecutive-failure streaks per host via the gaps-and-islands
+    pattern — the input to an exponential-backoff ladder: group each
+    host's fetch log (in event order) into runs of equal outcome
+    using the rn - rn_per_outcome island key (the classic SQL
+    identity: consecutive equal values share the difference of the
+    two row_numbers), then report the LONGEST error streak, the
+    CURRENT streak (the tail run if it is an error run), the implied
+    backoff exponent min(current, cap), and the backoff delay 2^k
+    rounds — all exact integers (the power is dyadic, computed as a
+    left shift via multiplication). A host ending on a long error
+    run gets parked for 2^k rounds; the longest-streak column is the
+    forensic 'how bad did it get'.
+
+    100 TB shape: two per-host ordered window scans (the lag-tier
+    shape) + one island rollup; |hosts| output rows. Reference
+    analog: the reference's per-account backoff bookkeeping (SURVEY
+    §2 S1 error paths), derived from the log instead of carried as
+    mutable state."""
+    e = _t(spark, sf, "events")
+    err = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("brn:"), F.col("event_id").cast("string"))), 1, 1
+        ).isin("1", "3", "5"),
+        1,
+    ).otherwise(0)
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(STREAK_HOSTS)).alias("host"),
+        F.col("event_id"),
+        err.alias("e"),
+    )
+    w_all = Window.partitionBy("host").orderBy("event_id")
+    w_out = Window.partitionBy("host", "e").orderBy("event_id")
+    isl = base.withColumn(
+        "island",
+        F.row_number().over(w_all).cast("long")
+        - F.row_number().over(w_out).cast("long"),
+    )
+    runs = isl.groupBy("host", "e", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.max("event_id").alias("last_eid"),
+    )
+    longest = runs.where(F.col("e") == 1).groupBy("host").agg(
+        F.max("run_len").alias("longest_err_streak")
+    )
+    last_run = runs.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("host").orderBy(F.col("last_eid").desc())
+        ),
+    ).where(F.col("rn") == 1)
+    current = last_run.select(
+        "host",
+        F.when(F.col("e") == 1, F.col("run_len"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("current_err_streak"),
+    )
+    j = longest.join(current, "host")
+    k = F.least(F.col("current_err_streak"), F.lit(STREAK_CAP).cast("long"))
+    # 2^k as a product of dyadic factors: shift via conv-free exact expr
+    delay = F.expr(
+        f"CASE WHEN least(current_err_streak, {STREAK_CAP}) = 0 THEN 1 "
+        + " ".join(
+            f"WHEN least(current_err_streak, {STREAK_CAP}) = {i} THEN {2**i}"
+            for i in range(1, STREAK_CAP + 1)
+        )
+        + " END"
+    )
+    return j.select(
+        "host",
+        "longest_err_streak",
+        "current_err_streak",
+        k.alias("backoff_exp"),
+        delay.cast("long").alias("backoff_delay_rounds"),
+    )
+
+
+O_FAILURE_STREAKS = f"""
+WITH base AS (
+  SELECT user_id % {STREAK_HOSTS} AS host, event_id,
+         CASE WHEN substring(md5('brn:' || cast(event_id as varchar)), 1, 1)
+                IN ('1','3','5') THEN 1 ELSE 0 END AS e
+  FROM events),
+isl AS (
+  SELECT *,
+         cast(row_number() OVER (PARTITION BY host ORDER BY event_id) as bigint)
+           - cast(row_number() OVER (PARTITION BY host, e ORDER BY event_id)
+                  as bigint) AS island
+  FROM base),
+runs AS (
+  SELECT host, e, island, cast(count(*) as bigint) AS run_len,
+         max(event_id) AS last_eid
+  FROM isl GROUP BY host, e, island),
+longest AS (
+  SELECT host, cast(max(run_len) as bigint) AS longest_err_streak
+  FROM runs WHERE e = 1 GROUP BY host),
+last_run AS (
+  SELECT host, e, run_len
+  FROM (SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY last_eid DESC) AS rn
+        FROM runs)
+  WHERE rn = 1),
+current AS (
+  SELECT host,
+         CASE WHEN e = 1 THEN run_len ELSE 0 END AS current_err_streak
+  FROM last_run)
+SELECT l.host, l.longest_err_streak,
+       cast(c.current_err_streak as bigint) AS current_err_streak,
+       cast(least(c.current_err_streak, {STREAK_CAP}) as bigint) AS backoff_exp,
+       cast(CASE least(c.current_err_streak, {STREAK_CAP})
+         {' '.join(f'WHEN {i} THEN {2**i}' for i in range(0, STREAK_CAP + 1))}
+       END as bigint) AS backoff_delay_rounds
+FROM longest l JOIN current c ON c.host = l.host
+"""
+
+
+# -------------------- distribution-free median CI (6k)
+
+MCI_HOSTS = 12
+MCI_Z2 = 2  # z ~ 2: rank offset = z/2 * sqrt(n) -> isqrt(n), exact
+
+
+def q_median_ci_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-free confidence band for each host's median
+    latency via the binomial order-statistic argument: the true
+    median lies between order statistics at ranks n/2 -/+
+    (z/2)*sqrt(n) with ~95% coverage for z=2 — NO distributional
+    assumption, NO bootstrap, and with the exact floor-isqrt the
+    rank offsets are exact integers (lo_rank = max(1, (n DIV 2) -
+    isqrt(n)), hi_rank = min(n, (n DIV 2) + 1 + isqrt(n))). Emitted
+    per host: the median (ceil-rank), the CI's lo/hi VALUES (exact
+    order statistics), and the CI width — the quantile tier's
+    uncertainty statement, completing p50 (host_latency_quantiles) /
+    EWMA (drift) / KS (shape) with 'how sure are we'.
+
+    100 TB shape: the quantile tier's (host, value) partial count +
+    cumulative window; three rank probes ride the same scan.
+    Reference analog: none — fleet-statistics infrastructure."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(MCI_HOSTS)).alias("host"), lat.alias("v")
+    )
+    vc = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("host").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vc.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("host"))
+    )
+    s0 = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    isq = (
+        F.when((s0 + 1) * (s0 + 1) <= F.col("n"), s0 + 1)
+        .when(s0 * s0 > F.col("n"), s0 - 1)
+        .otherwise(s0)
+    )
+    ranks = cum.withColumn("isq", isq).withColumn(
+        "lo_rank", F.expr("greatest(n DIV 2 - isq, 1)")
+    ).withColumn("hi_rank", F.expr("least(n DIV 2 + 1 + isq, n)")).withColumn(
+        "med_rank", F.expr("(n + 1) DIV 2")
+    )
+    med = (
+        ranks.where(F.col("cum") >= F.col("med_rank"))
+        .groupBy("host", "n")
+        .agg(F.min("v").alias("median_us"))
+    )
+    lo = (
+        ranks.where(F.col("cum") >= F.col("lo_rank"))
+        .groupBy("host")
+        .agg(F.min("v").alias("ci_lo_us"))
+    )
+    hi = (
+        ranks.where(F.col("cum") >= F.col("hi_rank"))
+        .groupBy("host")
+        .agg(F.min("v").alias("ci_hi_us"))
+    )
+    return (
+        med.join(lo, "host")
+        .join(hi, "host")
+        .select(
+            "host",
+            F.col("n").alias("n_fetches"),
+            "median_us",
+            "ci_lo_us",
+            "ci_hi_us",
+            (F.col("ci_hi_us") - F.col("ci_lo_us")).alias("ci_width_us"),
+        )
+    )
+
+
+O_MEDIAN_CI_RANK = f"""
+WITH base AS (
+  SELECT user_id % {MCI_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS v
+  FROM events),
+vc AS (SELECT host, v, cast(count(*) as bigint) AS c FROM base GROUP BY host, v),
+cum AS (
+  SELECT host, v, c,
+         sum(c) OVER (PARTITION BY host ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY host) AS n
+  FROM vc),
+rk AS (
+  SELECT *,
+         (CASE WHEN (cast(floor(sqrt(cast(n as double))) as bigint) + 1)
+                    * (cast(floor(sqrt(cast(n as double))) as bigint) + 1) <= n
+               THEN cast(floor(sqrt(cast(n as double))) as bigint) + 1
+               WHEN cast(floor(sqrt(cast(n as double))) as bigint)
+                    * cast(floor(sqrt(cast(n as double))) as bigint) > n
+               THEN cast(floor(sqrt(cast(n as double))) as bigint) - 1
+               ELSE cast(floor(sqrt(cast(n as double))) as bigint) END) AS isq
+  FROM cum),
+med AS (
+  SELECT host, cast(n as bigint) AS n, min(v) AS median_us
+  FROM rk WHERE cum >= (n + 1) // 2 GROUP BY host, n),
+lo AS (
+  SELECT host, min(v) AS ci_lo_us
+  FROM rk WHERE cum >= greatest(n // 2 - isq, 1) GROUP BY host),
+hi AS (
+  SELECT host, min(v) AS ci_hi_us
+  FROM rk WHERE cum >= least(n // 2 + 1 + isq, n) GROUP BY host)
+SELECT med.host, med.n AS n_fetches, med.median_us,
+       lo.ci_lo_us, hi.ci_hi_us,
+       hi.ci_hi_us - lo.ci_lo_us AS ci_width_us
+FROM med JOIN lo ON lo.host = med.host JOIN hi ON hi.host = med.host
+"""
