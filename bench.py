@@ -210,6 +210,10 @@ HEADLINE_QUERIES = (
     "failure_streaks",
     "postings_intersection",
     "median_ci_rank",
+    # round-6l tier
+    "bm25_tf_exact",
+    "bigram_hit_score",
+    "anchor_content_agreement",
 )
 
 

@@ -194,6 +194,9 @@ AUDIT = (
     "failure_streaks",
     "postings_intersection",
     "median_ci_rank",
+    "bm25_tf_exact",
+    "bigram_hit_score",
+    "anchor_content_agreement",
 )
 
 
@@ -730,6 +733,13 @@ def main():
         f.write("  bounded top-term pair joins (28 pairs) — planner statistics.\n")
         f.write("- `median_ci_rank`: the quantile (host, value) partial count +\n")
         f.write("  cumulative window; three rank probes on the same scan.\n")
+        f.write("- `bm25_tf_exact`: one watchlist-filtered (term, doc) count +\n")
+        f.write("  a doc-length aggregate and 1-row broadcast; per-term bounded\n")
+        f.write("  rank windows.\n")
+        f.write("- `bigram_hit_score`: one bounded bigram explode, a top-K\n")
+        f.write("  aggregate broadcast, a map-side semi-join count per doc.\n")
+        f.write("- `anchor_content_agreement`: two (host, term) distinct partial\n")
+        f.write("  aggregations (vocabulary-bounded) joined on the pair key.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -292,6 +292,12 @@ QUERIES: dict[str, QueryFn] = {
     "failure_streaks": wq.q_failure_streaks,
     "postings_intersection": tq.q_postings_intersection,
     "median_ci_rank": wq.q_median_ci_rank,
+    # round-6l wave (same out-of-window gating): exact BM25 tf
+    # saturation, the bigram-hit LM proxy, and anchor/content
+    # agreement
+    "bm25_tf_exact": tq.q_bm25_tf_exact,
+    "bigram_hit_score": tq.q_bigram_hit_score,
+    "anchor_content_agreement": wq.q_anchor_content_agreement,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -576,6 +582,9 @@ ORACLES: dict[str, str] = {
     "failure_streaks": wq.O_FAILURE_STREAKS,
     "postings_intersection": tq.O_POSTINGS_INTERSECTION,
     "median_ci_rank": wq.O_MEDIAN_CI_RANK,
+    "bm25_tf_exact": tq.O_BM25_TF_EXACT,
+    "bigram_hit_score": tq.O_BIGRAM_HIT_SCORE,
+    "anchor_content_agreement": wq.O_ANCHOR_CONTENT_AGREEMENT,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

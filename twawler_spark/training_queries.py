@@ -6438,3 +6438,194 @@ JOIN top ta ON ta.term = i.term_a
 JOIN top tb ON tb.term = i.term_b
 CROSS JOIN nrow
 """
+
+
+# ----------------------- exact BM25 tf saturation (6l)
+
+BM25_PPM = 1_000_000
+BM25_TERMS = ("scan", "window", "agg", "join")  # watchlist terms (corpus vocab)
+
+
+def q_bm25_tf_exact(spark, sf):
+    """BM25's term-frequency saturation computed EXACTLY: with k1 =
+    3/2 and b = 3/4 the classic score tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)) is a rational whose numerator and denominator clear
+    to integers after multiplying through by 8*sum_len (avgdl =
+    sum_len/n_docs substitutes exactly): score = 20*tf*sum_len /
+    (8*tf*sum_len + 3*(sum_len + 3*dl*n_docs)) — one ppm floor
+    division per (term, doc), no float anywhere. Emitted for a
+    4-term watchlist: per (term, doc) the tf, doc length, exact
+    score, and the per-term rank — the ranking half of the S14
+    search-export family (inverted_index built the postings,
+    postings_intersection priced the merges; THIS scores the hits),
+    demonstrating that even IR's canonical 'float' formula ships
+    under the driver's exact hash when the parameters are rational.
+
+    100 TB shape: tf is one (term, doc) aggregation over the
+    watchlist-filtered token stream (broadcast watchlist); dl/avgdl
+    ride one doc-length aggregate + a 1-row broadcast; ranks are
+    per-term bounded windows."""
+    d = _t(spark, sf, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    totals = dl.agg(
+        F.sum("dl").alias("sum_len"), F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    j = tf.join(dl, "doc_id").crossJoin(F.broadcast(totals))
+    score = F.expr(
+        f"(20 * tf * sum_len * {BM25_PPM})"
+        f" DIV (8 * tf * sum_len + 3 * (sum_len + 3 * dl * n_docs))"
+    )
+    scored = j.withColumn("score_ppm", score)
+    rk = F.row_number().over(
+        W.partitionBy("term").orderBy(
+            F.col("score_ppm").desc(), F.col("doc_id").asc()
+        )
+    )
+    return scored.withColumn("term_rank", rk.cast("long")).where(
+        F.col("term_rank") <= 5
+    ).select("term", "doc_id", "tf", "dl", "score_ppm", "term_rank")
+
+
+O_BM25_TF_EXACT = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents),
+tf_ AS (
+  SELECT term, doc_id, cast(count(*) as bigint) AS tf
+  FROM toks WHERE term IN {repr(tuple(BM25_TERMS))} GROUP BY term, doc_id),
+dl_ AS (
+  SELECT doc_id, cast(count(*) as bigint) AS dl
+  FROM toks WHERE term != '' GROUP BY doc_id),
+tot AS (
+  SELECT cast(sum(dl) as bigint) AS sum_len,
+         cast(count(*) as bigint) AS n_docs
+  FROM dl_),
+scored AS (
+  SELECT tf_.term, tf_.doc_id, tf_.tf, dl_.dl,
+         (20 * tf_.tf * tot.sum_len * {BM25_PPM})
+           // (8 * tf_.tf * tot.sum_len
+               + 3 * (tot.sum_len + 3 * dl_.dl * tot.n_docs)) AS score_ppm
+  FROM tf_ JOIN dl_ ON dl_.doc_id = tf_.doc_id CROSS JOIN tot)
+SELECT term, doc_id, tf, dl, score_ppm,
+       cast(rn as bigint) AS term_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY score_ppm DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+# ---------------------- bigram-hit LM proxy scoring (6l)
+
+BHS_TOP_K = 50
+BHS_PPM = 1_000_000
+
+
+def q_bigram_hit_score(spark, sf):
+    """Log-free language-model proxy: score each document by the
+    share of its bigrams that appear in the corpus's top-BHS_TOP_K
+    bigram list — fluent text is built from common transitions, and
+    a doc full of rare bigrams is either novel or broken (which is
+    why dsir/ccnet bucket on LM scores; this is the exact-integer
+    stand-in that needs no model and no log-probabilities). Emitted
+    per doc: bigram count, hits, hit share in ppm, and the quality
+    decile by exact rank — directly consumable by the selection
+    tiers. The top-K list is a bounded aggregate (ties broken
+    lexicographically), so the whole score is reproducible across
+    engines bit-for-bit.
+
+    100 TB shape: the bigram stream explodes once (per-doc bounded);
+    the top-K list is one aggregation + broadcast; the per-doc score
+    is a map-side semi-join count. Reference analog: the word-
+    frequency quality heuristics of twkit's text tiers, lifted to
+    transition space."""
+    d = _t(spark, sf, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    idx = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda k: F.concat_ws(
+                        " ", F.element_at(toks, k), F.element_at(toks, k + 1)
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .where(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+    )
+    top = (
+        pairs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bg").asc())
+        .limit(BHS_TOP_K)
+        .select("bg")
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    per = (
+        pairs.join(F.broadcast(top), "bg", "left")
+        .fillna({"hit": 0})
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .withColumn("hit_ppm", F.expr(f"(n_hits * {BHS_PPM}) DIV n_bigrams"))
+    )
+    n_row = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = F.rank().over(
+        W.orderBy(F.col("hit_ppm").asc(), F.col("doc_id").asc())
+    )
+    return (
+        per.withColumn("rk", rk.cast("long"))
+        .crossJoin(F.broadcast(n_row))
+        .withColumn("quality_decile", F.expr("((rk - 1) * 10) DIV n"))
+        .select("doc_id", "n_bigrams", "n_hits", "hit_ppm", "quality_decile")
+    )
+
+
+O_BIGRAM_HIT_SCORE = f"""
+WITH toksl AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+pairs AS (
+  SELECT doc_id, ts[k] || ' ' || ts[k + 1] AS bg
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS k
+        FROM toksl WHERE len(ts) >= 2)
+  WHERE ts[k] != '' AND ts[k + 1] != ''),
+top AS (
+  SELECT bg FROM (
+    SELECT bg, count(*) AS c FROM pairs GROUP BY bg)
+  ORDER BY c DESC, bg ASC LIMIT {BHS_TOP_K}),
+per AS (
+  SELECT p.doc_id,
+         cast(count(*) as bigint) AS n_bigrams,
+         cast(sum(CASE WHEN t.bg IS NOT NULL THEN 1 ELSE 0 END) as bigint)
+           AS n_hits
+  FROM pairs p LEFT JOIN top t ON t.bg = p.bg
+  GROUP BY p.doc_id),
+scored AS (
+  SELECT doc_id, n_bigrams, n_hits,
+         (n_hits * {BHS_PPM}) // n_bigrams AS hit_ppm
+  FROM per),
+ranked AS (
+  SELECT *,
+         cast(rank() OVER (ORDER BY hit_ppm ASC, doc_id ASC) as bigint) AS rk,
+         cast(count(*) OVER () as bigint) AS n
+  FROM scored)
+SELECT doc_id, n_bigrams, n_hits, hit_ppm,
+       ((rk - 1) * 10) // n AS quality_decile
+FROM ranked
+"""

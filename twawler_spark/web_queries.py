@@ -7210,3 +7210,132 @@ SELECT med.host, med.n AS n_fetches, med.median_us,
        hi.ci_hi_us - lo.ci_lo_us AS ci_width_us
 FROM med JOIN lo ON lo.host = med.host JOIN hi ON hi.host = med.host
 """
+
+
+# -------------------- anchor vs content agreement (6l)
+
+ACA_PPM = 1_000_000
+
+
+def q_anchor_content_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text relevance audit: for every target host, how well
+    do the anchor words other hosts use when LINKING to it agree
+    with the words actually ON it (the text spans of its fetched
+    documents)? Per target host: distinct anchor terms, distinct
+    content terms, the exact intersection, and agreement as the ppm
+    share of anchor terms found in content — high agreement means
+    inbound anchors are descriptive (good ranking signal, and
+    anchor_text's aggregation is trustworthy for that host); low
+    agreement flags deceptive linking or topic drift. Runs on two
+    engine surfaces at once — the outlink-anchor expansion and the
+    fetched span text — joined by target host.
+
+    100 TB shape: both term sets partial-aggregate as (host, term)
+    distincts (bounded by the vocabulary); the agreement join is on
+    the (host, term) key — the anchor side is tiny relative to the
+    corpus. Reference analog: mention-text vs profile-text agreement
+    in the reference's entity tiers (SURVEY §2 S11/F-family),
+    re-keyed host-to-host."""
+    _, plan = _plan(spark, sf)
+    links = discover_outlinks_anchored(fetch_results(plan), N_HOSTS)
+    tgt = F.regexp_extract("url", r"^https://h(\d+)\.", 1).cast("long")
+    anchors = links.select(
+        tgt.alias("host"), F.col("anchor").alias("term")
+    ).distinct()
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    content = (
+        docs.select(
+            F.substring("host", 2, 10).cast("long").alias("host"),
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                        lambda s: F.split(s["text"], " "),
+                    )
+                )
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    a_cnt = anchors.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchor_terms")
+    )
+    c_cnt = content.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_content_terms")
+    )
+    inter = (
+        anchors.join(content, ["host", "term"])
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        a_cnt.join(c_cnt, "host")
+        .join(inter, "host", "left")
+        .fillna({"n_shared": 0})
+        .select(
+            "host",
+            "n_anchor_terms",
+            "n_content_terms",
+            "n_shared",
+            F.expr(f"(n_shared * {ACA_PPM}) DIV n_anchor_terms").alias(
+                "agreement_ppm"
+            ),
+        )
+    )
+
+
+def _build_o_anchor_agreement() -> str:
+    n_out = f"(({_stream('u', docspec._S_NOUT)}) % 4)::BIGINT"
+    th = f"(({_stream('u', docspec._S_OUTHOST, 'j')}) % {N_HOSTS})::BIGINT"
+    anchor = f"({_VOCAB_SQL})[(1 + ({_stream('u', docspec._S_ANCHOR, 'j')}) % 32)::BIGINT]"
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    word = (
+        f"({_VOCAB_SQL})[(1 + ({_stream('d', docspec._S_WORD, 'k*16+t')}) % 32)::BIGINT]"
+    )
+    nwords = f"(1 + ({_stream('d', docspec._S_NWORDS, 'k')}) % 6)::BIGINT"
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT host AS src_host, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+okl AS (SELECT src_host, u, {n_out} AS nout FROM st2 WHERE r100 < 88),
+lj AS (SELECT src_host, u, unnest(range(0, nout)) AS j FROM okl),
+anchors AS (
+  SELECT DISTINCT {th} AS host, {anchor} AS term FROM lj),
+okd AS (SELECT src_host, u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+        FROM st2 WHERE r100 < 88),
+dk AS (SELECT cast(substring(src_host, 2) as bigint) AS host,
+              ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+       FROM (SELECT src_host, u, unnest(range(0, nd)) AS j FROM okd)),
+dd AS (SELECT host, d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp
+       FROM dk),
+content AS (
+  SELECT DISTINCT host, term FROM (
+    SELECT host, unnest(words) AS term FROM (
+      SELECT host,
+             flatten(list_transform(
+               list_filter(range(0, nsp), k -> {kind('k')} = 't'),
+               k -> list_transform(range(0, {nwords}), t -> {word})))
+               AS words
+      FROM dd))
+  WHERE term != ''),
+a_cnt AS (
+  SELECT host, cast(count(*) as bigint) AS n_anchor_terms
+  FROM anchors GROUP BY host),
+c_cnt AS (
+  SELECT host, cast(count(*) as bigint) AS n_content_terms
+  FROM content GROUP BY host),
+inter AS (
+  SELECT a.host, cast(count(*) as bigint) AS n_shared
+  FROM anchors a JOIN content c ON c.host = a.host AND c.term = a.term
+  GROUP BY a.host)
+SELECT a_cnt.host, a_cnt.n_anchor_terms, c_cnt.n_content_terms,
+       coalesce(inter.n_shared, 0) AS n_shared,
+       (coalesce(inter.n_shared, 0) * {ACA_PPM}) // a_cnt.n_anchor_terms
+         AS agreement_ppm
+FROM a_cnt JOIN c_cnt ON c_cnt.host = a_cnt.host
+LEFT JOIN inter ON inter.host = a_cnt.host
+"""
+
+
+O_ANCHOR_CONTENT_AGREEMENT = _build_o_anchor_agreement()
