@@ -214,6 +214,10 @@ HEADLINE_QUERIES = (
     "bm25_tf_exact",
     "bigram_hit_score",
     "anchor_content_agreement",
+    # round-6m tier
+    "emd_latency_drift",
+    "term_concentration",
+    "timeout_retry_cost",
 )
 
 

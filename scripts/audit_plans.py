@@ -197,6 +197,9 @@ AUDIT = (
     "bm25_tf_exact",
     "bigram_hit_score",
     "anchor_content_agreement",
+    "emd_latency_drift",
+    "term_concentration",
+    "timeout_retry_cost",
 )
 
 
@@ -740,6 +743,14 @@ def main():
         f.write("  aggregate broadcast, a map-side semi-join count per doc.\n")
         f.write("- `anchor_content_agreement`: two (host, term) distinct partial\n")
         f.write("  aggregations (vocabulary-bounded) joined on the pair key.\n")
+        f.write("- `emd_latency_drift`: the KS merged-grid exchange plus one\n")
+        f.write("  lead() for step widths; rollup partial-aggregates. Runs over\n")
+        f.write("  hdr buckets at warehouse scale.\n")
+        f.write("- `term_concentration`: one term-key count + bounded top-k head;\n")
+        f.write("  |grid| rows.\n")
+        f.write("- `timeout_retry_cost`: the timeout_sweep exchange on an md5\n")
+        f.write("  1-in-10 log sample (keeps series x spent exact in int64) +\n")
+        f.write("  map-side series arithmetic.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

@@ -298,6 +298,12 @@ QUERIES: dict[str, QueryFn] = {
     "bm25_tf_exact": tq.q_bm25_tf_exact,
     "bigram_hit_score": tq.q_bigram_hit_score,
     "anchor_content_agreement": wq.q_anchor_content_agreement,
+    # round-6m wave (same out-of-window gating): exact 1-D earth
+    # mover distance, CR-k vocabulary concentration, and the joint
+    # timeout x retry cost grid
+    "emd_latency_drift": wq.q_emd_latency_drift,
+    "term_concentration": tq.q_term_concentration,
+    "timeout_retry_cost": wq.q_timeout_retry_cost,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -585,6 +591,9 @@ ORACLES: dict[str, str] = {
     "bm25_tf_exact": tq.O_BM25_TF_EXACT,
     "bigram_hit_score": tq.O_BIGRAM_HIT_SCORE,
     "anchor_content_agreement": wq.O_ANCHOR_CONTENT_AGREEMENT,
+    "emd_latency_drift": wq.O_EMD_LATENCY_DRIFT,
+    "term_concentration": tq.O_TERM_CONCENTRATION,
+    "timeout_retry_cost": wq.O_TIMEOUT_RETRY_COST,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

@@ -6629,3 +6629,82 @@ SELECT doc_id, n_bigrams, n_hits, hit_ppm,
        ((rk - 1) * 10) // n AS quality_decile
 FROM ranked
 """
+
+
+# ----------------------- vocabulary concentration (6m)
+
+TC_KS = (1, 2, 4, 8, 16)
+TC_PPM = 1_000_000
+
+
+def q_term_concentration(spark, sf):
+    """CR-k vocabulary concentration: what share of the corpus's
+    token mass do the top-k terms carry, for k across a grid — the
+    concentration-ratio curve (industrial-organization CR-k applied
+    to vocabulary) that decides whether term-keyed work (the
+    inverted index, the PMI pair join, the bigram tiers) needs
+    heavy-hitter handling: CR-16 near 1e6 means a handful of
+    stopword-like terms dominate every shuffle on the term key and
+    deserve the salting/threshold treatment; a flat curve means the
+    term key is naturally balanced. Exact: term counts, one bounded
+    rank sort (ties lexicographic), cumulative top-k mass per grid
+    point in ppm.
+
+    100 TB shape: one term-key count (the index exchange), a bounded
+    top-k head, |grid| output rows. Companion of heavy_hitters
+    (which finds hot URLS) on the term axis, and the measured
+    justification for the min-df/stop-shingle caps the dedup and PMI
+    tiers already apply."""
+    d = _t(spark, sf, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    total = counts.agg(F.sum("c").alias("mass"))
+    rk = F.row_number().over(W.orderBy(F.col("c").desc(), F.col("term").asc()))
+    ranked = counts.withColumn("rk", rk.cast("long"))
+    cum = ranked.withColumn(
+        "cum",
+        F.sum("c").over(
+            W.orderBy(F.col("c").desc(), F.col("term").asc()).rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    out = None
+    for k in TC_KS:
+        row = (
+            cum.where(F.col("rk") == k)
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(k).cast("long").alias("k"),
+                F.col("cum").alias("top_k_mass"),
+                F.col("mass").alias("total_mass"),
+                F.expr(f"(cum * {TC_PPM}) DIV mass").alias("cr_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+O_TERM_CONCENTRATION = f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+counts AS (
+  SELECT term, cast(count(*) as bigint) AS c
+  FROM toks WHERE term != '' GROUP BY term),
+tot AS (SELECT cast(sum(c) as bigint) AS mass FROM counts),
+ranked AS (
+  SELECT c,
+         cast(row_number() OVER (ORDER BY c DESC, term ASC) as bigint) AS rk,
+         cast(sum(c) OVER (ORDER BY c DESC, term ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as bigint)
+           AS cum
+  FROM counts)
+SELECT cast(k as bigint) AS k, r.cum AS top_k_mass, tot.mass AS total_mass,
+       (r.cum * {TC_PPM}) // tot.mass AS cr_ppm
+FROM (SELECT unnest([{", ".join(str(k) for k in TC_KS)}]) AS k) ks
+JOIN ranked r ON r.rk = ks.k
+CROSS JOIN tot
+"""

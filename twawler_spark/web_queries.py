@@ -7339,3 +7339,242 @@ LEFT JOIN inter ON inter.host = a_cnt.host
 
 
 O_ANCHOR_CONTENT_AGREEMENT = _build_o_anchor_agreement()
+
+
+# ------------------- exact 1-D earth mover distance (6m)
+
+EMD_HOSTS = 12
+EMD_PPM = 1_000_000
+
+
+def q_emd_latency_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 1-D earth-mover (Wasserstein-1) distance per host
+    against the pooled latency distribution — the INTEGRAL companion
+    of ks_latency_drift's max: in one dimension EMD equals the sum
+    of |CDF differences| across the value grid times the step
+    widths, and with cross-multiplied integer CDFs that sum is an
+    exact BIGINT (sum over consecutive grid values of |cum_h*n_all -
+    cum_all*n_h| * (v_next - v)). KS flags a single worst point; EMD
+    measures the total transport a drifted host's distribution needs
+    — small persistent shifts that never spike the KS max still
+    accumulate EMD. Emitted per host: the exact EMD numerator, the
+    normalized EMD in microseconds (numerator DIV (n_h * n_all)),
+    and its share of the value range in ppm.
+
+    100 TB shape: the KS query's exchange exactly (merged grid +
+    cumulative windows) plus one lead() for step widths; the rollup
+    partial-aggregates. At warehouse scale it runs over
+    hdr_quantiles' buckets — EMD over bucket midpoints."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    base = e.select(
+        F.pmod(F.col("user_id"), F.lit(EMD_HOSTS)).alias("host"), lat.alias("v")
+    )
+    hv = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    totals = base.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_h"))
+    n_all_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    grid = base.select("v").distinct().crossJoin(totals.select("host"))
+    cells = grid.join(hv, ["host", "v"], "left").fillna({"c": 0})
+    w_h = Window.partitionBy("host").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    allv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    w_a = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    all_cdf = allv.withColumn("cum_all", F.sum("ca").over(w_a)).select(
+        "v", "cum_all"
+    )
+    w_next = Window.partitionBy("host").orderBy("v")
+    j = (
+        cells.withColumn("cum_h", F.sum("c").over(w_h))
+        .join(all_cdf, "v")
+        .join(totals, "host")
+        .crossJoin(F.broadcast(n_all_row))
+        .withColumn("v_next", F.lead("v").over(w_next))
+        .where(F.col("v_next").isNotNull())
+        .withColumn(
+            "piece",
+            F.abs(
+                F.col("cum_h") * F.col("n_all") - F.col("cum_all") * F.col("n_h")
+            )
+            * (F.col("v_next") - F.col("v")),
+        )
+    )
+    agg = j.groupBy("host", "n_h", "n_all").agg(F.sum("piece").alias("emd_num"))
+    return agg.select(
+        "host",
+        "n_h",
+        "emd_num",
+        F.expr("emd_num DIV (n_h * n_all)").alias("emd_us"),
+        F.expr(
+            f"(emd_num DIV (n_h * n_all)) * {EMD_PPM} DIV {TMO_VALUE_MOD}"
+        ).alias("emd_range_ppm"),
+    )
+
+
+O_EMD_LATENCY_DRIFT = f"""
+WITH base AS (
+  SELECT user_id % {EMD_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS v
+  FROM events),
+hv AS (
+  SELECT host, v, cast(count(*) as bigint) AS c FROM base GROUP BY host, v),
+totals AS (
+  SELECT host, cast(count(*) as bigint) AS n_h FROM base GROUP BY host),
+nall AS (SELECT cast(count(*) as bigint) AS n_all FROM base),
+grid AS (
+  SELECT t.host, g.v FROM (SELECT DISTINCT v FROM base) g, totals t),
+cells AS (
+  SELECT grid.host, grid.v, coalesce(hv.c, 0) AS c
+  FROM grid LEFT JOIN hv ON hv.host = grid.host AND hv.v = grid.v),
+cumh AS (
+  SELECT host, v,
+         sum(c) OVER (PARTITION BY host ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_h,
+         lead(v) OVER (PARTITION BY host ORDER BY v) AS v_next
+  FROM cells),
+alls AS (
+  SELECT v, sum(count(*)) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+  FROM base GROUP BY v),
+j AS (
+  SELECT c.host, t.n_h, nall.n_all,
+         abs(c.cum_h * nall.n_all - a.cum_all * t.n_h)
+           * (c.v_next - c.v) AS piece
+  FROM cumh c
+  JOIN alls a ON a.v = c.v
+  JOIN totals t ON t.host = c.host
+  CROSS JOIN nall
+  WHERE c.v_next IS NOT NULL)
+SELECT host, n_h,
+       cast(sum(piece) as bigint) AS emd_num,
+       cast(sum(piece) as bigint) // (n_h * max(n_all)) AS emd_us,
+       (cast(sum(piece) as bigint) // (n_h * max(n_all))) * {EMD_PPM}
+         // {TMO_VALUE_MOD} AS emd_range_ppm
+FROM j GROUP BY host, n_h
+"""
+
+
+# ---------------------- joint timeout x retry cost (6m)
+
+TRC_RETRIES = 3
+TRC_PPM = 1_000_000
+
+
+def q_timeout_retry_cost(spark: SparkSession, sf: str) -> DataFrame:
+    """JOINT timeout/retry policy cost: under timeout T, a fetch is
+    lost with probability p(T) = n_lost/n (timeout_sweep's exact
+    count) and each attempt costs spent(T)/n expected microseconds
+    (the truncated mean); with up to TRC_RETRIES retries the
+    expected attempts are the truncated geometric series in p(T)
+    (retry_cost_forecast's arithmetic) — so the expected total time
+    per URL is their PRODUCT, an exact rational whose ppm/us values
+    this query emits per (host, timeout) cell: lower timeouts cost
+    retries, higher timeouts cost per-attempt time, and the emitted
+    grid is exactly the surface a fleet minimizes over. All BIGINT:
+    expected_us = (series_num * spent) DIV (n^R * n) with every
+    factor exact.
+
+    100 TB shape: one (host, timeout) partial aggregation (the
+    timeout_sweep exchange) + map-side series arithmetic; |hosts| x
+    |grid| rows. The closing composition of the capacity tiers:
+    sweep -> retries -> Little's law all price the same fetch log."""
+    e = _t(spark, sf, "events")
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tmo:"), F.col("event_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    ).alias("lat")
+    # deterministic 1-in-10 log sample: keeps the exact-integer
+    # series x spent product under 2^59 at every SF (policy
+    # estimation on a sample is the calibration discipline — the
+    # estimate's variance, not the arithmetic, is the limiter)
+    base = e.where(F.col("event_id") % 10 == 0).select(
+        F.pmod(F.col("user_id"), F.lit(TMO_HOSTS)).alias("host"), lat
+    )
+    grid = spark.createDataFrame([(t,) for t in TMO_GRID], "timeout_us long")
+    j = base.crossJoin(F.broadcast(grid))
+    agg = j.groupBy("host", "timeout_us").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("lat") > F.col("timeout_us"), 1).otherwise(0))
+        .cast("long")
+        .alias("lost"),
+        F.sum(F.least(F.col("lat"), F.col("timeout_us"))).alias("spent_us"),
+    )
+    r = TRC_RETRIES
+    terms = []
+    for k in range(r + 1):
+        e_part = "*".join(["lost"] * k) if k else "1"
+        t_part = "*".join(["n"] * (r - k)) if r - k else "1"
+        terms.append(f"({e_part}) * ({t_part})")
+    series = " + ".join(terms)
+    den = "*".join(["n"] * r)
+    return agg.select(
+        "host",
+        "timeout_us",
+        "n",
+        "lost",
+        F.expr(f"(lost * {TRC_PPM}) DIV n").alias("p_lost_ppm"),
+        F.expr(f"(({series}) * {TRC_PPM}) DIV ({den})").alias("attempts_ppm"),
+        F.expr(f"(({series}) * spent_us) DIV (({den}) * n)").alias(
+            "expected_us"
+        ),
+    )
+
+
+def _o_timeout_retry() -> str:
+    r = TRC_RETRIES
+    terms = []
+    for k in range(r + 1):
+        e_part = "*".join(["lost"] * k) if k else "1"
+        t_part = "*".join(["n"] * (r - k)) if r - k else "1"
+        terms.append(f"({e_part}) * ({t_part})")
+    series = " + ".join(terms)
+    den = "*".join(["n"] * r)
+    return f"""
+WITH base AS (
+  SELECT user_id % {TMO_HOSTS} AS host,
+         1 + ('0x' || substring(md5('tmo:' || cast(event_id as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS lat
+  FROM events WHERE event_id % 10 = 0),
+grid AS (SELECT unnest([{", ".join(str(t) for t in TMO_GRID)}]) AS timeout_us),
+agg AS (
+  SELECT host, cast(timeout_us as bigint) AS timeout_us,
+         cast(count(*) as bigint) AS n,
+         cast(sum(CASE WHEN lat > timeout_us THEN 1 ELSE 0 END) as bigint)
+           AS lost,
+         cast(sum(least(lat, timeout_us)) as bigint) AS spent_us
+  FROM base, grid GROUP BY host, timeout_us)
+SELECT host, timeout_us, n, lost,
+       (lost * {TRC_PPM}) // n AS p_lost_ppm,
+       (({series}) * {TRC_PPM}) // ({den}) AS attempts_ppm,
+       (({series}) * spent_us) // (({den}) * n) AS expected_us
+FROM agg
+"""
+
+
+O_TIMEOUT_RETRY_COST = _o_timeout_retry()
