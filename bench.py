@@ -218,6 +218,10 @@ HEADLINE_QUERIES = (
     "emd_latency_drift",
     "term_concentration",
     "timeout_retry_cost",
+    # round-6n tier
+    "media_runs_test",
+    "cost_per_doc",
+    "id_gap_islands",
 )
 
 

@@ -200,6 +200,9 @@ AUDIT = (
     "emd_latency_drift",
     "term_concentration",
     "timeout_retry_cost",
+    "media_runs_test",
+    "cost_per_doc",
+    "id_gap_islands",
 )
 
 
@@ -751,6 +754,12 @@ def main():
         f.write("- `timeout_retry_cost`: the timeout_sweep exchange on an md5\n")
         f.write("  1-in-10 log sample (keeps series x spent exact in int64) +\n")
         f.write("  map-side series arithmetic.\n")
+        f.write("- `media_runs_test`: per-doc run counts as array HOFs inside\n")
+        f.write("  the fetch projection; bounded (n_text, n_media) class rollup.\n")
+        f.write("- `cost_per_doc`: the yield exchange + a map-side latency\n")
+        f.write("  column + a 1-row head broadcast.\n")
+        f.write("- `id_gap_islands`: one ordered window scan inside the\n")
+        f.write("  partition + an island rollup to a single summary row.\n")
         f.write("- `snapshot_diff`: one full-outer shuffle join at worst; in the\n")
         f.write("  production bucketed layout the same diff is the zero-shuffle\n")
         f.write("  per-bucket merge audited as `frontier dedup (co-bucketed)`.\n")

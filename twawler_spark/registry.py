@@ -304,6 +304,12 @@ QUERIES: dict[str, QueryFn] = {
     "emd_latency_drift": wq.q_emd_latency_drift,
     "term_concentration": tq.q_term_concentration,
     "timeout_retry_cost": wq.q_timeout_retry_cost,
+    # round-6n wave (same out-of-window gating): the Wald-Wolfowitz
+    # runs test on the interleaved payload, the marginal-document
+    # fetch price, and the id-space gap/island census
+    "media_runs_test": wq.q_media_runs_test,
+    "cost_per_doc": wq.q_cost_per_doc,
+    "id_gap_islands": tq.q_id_gap_islands,
     "bpe_merges": tq.q_bpe_merges,
     "graph_hits": cq.q_graph_hits,
     "corpus_sample": tq.q_corpus_sample,
@@ -594,6 +600,9 @@ ORACLES: dict[str, str] = {
     "emd_latency_drift": wq.O_EMD_LATENCY_DRIFT,
     "term_concentration": tq.O_TERM_CONCENTRATION,
     "timeout_retry_cost": wq.O_TIMEOUT_RETRY_COST,
+    "media_runs_test": wq.O_MEDIA_RUNS_TEST,
+    "cost_per_doc": wq.O_COST_PER_DOC,
+    "id_gap_islands": tq.O_ID_GAP_ISLANDS,
     "bpe_merges": tq.O_BPE_MERGES,
     "graph_hits": cq.O_GRAPH_HITS,
     "corpus_sample": tq.O_CORPUS_SAMPLE,

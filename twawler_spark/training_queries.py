@@ -6708,3 +6708,77 @@ FROM (SELECT unnest([{", ".join(str(k) for k in TC_KS)}]) AS k) ks
 JOIN ranked r ON r.rk = ks.k
 CROSS JOIN tot
 """
+
+
+# ----------------------- id-space gap/island census (6n)
+
+GAP_LANG = "en"
+
+
+def q_id_gap_islands(spark, sf):
+    """Gaps-and-islands over a partition's document id space — the
+    data-loss detector a warehouse runs after a partial export or a
+    botched compaction: project the GAP_LANG partition's sorted
+    doc_ids into contiguous islands (consecutive ids) using the
+    id - row_number island key, and report the census — island
+    count, largest island, total missing ids inside the span, and
+    the largest single gap with its position. An export that dropped
+    a file shows as one anomalous gap; id-space fragmentation beyond
+    the filter's natural thinning shows in the island-size
+    distribution. Complements export_manifest (which checks content
+    integrity) with ID-SPACE integrity, and failure_streaks (islands
+    over time) with islands over KEYS.
+
+    100 TB shape: one ordered window scan inside the partition + an
+    island rollup — the streaks exchange on a different axis.
+    Emitted as ONE summary row so the driver hash pins the whole
+    census."""
+    d = _t(spark, sf, "documents")
+    ids = d.where(F.col("lang") == GAP_LANG).select(
+        F.col("doc_id").cast("long").alias("id")
+    )
+    w = W.orderBy("id")
+    isl = ids.withColumn(
+        "island", F.col("id") - F.row_number().over(w).cast("long")
+    )
+    runs = isl.groupBy("island").agg(
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+        F.min("id").alias("lo"),
+        F.max("id").alias("hi"),
+    )
+    gap_w = W.orderBy("lo")
+    gaps = runs.withColumn("next_lo", F.lead("lo").over(gap_w)).withColumn(
+        "gap", F.col("next_lo") - F.col("hi") - 1
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("run_len").alias("n_ids"),
+        F.max("run_len").alias("largest_island"),
+        F.min("lo").alias("span_lo"),
+        F.max("hi").alias("span_hi"),
+        (F.max("hi") - F.min("lo") + 1 - F.sum("run_len")).alias("n_missing"),
+        F.max("gap").alias("largest_gap"),
+    )
+
+
+O_ID_GAP_ISLANDS = f"""
+WITH ids AS (
+  SELECT cast(doc_id as bigint) AS id FROM documents WHERE lang = '{GAP_LANG}'),
+isl AS (
+  SELECT id, id - cast(row_number() OVER (ORDER BY id) as bigint) AS island
+  FROM ids),
+runs AS (
+  SELECT island, cast(count(*) as bigint) AS run_len,
+         min(id) AS lo, max(id) AS hi
+  FROM isl GROUP BY island),
+gaps AS (
+  SELECT *, lead(lo) OVER (ORDER BY lo) - hi - 1 AS gap FROM runs)
+SELECT cast(count(*) as bigint) AS n_islands,
+       cast(sum(run_len) as bigint) AS n_ids,
+       cast(max(run_len) as bigint) AS largest_island,
+       cast(min(lo) as bigint) AS span_lo,
+       cast(max(hi) as bigint) AS span_hi,
+       cast(max(hi) - min(lo) + 1 - sum(run_len) as bigint) AS n_missing,
+       cast(max(gap) as bigint) AS largest_gap
+FROM gaps
+"""

@@ -7578,3 +7578,227 @@ FROM agg
 
 
 O_TIMEOUT_RETRY_COST = _o_timeout_retry()
+
+
+# ------------------- Wald-Wolfowitz media runs test (6n)
+
+
+def q_media_runs_test(spark: SparkSession, sf: str) -> DataFrame:
+    """Do media spans CLUSTER beyond chance? The Wald-Wolfowitz runs
+    test applied to the interleaved payload: group fetched docs by
+    their (n_text, n_media) composition class; within a class every
+    doc has the same expected run count under random interleaving —
+    E[runs] = 1 + 2*n1*n2/(n1+n2), an exact rational — so the class
+    comparison 'observed total runs vs n_docs * E[runs]' is one
+    integer cross-multiplication: obs * (n1+n2) vs n_docs * ((n1+n2)
+    + 2*n1*n2). Fewer runs than expected = media clusters into
+    blocks (gallery-style pages — cheap to pack); more runs =
+    alternation beyond chance (caption-style). Emitted per class:
+    doc count, observed runs, the exact expectation numerator and
+    denominator, and the verdict. span_patterns counted switches
+    descriptively; THIS says whether the interleaving is
+    statistically structured, with zero distributional machinery
+    beyond counting.
+
+    100 TB shape: per-doc run counts are one array HOF inside the
+    fetch projection; the class rollup partial-aggregates on a
+    bounded (n1, n2) key (both <= MAX_SPANS)."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    kinds = F.transform(F.col("spans"), lambda s: F.substring(s["kind"], 1, 1))
+    n = F.size(kinds)
+    n_media = F.size(F.filter(kinds, lambda k: k == F.lit("m"))).cast("long")
+    runs = (
+        F.lit(1).cast("long")
+        + F.size(
+            F.filter(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.element_at(F.col("kk"), i)
+                != F.element_at(F.col("kk"), i + 1),
+            )
+        ).cast("long")
+    )
+    per = (
+        docs.withColumn("kk", kinds)
+        .where(F.size("kk") >= 2)
+        .select(
+            (F.size("kk").cast("long") - n_media).alias("n_text"),
+            n_media.alias("n_media"),
+            runs.alias("runs"),
+        )
+        .where((F.col("n_text") > 0) & (F.col("n_media") > 0))
+    )
+    agg = per.groupBy("n_text", "n_media").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("runs").alias("obs_runs"),
+    )
+    t = F.col("n_text") + F.col("n_media")
+    exp_num = F.col("n_docs") * (t + 2 * F.col("n_text") * F.col("n_media"))
+    return agg.select(
+        "n_text",
+        "n_media",
+        "n_docs",
+        "obs_runs",
+        exp_num.alias("exp_num"),
+        t.alias("exp_den"),
+        F.when(F.col("obs_runs") * t < exp_num, F.lit("clustered"))
+        .when(F.col("obs_runs") * t > exp_num, F.lit("alternating"))
+        .otherwise(F.lit("random"))
+        .alias("verdict"),
+    )
+
+
+def _build_o_media_runs() -> str:
+    kind = lambda v: f"(CASE WHEN ({_stream('d', docspec._S_KIND, v)}) % 3 < 2 THEN 't' ELSE 'm' END)"  # noqa: E731
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+ok AS (SELECT u, (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT AS nd
+       FROM st2 WHERE r100 < 88),
+dk AS (SELECT ({_stream('u', docspec._S_DOCKEY, '256 + j')}) AS d
+       FROM (SELECT u, unnest(range(0, nd)) AS j FROM ok)),
+dd AS (SELECT d, (1 + ({_stream('d', docspec._S_NSPANS)}) % 8)::BIGINT AS nsp FROM dk),
+per AS (
+  SELECT
+    cast(len(list_filter(range(0, nsp), k -> {kind('k')} = 't')) as bigint)
+      AS n_text,
+    cast(len(list_filter(range(0, nsp), k -> {kind('k')} = 'm')) as bigint)
+      AS n_media,
+    cast(1 + len(list_filter(range(1, nsp),
+                             k -> {kind('k')} <> {kind('(k - 1)')})) as bigint)
+      AS runs
+  FROM dd WHERE nsp >= 2),
+flt AS (SELECT * FROM per WHERE n_text > 0 AND n_media > 0),
+mragg AS (
+  SELECT n_text, n_media,
+         cast(count(*) as bigint) AS n_docs,
+         cast(sum(runs) as bigint) AS obs_runs
+  FROM flt GROUP BY n_text, n_media)
+SELECT n_text, n_media, n_docs, obs_runs,
+       n_docs * ((n_text + n_media) + 2 * n_text * n_media) AS exp_num,
+       n_text + n_media AS exp_den,
+       CASE WHEN obs_runs * (n_text + n_media)
+                 < n_docs * ((n_text + n_media) + 2 * n_text * n_media)
+            THEN 'clustered'
+            WHEN obs_runs * (n_text + n_media)
+                 > n_docs * ((n_text + n_media) + 2 * n_text * n_media)
+            THEN 'alternating'
+            ELSE 'random' END AS verdict
+FROM mragg
+"""
+
+
+O_MEDIA_RUNS_TEST = _build_o_media_runs()
+
+
+# -------------------------- fetch cost per document (6n)
+
+CPD_PPM = 1_000_000
+
+
+def q_cost_per_doc(spark: SparkSession, sf: str) -> DataFrame:
+    """The marginal-document price: join the round's rank-decile
+    yield (crawl_yield_curve's surface) with the per-URL synthetic
+    fetch latency and report microseconds of fetch time PER DOCUMENT
+    by decile — the economics quotient the per-host budget really
+    optimizes (a decile can have decent yield but terrible time-per-
+    doc if its fetches run slow). Emitted per decile: scheduled
+    URLs, docs, total fetch time, us/doc (exact floor division; the
+    degenerate docs=0 case reports -1), and the cost ratio vs the
+    head decile in ppm.
+
+    100 TB shape: the yield exchange plus a map-side latency column;
+    the head-decile broadcast is one row. Reference analog: per-page
+    crawl cost of the reference's timeline paging, priced per tweet
+    (SURVEY §2 S1/S2), lifted to deciles."""
+    _, plan = _plan(spark, sf)
+    docs = fetch_documents(plan, ROUND_NO).dropDuplicates(["doc_id"])
+    per_url = docs.groupBy("url_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    lat = (
+        F.lit(1)
+        + F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cpd:"), F.col("url_hash").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(TMO_VALUE_MOD),
+        )
+    )
+    ranked = plan.select(
+        "url_hash",
+        F.least(
+            F.lit(YIELD_BUCKETS - 1).cast("long"),
+            (F.col("fetch_rank") - 1).cast("long"),
+        ).alias("decile"),
+        lat.alias("lat_us"),
+    )
+    j = ranked.join(per_url, "url_hash", "left").fillna({"n_docs": 0})
+    agg = j.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scheduled"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("lat_us").alias("fetch_us"),
+    )
+    cpd = F.expr("CASE WHEN n_docs > 0 THEN fetch_us DIV n_docs ELSE -1 END")
+    with_cpd = agg.withColumn("us_per_doc", cpd)
+    head = (
+        with_cpd.where(F.col("decile") == 0)
+        .select(F.col("us_per_doc").alias("head_cpd"))
+    )
+    return with_cpd.crossJoin(F.broadcast(head)).select(
+        "decile",
+        "n_scheduled",
+        "n_docs",
+        "fetch_us",
+        "us_per_doc",
+        F.expr(
+            f"CASE WHEN us_per_doc >= 0 AND head_cpd > 0"
+            f" THEN (us_per_doc * {CPD_PPM}) DIV head_cpd ELSE -1 END"
+        ).alias("vs_head_ppm"),
+    )
+
+
+def _build_o_cost_per_doc() -> str:
+    return f"""
+WITH {_SQL_PLAN_BASE},
+st AS (SELECT url_hash, fetch_rank, (url_hash)::HUGEINT AS u FROM plan),
+st2 AS (SELECT *, ({_stream('u', docspec._S_STATUS)}) % 100 AS r100 FROM st),
+nd AS (
+  SELECT url_hash, fetch_rank,
+         CASE WHEN r100 < 88
+              THEN (1 + ({_stream('u', docspec._S_NDOCS)}) % 4)::BIGINT
+              ELSE 0 END AS n_docs
+  FROM st2),
+yrank AS (
+  SELECT least({YIELD_BUCKETS - 1}, fetch_rank - 1)::BIGINT AS decile,
+         n_docs,
+         1 + ('0x' || substring(md5('cpd:' || cast(url_hash as varchar)), 1, 15))
+               ::BIGINT % {TMO_VALUE_MOD} AS lat_us
+  FROM nd),
+cpagg AS (
+  SELECT decile,
+         cast(count(*) as bigint) AS n_scheduled,
+         cast(sum(n_docs) as bigint) AS n_docs,
+         cast(sum(lat_us) as bigint) AS fetch_us
+  FROM yrank GROUP BY decile),
+cpd AS (
+  SELECT *,
+         CASE WHEN n_docs > 0 THEN fetch_us // n_docs ELSE -1 END AS us_per_doc
+  FROM cpagg),
+head AS (SELECT us_per_doc AS head_cpd FROM cpd WHERE decile = 0)
+SELECT c.decile, c.n_scheduled, c.n_docs, c.fetch_us, c.us_per_doc,
+       CASE WHEN c.us_per_doc >= 0 AND head.head_cpd > 0
+            THEN (c.us_per_doc * {CPD_PPM}) // head.head_cpd ELSE -1 END
+         AS vs_head_ppm
+FROM cpd c, head
+"""
+
+
+O_COST_PER_DOC = _build_o_cost_per_doc()
