@@ -184,14 +184,28 @@ def _minhash_cols():
     ]
 
 
+def _let(expr, fn):
+    """Let-binding for HOF lambdas: evaluate ``expr`` ONCE per row and
+    pass it to ``fn`` as a lambda variable. A non-lambda subexpression
+    referenced inside a higher-order-function lambda is re-evaluated at
+    EVERY element (interpreted HOFs get no common-subexpression
+    elimination), so e.g. slicing a split() inside a transform costs
+    O(len^2) per row. Wrapping the expression in a 1-element array and
+    transforming over it makes it a true per-row binding."""
+    return F.transform(F.array(expr), fn)[0]
+
+
 def _shingles_spark(text_col):
     """Distinct 5-gram word shingles (FIXTURES: unigrams collide too
     much under a 31-word vocab — shingles make docs distinctive)."""
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
-    )
+
+    def from_toks(toks):
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+        )
+
+    return _let(F.split(text_col, " "), from_toks)
 
 
 def _bands_long(docs: DataFrame) -> DataFrame:
@@ -2413,24 +2427,33 @@ def q_dsir_select(spark, sf):
     shape as the tracked-set priority scoring (twkit/crawler/freq.py
     score ordering), applied to corpus curation."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
-        F.filter(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
-            lambda g: g.contains(" "),
+
+    def uni_bi(toks):
+        # let-bound token array: the bigram transform would otherwise
+        # re-evaluate split() at every element (O(len^2) per doc)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        bigrams = F.when(
+            F.size(toks) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.filter(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+                lambda g: g.contains(" "),
+            )
         )
-    )
+        return F.concat(toks, bigrams)
+
     feats = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "lang",
-        F.explode(F.concat(toks, bigrams)).alias("f"),
+        F.explode(_let(F.split(F.col("text"), " "), uni_bi)).alias("f"),
     ).where(F.col("f") != "")
     b = F.pmod(
         F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long"),
         F.lit(DSIR_B),
     )
-    feats = feats.select("doc_id", "lang", b.alias("b"))
+    # feats feeds BOTH the bucket-stats agg and the per-doc weight agg —
+    # checkpoint so the explode+md5 stream is computed once, not twice
+    feats = feats.select("doc_id", "lang", b.alias("b")).localCheckpoint(eager=False)
     stats = feats.groupBy("b").agg(
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
         F.count("*").alias("cr"),
@@ -2511,9 +2534,11 @@ def q_ccnet_lm_buckets(spark, sf):
     d = _t(spark, sf, "documents").select(
         F.col("doc_id").cast("long").alias("doc_id"), "lang", "source", "text"
     )
+    # words feeds both the LM estimation and the scoring join —
+    # checkpoint so the token explode runs once, not twice
     words = d.select(
         "doc_id", "lang", "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).where(F.col("w") != "")
+    ).where(F.col("w") != "").localCheckpoint(eager=False)
     lm = (
         words.where(F.col("source") == "src0")
         .groupBy("lang", "w")
@@ -2537,6 +2562,9 @@ def q_ccnet_lm_buckets(spark, sf):
         )
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg("nll"), 6).alias("score"))
+        # scored feeds both the tercile agg and the bucketing join —
+        # checkpoint so the scoring pass runs once, not twice
+        .localCheckpoint(eager=False)
     )
     # the tercile fractions are pinned as exact double literals so both
     # engines interpolate at bit-identical ranks (decimal 1.0/3 would
@@ -2617,9 +2645,30 @@ def q_semdedup(spark, sf):
     cell-partitioned self-join, never all-pairs. Plants: a doubled
     copy of every vector (same direction ⇒ cos == 1 with its base,
     bit-identical centroid-cosine on both engines)."""
+    # Optimized shape (guide §4.2): the argmax assignment and the
+    # in-cell pair scan are dense linear algebra — run them as BLAS
+    # matmuls inside Arrow batches instead of N×C interpreted HOF dot
+    # products under a window (the old plan shuffled N×C rows each
+    # carrying the 64-float embedding through a single sort; 245 s at
+    # sf1.0). The centroid table is bounded (k ~ sqrt(N), the paper's
+    # regime) so it broadcasts via the task closure; the only exchange
+    # left is the N-row repartition by cell.
+    import numpy as np
+    import pandas as pd
+
     from .operators.dedup import spread_for_explode
 
     e = _t(spark, sf, "embeddings")
+    cent_rows = (
+        e.where(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["vec_id"])
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
     base = e.select(F.col("vec_id").cast("string").alias("vid"), "embedding")
     planted = e.select(
         F.concat(F.col("vec_id").cast("string"), F.lit("_d")).alias("vid"),
@@ -2627,90 +2676,56 @@ def q_semdedup(spark, sf):
             "embedding"
         ),
     )
-    norm = F.sqrt(
-        F.aggregate(
-            F.col("embedding"),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    alle = spread_for_explode(base.unionByName(planted), "vid")
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cmat.T) / np.outer(n, cnorm)
+            # argmax over columns sorted by cid asc: ties pick the
+            # first (= smallest cid), the window's (cos desc, cid asc)
+            k = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "cell": cids[k],
+                    "cos_c": cos[np.arange(len(pdf)), k],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = alle.mapInPandas(
+        assign, schema="vid string, cell long, cos_c double, embedding array<float>"
+    )
+
+    def cell_audit(pdf):
+        x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n = np.sqrt((x * x).sum(axis=1))
+        pair = (x @ x.T) / np.outer(n, n)
+        cos_c = pdf["cos_c"].to_numpy()
+        vid = pdf["vid"].to_numpy()
+        # b beats a: closer to the centroid, vid as deterministic tie
+        better = (cos_c[None, :] < cos_c[:, None]) | (
+            (cos_c[None, :] == cos_c[:, None]) & (vid[None, :] < vid[:, None])
         )
-    )
-    alle = spread_for_explode(
-        base.unionByName(planted).withColumn("__n", norm), "vid"
-    )
-    cents = (
-        e.where(F.col("vec_id") % IVF_CENTROID_MOD == 0)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("embedding").alias("cvec"),
+        dup = pair >= SEMDEDUP_T
+        np.fill_diagonal(dup, False)  # the a.vid != b.vid guard
+        n_drop = int((dup & better).any(axis=1).sum())
+        m = len(pdf)
+        return pd.DataFrame(
+            {
+                "cell": [int(pdf["cell"].iloc[0])],
+                "n_vectors": [m],
+                "n_dropped": [n_drop],
+                "n_kept": [m - n_drop],
+            }
         )
-        .withColumn(
-            "cnorm",
-            F.sqrt(
-                F.aggregate(
-                    F.col("cvec"),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
-                )
-            ),
-        )
-    )
-    dot_c = F.aggregate(
-        F.zip_with(
-            F.col("embedding"), F.col("cvec"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    w = W.partitionBy("vid").orderBy(
-        (dot_c / (F.col("__n") * F.col("cnorm"))).desc(), F.col("cid").asc()
-    )
-    assigned = (
-        alle.crossJoin(F.broadcast(cents))
-        .withColumn("cos_c", dot_c / (F.col("__n") * F.col("cnorm")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vid", "embedding", "__n", F.col("cid").alias("cell"), "cos_c")
-    )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pair_cos = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"), F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    ) / (F.col("a.__n") * F.col("b.__n"))
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vid") != F.col("b.vid"))
-            & (
-                (F.col("b.cos_c") < F.col("a.cos_c"))
-                | (
-                    (F.col("b.cos_c") == F.col("a.cos_c"))
-                    & (F.col("b.vid") < F.col("a.vid"))
-                )
-            ),
-            "inner",
-        )
-        .where(pair_cos >= SEMDEDUP_T)
-        .select(F.col("a.vid").alias("vid"), F.col("a.cell").alias("cell"))
-        .distinct()
-    )
-    marked = assigned.join(
-        dropped.withColumn("__drop", F.lit(1)).drop("cell"), "vid", "left"
-    )
-    return (
-        marked.groupBy("cell")
-        .agg(
-            F.count("*").alias("n_vectors"),
-            F.sum(F.when(F.col("__drop").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_dropped"),
-        )
-        .withColumn("n_kept", (F.col("n_vectors") - F.col("n_dropped")).cast("long"))
+
+    return assigned.groupBy("cell").applyInPandas(
+        cell_audit, schema="cell long, n_vectors long, n_dropped long, n_kept long"
     )
 
 
@@ -2898,17 +2913,6 @@ def q_quality_classifier(spark, sf):
     Reference parity: the corpus-side twin of the crawl-side quality
     ordering (twkit/crawler/freq.py score ranking)."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    bigrams = F.when(
-        F.size(toks) < 2, F.array().cast("array<string>")
-    ).otherwise(
-        F.filter(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
-            lambda g: g.contains(" "),
-        )
-    )
-    feats = F.filter(F.concat(toks, bigrams), lambda f: f != F.lit(""))
     wlit = F.lit(QC_W)  # the model, as a literal in the plan
 
     def bucket(f):
@@ -2917,19 +2921,43 @@ def q_quality_classifier(spark, sf):
             F.lit(QC_B),
         )
 
-    ssum = F.aggregate(
-        feats,
-        F.lit(0).cast("long"),
-        lambda acc, f: acc
-        + F.element_at(wlit, (bucket(f) + 1).cast("int")).cast("long"),
+    def feat_arr(toks):
+        # let-bound tokens: the bigram transform would otherwise
+        # re-evaluate split() per element (O(len^2) per doc)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        bigrams = F.when(
+            F.size(toks) < 2, F.array().cast("array<string>")
+        ).otherwise(
+            F.filter(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
+                lambda g: g.contains(" "),
+            )
+        )
+        return F.filter(F.concat(toks, bigrams), lambda f: f != F.lit(""))
+
+    def nf_score(feats):
+        # feats let-bound too: it feeds both size() and the weight fold
+        ssum = F.aggregate(
+            feats,
+            F.lit(0).cast("long"),
+            lambda acc, f: acc
+            + F.element_at(wlit, (bucket(f) + 1).cast("int")).cast("long"),
+        )
+        nf = F.size(feats)
+        score = F.lit(1.0) / (
+            F.lit(1.0) + F.exp(-(ssum / (nf * 1000.0) + F.lit(QC_BIAS)))
+        )
+        return F.struct(nf.alias("nf"), score.alias("s"))
+
+    st = _let(_let(F.split(F.lower(F.col("text")), " "), feat_arr), nf_score)
+    scored = (
+        d.select("lang", "source", st.alias("st"))
+        .select(
+            "lang", "source",
+            F.col("st.nf").alias("nf"), F.col("st.s").alias("s"),
+        )
+        .where(F.col("nf") > 0)
     )
-    nf = F.size(feats)
-    score = F.lit(1.0) / (
-        F.lit(1.0) + F.exp(-(ssum / (nf * 1000.0) + F.lit(QC_BIAS)))
-    )
-    scored = d.select(
-        "lang", "source", nf.alias("nf"), score.alias("s")
-    ).where(F.col("nf") > 0)
     return scored.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("s") >= 0.5, 1).otherwise(0)).alias("n_kept"),
@@ -3314,14 +3342,19 @@ def q_dedup_containment(spark, sf):
         F.concat_ws(" ", F.slice(toks0, 6, 4 * CONT_SH)).alias("text"),
     )
     alld = orig.unionByName(planted)
-    toks = F.split(F.col("text"), " ")
-    nsh = F.greatest(F.size(toks) - CONT_SH + 1, F.lit(1))
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), nsh),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONT_SH))),
+
+    def sh_arr(toks):
+        # let-bound tokens: the md5-shingle transform would otherwise
+        # re-evaluate split() per element (O(len^2) per doc)
+        nsh = F.greatest(F.size(toks) - CONT_SH + 1, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), nsh),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONT_SH))),
+            )
         )
-    )
+
+    shingles = _let(F.split(F.col("text"), " "), sh_arr)
     # the exploded shingle table feeds sizes, the df-cap filter, AND
     # both sides of the candidate self-join — checkpoint it once so the
     # md5 shingle computation runs a single time, not 5x through lineage
@@ -4894,10 +4927,12 @@ def q_vocab_growth(spark, sf):
     tiers (SURVEY §2 F4/A5 families), lifted to shingle space and
     put on the ingestion axis."""
     d = _t(spark, sf, "documents")
+    # sh feeds both the per-batch rollup and the first-batch agg —
+    # checkpoint so the shingle explode runs once, not twice
     sh = d.select(
         F.expr(f"doc_id DIV {VG_BATCH}").alias("batch"),
         F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "")
+    ).where(F.col("tok") != "").localCheckpoint(eager=False)
     per_batch = sh.groupBy("batch").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.countDistinct("tok").cast("long").alias("n_distinct"),
@@ -4976,28 +5011,36 @@ def q_bigram_branching(spark, sf):
     frequency tiers of twkit/analytics/freq.py, lifted to conditional
     form."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
+
+    def bigram_structs(toks):
+        # let-bound tokens: element_at on the lambda variable is O(1);
+        # on the raw split() expression it re-evaluates the split per
+        # element (O(len^2) per doc)
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda k: F.struct(
+                F.element_at(toks, k).alias("tok"),
+                F.element_at(toks, k + 1).alias("nxt"),
+            ),
+        )
+
     pairs = (
         d.select(
             F.explode(
-                F.transform(
-                    idx,
-                    lambda k: F.struct(
-                        F.element_at(toks, k).alias("tok"),
-                        F.element_at(toks, k + 1).alias("nxt"),
-                    ),
-                )
+                _let(F.split(F.lower(F.col("text")), " "), bigram_structs)
             ).alias("p")
         )
         .select("p.tok", "p.nxt")
         .where((F.col("tok") != "") & (F.col("nxt") != ""))
     )
+    # cnt feeds both the per-tok rollup and the top-successor pick —
+    # checkpoint so the bigram explode+agg runs once, not twice
     cnt = pairs.groupBy("tok", "nxt").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).localCheckpoint(eager=False)
     rn = F.row_number().over(
         W.partitionBy("tok").orderBy(F.col("c").desc(), F.col("nxt").asc())
     )
@@ -5441,10 +5484,12 @@ def q_doc_novelty(spark, sf):
     arrival), so re-runs and resumes agree. Reference analog: none —
     training-data-valuation infrastructure per the brief."""
     d = _t(spark, sf, "documents")
+    # sh feeds both the first-occurrence agg and the join probe side —
+    # checkpoint so the shingle explode runs once, not twice
     sh = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "")
+    ).where(F.col("tok") != "").localCheckpoint(eager=False)
     first = sh.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
     j = sh.join(first, "tok")
     return j.groupBy("doc_id").agg(
@@ -6169,10 +6214,12 @@ def q_quality_novelty_quadrants(spark, sf):
     sort; the census partial-aggregates on a 4-value key. Reference
     analog: none — corpus-triage infrastructure per the brief."""
     d = _t(spark, sf, "documents")
+    # sh feeds both the first-occurrence agg and the join probe side —
+    # checkpoint so the shingle explode runs once, not twice
     sh = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "")
+    ).where(F.col("tok") != "").localCheckpoint(eager=False)
     first = sh.groupBy("tok").agg(F.min("doc_id").alias("fd"))
     nov = (
         sh.join(first, "tok")
@@ -6549,23 +6596,32 @@ def q_bigram_hit_score(spark, sf):
     frequency quality heuristics of twkit's text tiers, lifted to
     transition space."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    idx = F.when(
-        F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
-    ).otherwise(F.array().cast("array<int>"))
+
+    def bigram_arr(toks):
+        # let-bound tokens: element_at on the lambda variable is O(1);
+        # on the raw split() expression it re-evaluates the split per
+        # element (O(len^2) per doc)
+        idx = F.when(
+            F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda k: F.concat_ws(
+                " ", F.element_at(toks, k), F.element_at(toks, k + 1)
+            ),
+        )
+
     pairs = (
         d.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode(
-                F.transform(
-                    idx,
-                    lambda k: F.concat_ws(
-                        " ", F.element_at(toks, k), F.element_at(toks, k + 1)
-                    ),
-                )
+                _let(F.split(F.lower(F.col("text")), " "), bigram_arr)
             ).alias("bg"),
         )
         .where(~F.col("bg").startswith(" ") & ~F.col("bg").endswith(" "))
+        # pairs feeds BOTH the top-K aggregation and the per-doc score —
+        # checkpoint so the bigram stream is computed once, not twice
+        .localCheckpoint(eager=False)
     )
     top = (
         pairs.groupBy("bg")
