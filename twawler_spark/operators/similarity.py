@@ -299,50 +299,43 @@ def ivf_assign(
 ) -> DataFrame:
     """(id, cell) — IVF cell assignment with NO shuffle.
 
-    The centroid set is collected into one sorted array row (C rows —
-    dimension-sized by construction) and broadcast; each corpus vector
-    folds over it once, keeping the argmax-cosine centroid (strict
-    ``>`` over ascending cid, so ties keep the lowest cid — mirroring
-    the oracle's ``ORDER BY cos DESC, cid ASC``). Assignment is
-    map-side work in the corpus scan's stage: at warehouse scale the
-    corpus is never reshuffled to pick cells, and writing the corpus
-    partitioned by ``cell`` turns later probes into partition pruning."""
+    The centroid set is collected into one sorted matrix (C rows —
+    dimension-sized by construction) shipped in the task closure; each
+    Arrow batch of corpus vectors is scored against ALL centroids with
+    one BLAS matmul (guide §4.2 — the interpreted per-element HOF fold
+    this replaces cost ~C*dim expression evaluations per vector).
+    argmax over columns sorted by cid ascending keeps the lowest cid
+    on ties — mirroring the oracle's ``ORDER BY cos DESC, cid ASC``.
+    Assignment stays map-side work in the corpus scan's stage: at
+    warehouse scale the corpus is never reshuffled to pick cells, and
+    writing the corpus partitioned by ``cell`` turns later probes into
+    partition pruning."""
+    import numpy as np
+    import pandas as pd
+
     from .dedup import spread_for_explode
 
-    cents = centroids.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cid", "cvec", "cnorm"))
-        ).alias("__cents")
+    cent_rows = sorted(
+        centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    base = (
-        spread_for_explode(corpus, id_col)
-        .withColumn("__vn", _vec_norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(cents))
-    )
+    cids = np.array([r["cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([r["cvec"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    id_field = corpus.schema[id_col].dataType.simpleString()
 
-    def sim(c):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                c["cvec"],
-                lambda x, y: x.cast("double") * y.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return dot / (F.col("__vn") * c["cnorm"])
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = np.sqrt((x * x).sum(axis=1))
+            cos = (x @ cmat.T) / np.outer(n, cnorm)
+            k = np.argmax(cos, axis=1)  # ties -> first = lowest cid
+            yield pd.DataFrame({id_col: pdf[id_col], "cell": cids[k]})
 
-    best = F.aggregate(
-        F.col("__cents"),
-        F.struct(
-            F.lit(-1).cast("long").alias("cid"), F.lit(-2.0).alias("cos")
-        ),
-        lambda acc, c: F.when(
-            sim(c) > acc["cos"],
-            F.struct(c["cid"].alias("cid"), sim(c).alias("cos")),
-        ).otherwise(acc),
+    return spread_for_explode(corpus, id_col).select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_field}, cell long"
     )
-    return base.select(F.col(id_col), best["cid"].alias("cell"))
 
 
 def ivf_probe_cells(
@@ -490,20 +483,51 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, m, code) — each subvector's nearest codeword (argmin squared
-    L2, ties to the lowest cw_id). The codebook rides a broadcast; the
-    corpus is never shuffled to encode — at warehouse scale the 8-byte
-    codes replace the raw vectors in the hot path (the PQ compression
-    contract: ~32x smaller scan for candidate scoring)."""
-    subs = pq_subvectors(corpus, m, d_sub, id_col, vec_col)
-    pairs = subs.join(F.broadcast(codebooks), "m")
-    w = Window.partitionBy(id_col, "m").orderBy(
-        F.col("__d").asc(), F.col("cw_id").asc()
-    )
-    return (
-        pairs.withColumn("__d", _sq_l2(F.col("sub"), F.col("cw")))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col(id_col), "m", F.col("cw_id").alias("code"))
+    L2, ties to the lowest cw_id). The codebooks ride the task closure;
+    the corpus is never shuffled to encode — at warehouse scale the
+    8-byte codes replace the raw vectors in the hot path (the PQ
+    compression contract: ~32x smaller scan for candidate scoring).
+    Each Arrow batch scores all m subspaces against their codebooks
+    with dense numpy ops (guide §4.2) instead of exploding N*m*K
+    candidate rows through an interpreted L2 fold + rank window."""
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = codebooks.select("m", "cw_id", "cw").collect()
+    cb_by_m = []
+    for mi in range(m):
+        rows = sorted(
+            (r for r in cb_rows if r["m"] == mi), key=lambda r: r["cw_id"]
+        )
+        cb_by_m.append(
+            (
+                np.array([r["cw_id"] for r in rows], dtype=np.int64),
+                np.array([r["cw"] for r in rows], dtype=np.float64),
+            )
+        )
+    id_field = corpus.schema[id_col].dataType.simpleString()
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            frames = []
+            for mi in range(m):
+                cw_ids, cw = cb_by_m[mi]
+                sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+                diff = sub[:, None, :] - cw[None, :, :]
+                dist = (diff * diff).sum(axis=2)
+                k = np.argmin(dist, axis=1)  # ties -> first = lowest cw_id
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: pdf[id_col], "m": mi, "code": cw_ids[k]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} {id_field}, m int, code long"
     )
 
 

@@ -242,7 +242,9 @@ def _lsh_pairs(alld: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
     self-join — the discovery tier shared by dedup_minhash_lsh (as the
     registered result) and dedup_jaccard (as verification input)."""
-    bands = _bands_long(alld)
+    # the band table feeds BOTH sides of the bucket self-join —
+    # checkpoint so the shingle+minhash pipeline runs once, not twice
+    bands = _bands_long(alld).localCheckpoint(eager=False)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(
@@ -3043,61 +3045,61 @@ def q_dedup_cdc(spark, sf):
         F.concat(F.lit("qq zz "), F.col("text")).alias("text"),
     )
     alld = orig.unionByName(planted)
-    txt = F.col("text")
-    ln = F.length(txt)
 
-    # Codepoint array, built ONCE per row. The naive form — W calls of
-    # ascii(substr(text, i-j, 1)) per candidate position — is O(len^2 * W)
-    # per row because UTF8String.substr seeks codepoint offsets from the
-    # start of the string (O(position) per call). split(text, '') walks the
-    # string once and element_at on the resulting array is O(1), so the
-    # boundary scan drops to O(len * W). Hash VALUES are bit-identical
-    # (same codepoints, same polynomial), so the DuckDB oracle is
-    # untouched. Measured 28.6 s -> ~4 s for the sf0.1 run.
-    codes_expr = F.transform(
-        F.split(txt, ""), lambda c: F.ascii(c).cast("long")
-    )
+    # Vectorized boundary scan (guide §4.2): the rolling hash is an
+    # exact int64 polynomial over codepoints, so a numpy
+    # sliding-window matmul computes bit-identical hash values to the
+    # per-position interpreted HOF fold it replaces (which cost
+    # O(len * W) interpreted expression evaluations per row — the
+    # dominant stage at sf1.0). Codepoints come from a UTF-32 view of
+    # the string, matching Spark's substr/length codepoint semantics;
+    # chunk slicing happens in Python (codepoint-exact), everything
+    # downstream (md5, shared-chunk groupBy, coverage rollup) is
+    # unchanged.
+    import numpy as np
+    import pandas as pd
 
-    def chunks_from(cd):
-        def rhash(i):  # hash of the CDC_W chars ending at 1-based pos i
-            h = F.lit(0).cast("long")
-            for j in range(CDC_W):
-                h = h + F.element_at(
-                    cd, (i - F.lit(j)).cast("int")
-                ) * F.lit(_CDC_POW[j])
-            return h
-
-        pos = F.when(
-            ln - 1 < CDC_W, F.array().cast("array<int>")
-        ).otherwise(F.sequence(F.lit(CDC_W), (ln - 1).cast("int")))
-        bnd = F.filter(pos, lambda i: rhash(i) % CDC_D == 0)
-        bounds = F.concat(F.array(F.lit(0)), bnd, F.array(ln))
-        # Let-bind ``bounds`` via a single-element transform so the
-        # boundary scan is evaluated ONCE per row: Catalyst's projection
-        # collapse would otherwise inline the full expression at every
-        # element_at reference below (measured 150s -> ~2s at sf0.01).
-        return F.flatten(
-            F.transform(
-                F.array(bounds),
-                lambda b: F.transform(
-                    F.sequence(F.lit(1), F.size(b) - 1),
-                    lambda k: txt.substr(
-                        F.element_at(b, k) + 1,
-                        F.element_at(b, k + 1) - F.element_at(b, k),
-                    ),
-                ),
-            )
-        )
-
-    # Same single-element-transform trick let-binds the codes array, so
-    # split() runs once per row rather than once per rhash term.
-    chunks = F.flatten(F.transform(F.array(codes_expr), chunks_from))
     from .operators.dedup import spread_for_explode
 
+    pow_rev = np.array(_CDC_POW[::-1], dtype=np.int64)
+
+    def chunker(batches):
+        for pdf in batches:
+            out_doc, out_src, out_len, out_c = [], [], [], []
+            for doc_id, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                ln = len(codes)
+                if ln - 1 < CDC_W:
+                    bpos = []
+                else:
+                    win = np.lib.stride_tricks.sliding_window_view(
+                        codes, CDC_W
+                    )[: ln - CDC_W]
+                    h = win @ pow_rev
+                    bpos = (np.nonzero(h % CDC_D == 0)[0] + CDC_W).tolist()
+                bounds = [0] + bpos + [ln]
+                for a, b in zip(bounds, bounds[1:]):
+                    if b > a:
+                        out_doc.append(doc_id)
+                        out_src.append(src)
+                        out_len.append(ln)
+                        out_c.append(text[a:b])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "source": out_src,
+                    "len": out_len,
+                    "c": out_c,
+                }
+            )
+
     ec = spread_for_explode(
-        alld.select("doc_id", "source", ln.alias("len"), chunks.alias("cs")),
-        "doc_id",
-    ).select("doc_id", "source", "len", F.explode("cs").alias("c"))
+        alld.select("doc_id", "source", "text"), "doc_id"
+    ).mapInPandas(chunker, schema="doc_id string, source string, len int, c string")
     ech = ec.where(F.length("c") > 0).select(
         "doc_id",
         "source",
@@ -3363,13 +3365,17 @@ def q_dedup_containment(spark, sf):
         "doc_id", "source", F.explode(shingles).alias("h")
     ).localCheckpoint(eager=False)
     sizes = ew.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # (doc_id, h) rows are unique (per-doc shingles are array_distinct),
+    # so count(*) IS the document frequency — no countDistinct pass
     keep = (
         ew.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("sdf"))
+        .agg(F.count(F.lit(1)).alias("sdf"))
         .where((F.col("sdf") >= 2) & (F.col("sdf") <= CONT_DF_CAP))
         .select("h")
     )
-    e2 = ew.join(keep, "h")
+    # e2 feeds BOTH sides of the candidate self-join — checkpoint so the
+    # df-cap join runs once, not twice
+    e2 = ew.join(keep, "h").localCheckpoint(eager=False)
     pairs = (
         e2.alias("a")
         .join(e2.alias("b"), "h")
@@ -3649,16 +3655,25 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     n_toks = F.size(F.filter(F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""))
     out = None
     for i in range(1, BPE_ITERS + 1):
-        t = s.select("doc_id", F.filter(
-            F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""
-        ).alias("toks")).where(F.size("toks") >= 2)
-        pairs = t.select(
+        # let-bound token array: projection collapse would otherwise
+        # inline the split+filter at every element_at (O(len^2) per doc)
+        pairs = s.select(
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - 1),
-                    lambda j: F.struct(
-                        F.element_at(F.col("toks"), j).alias("a"),
-                        F.element_at(F.col("toks"), j + 1).alias("b"),
+                _let(
+                    F.filter(
+                        F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""
+                    ),
+                    lambda toks: F.when(
+                        F.size(toks) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(toks) - 1),
+                            lambda j: F.struct(
+                                F.element_at(toks, j).alias("a"),
+                                F.element_at(toks, j + 1).alias("b"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast("array<struct<a:string,b:string>>")
                     ),
                 )
             ).alias("pr")
@@ -4396,12 +4411,24 @@ def q_kmeans_lloyd(spark, sf):
     coarse quantizer is exactly one Lloyd round over a seed sample).
     Reference analog: none (the reference stores no vectors) —
     training-pipeline infrastructure the 100 TB target requires."""
+    # Optimized assignment (guide §4.2): the argmin over K centroids is
+    # exact INTEGER arithmetic + one IEEE-exact division, so a dense
+    # numpy evaluation is bit-identical to the crossJoin + rank-window
+    # plan it replaces (which shuffled N*K rows through a sort per
+    # round and evaluated the cost fold with interpreted HOFs). The
+    # K-row centroid state is collected per round — the same driver
+    # round-trip the checkpointed loop already paid.
+    import numpy as np
+    import pandas as pd
+
     e = _t(spark, sf, "embeddings")
     qexpr = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * KM_QSCALE + F.lit(0.5)).cast("long"),
     )
-    v = e.select("vec_id", qexpr.alias("q"))
+    v = e.select(
+        F.col("vec_id").cast("long").alias("vec_id"), qexpr.alias("q")
+    ).localCheckpoint(eager=False)
     cent = v.where(F.col("vec_id") < KM_K).select(
         F.col("vec_id").cast("long").alias("cid"),
         F.col("q").alias("s"),
@@ -4409,21 +4436,32 @@ def q_kmeans_lloyd(spark, sf):
     )
     assign = None
     for _ in range(KM_T):
-        j = v.crossJoin(F.broadcast(cent))
-        _, cost = _km_cost_cols(F.col("q"), F.col("s"), F.col("n"))
-        rn = F.row_number().over(
-            W.partitionBy("vec_id").orderBy(cost.asc(), F.col("cid").asc())
-        )
-        assign = (
-            j.withColumn("rn", rn).where(F.col("rn") == 1).select("vec_id", "q", "cid")
-        )
-        cent = (
-            assign.groupBy("cid")
-            .agg(
-                F.array(*[F.sum(F.col("q")[i]) for i in range(KM_DIMS)]).alias("s"),
-                F.count(F.lit(1)).cast("long").alias("n"),
-            )
-            .localCheckpoint(eager=False)
+        crows = sorted(cent.select("cid", "s", "n").collect(), key=lambda r: r["cid"])
+        cids = np.array([r["cid"] for r in crows], dtype=np.int64)
+        smat = np.array([r["s"] for r in crows], dtype=np.int64)
+        ns = np.array([r["n"] for r in crows], dtype=np.int64)
+        ss = (smat * smat).sum(axis=1)
+
+        def assign_fn(batches, cids=cids, smat=smat, ns=ns, ss=ss):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                xx = (q * q).sum(axis=1)
+                xs = q @ smat.T
+                a = (ns * ns)[None, :] * xx[:, None] - 2 * ns[None, :] * xs + ss[None, :]
+                cost = a.astype(np.float64) / (ns * ns).astype(np.float64)[None, :]
+                k = np.argmin(cost, axis=1)  # ties -> first = lowest cid
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "q": pdf["q"], "cid": cids[k]}
+                )
+
+        assign = v.mapInPandas(
+            assign_fn, schema="vec_id long, q array<bigint>, cid long"
+        ).localCheckpoint(eager=False)
+        cent = assign.groupBy("cid").agg(
+            F.array(*[F.sum(F.col("q")[i]) for i in range(KM_DIMS)]).alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
         )
     fin = assign.join(cent, "cid")
     a_num, _ = _km_cost_cols(F.col("q"), F.col("s"), F.col("n"))
