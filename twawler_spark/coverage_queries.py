@@ -1882,6 +1882,8 @@ def q_graph_stats(spark, sf):
     Edges: the deterministic mention graph (src = user_id,
     dst = 1 + (event_id*7) % 149), self-loops dropped, deduplicated."""
     e = _t(spark, sf, "events")
+    # edges/und/deg each feed several metric legs — checkpoint so the
+    # 1M-event scan + distinct runs once, not per leg
     edges = (
         e.select(
             F.col("user_id").alias("src"),
@@ -1889,6 +1891,7 @@ def q_graph_stats(spark, sf):
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("id"))
@@ -1897,12 +1900,13 @@ def q_graph_stats(spark, sf):
     )
     und = edges.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("id"))
         .unionByName(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     base = (
         edges.agg(F.count(F.lit(1)).alias("n_edges"))

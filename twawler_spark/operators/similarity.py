@@ -516,12 +516,19 @@ def pq_encode(
             for mi in range(m):
                 cw_ids, cw = cb_by_m[mi]
                 sub = x[:, mi * d_sub : (mi + 1) * d_sub]
-                diff = sub[:, None, :] - cw[None, :, :]
-                dist = (diff * diff).sum(axis=2)
-                k = np.argmin(dist, axis=1)  # ties -> first = lowest cw_id
+                # chunk rows so the (rows x K x d_sub) diff tensor stays
+                # cache-sized; the math is the exact (x-c)^2 sum, NOT the
+                # cancellation-prone ||x||^2 - 2xc + ||c||^2 expansion
+                ks = np.empty(len(sub), dtype=np.int64)
+                for lo in range(0, len(sub), 512):
+                    blk = sub[lo : lo + 512]
+                    diff = blk[:, None, :] - cw[None, :, :]
+                    dist = (diff * diff).sum(axis=2)
+                    # ties -> first = lowest cw_id
+                    ks[lo : lo + 512] = np.argmin(dist, axis=1)
                 frames.append(
                     pd.DataFrame(
-                        {id_col: pdf[id_col], "m": mi, "code": cw_ids[k]}
+                        {id_col: pdf[id_col], "m": mi, "code": cw_ids[ks]}
                     )
                 )
             yield pd.concat(frames, ignore_index=True)

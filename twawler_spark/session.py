@@ -49,6 +49,19 @@ def get_spark(
         # default aborts that job once the partition count grows
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Scan-parallelism floor (guide §6): the driver tables arrive as
+        # ONE parquet file each (16 MB events, 126 MB lineitem...), so a
+        # 128 MB-split scan yields 1-2 partitions and every map-side
+        # pipeline above it (projections, md5 expansions, broadcast-join
+        # probe sides, partial aggregates) runs on 1-2 cores no matter
+        # the cluster width. Floor the split count at the session's
+        # parallelism — scale-adaptive, not a local constant; at
+        # warehouse scale inputs far exceed core count and this is a
+        # no-op. openCostInBytes drops so the floor can actually split
+        # small single-file inputs (4 MB open-cost would clamp a 16 MB
+        # file to 4 splits).
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -5522,19 +5522,27 @@ def q_doc_novelty(spark, sf):
     arrival), so re-runs and resumes agree. Reference analog: none —
     training-data-valuation infrastructure per the brief."""
     d = _t(spark, sf, "documents")
-    # sh feeds both the first-occurrence agg and the join probe side —
+    # sh feeds both the first-occurrence agg and the per-doc rollup —
     # checkpoint so the shingle explode runs once, not twice
     sh = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_shingles_spark(F.col("text"))).alias("tok"),
     ).where(F.col("tok") != "").localCheckpoint(eager=False)
-    first = sh.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
-    j = sh.join(first, "tok")
-    return j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_shingles"),
-        F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_novel"),
+    # (doc_id, tok) rows are unique (per-doc shingles are distinct), so
+    # each shingle credits its min-doc exactly once: the per-doc novel
+    # count is a rollup of the first-occurrence table itself — no
+    # join-back of `first` onto the full shingle stream needed
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles")
+    )
+    novel = (
+        sh.groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    return per_doc.join(novel, "doc_id", "left").fillna({"n_novel": 0}).select(
+        "doc_id", "n_shingles", "n_novel"
     ).withColumn(
         "novelty_ppm", F.expr(f"(n_novel * {NOV_PPM}) DIV n_shingles")
     )
@@ -6252,23 +6260,25 @@ def q_quality_novelty_quadrants(spark, sf):
     sort; the census partial-aggregates on a 4-value key. Reference
     analog: none — corpus-triage infrastructure per the brief."""
     d = _t(spark, sf, "documents")
-    # sh feeds both the first-occurrence agg and the join probe side —
+    # sh feeds both the first-occurrence agg and the per-doc rollup —
     # checkpoint so the shingle explode runs once, not twice
     sh = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.explode(_shingles_spark(F.col("text"))).alias("tok"),
     ).where(F.col("tok") != "").localCheckpoint(eager=False)
-    first = sh.groupBy("tok").agg(F.min("doc_id").alias("fd"))
-    nov = (
-        sh.join(first, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sh"),
-            F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_nov"),
-        )
+    # (doc_id, tok) rows are unique, so each shingle credits its
+    # min-doc exactly once: the novel count is a rollup of the
+    # first-occurrence table — no join-back onto the shingle stream
+    per_doc = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
     )
+    novel = (
+        sh.groupBy("tok")
+        .agg(F.min("doc_id").alias("fd"))
+        .groupBy(F.col("fd").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nov"))
+    )
+    nov = per_doc.join(novel, "doc_id", "left").fillna({"n_nov": 0})
     base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_chars").cast("long").alias("n_chars"),

@@ -2714,11 +2714,21 @@ def q_ring_rebalance(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     scored = keyed.select("k", "cid", w.alias("w"))
+    # struct-max instead of max_by: max_by runs on ObjectHashAggregate,
+    # which falls back to SORT-based aggregation past 128 distinct keys
+    # per partition — a full sort of the keys x crawlers expansion. The
+    # struct max is a declarative aggregate (codegen hash agg, map-side
+    # partial). No ties by construction (distinct md5 inputs), so the
+    # argmax is identical.
     per_key = scored.groupBy("k").agg(
-        F.expr(
-            f"max_by(cid, w) FILTER (WHERE cid < {RING_CRAWLERS})"
-        ).alias("old_owner"),
-        F.expr("max_by(cid, w)").alias("new_owner"),
+        F.max(
+            F.when(F.col("cid") < RING_CRAWLERS, F.struct("w", "cid"))
+        ).alias("__o"),
+        F.max(F.struct("w", "cid")).alias("__n"),
+    ).select(
+        "k",
+        F.col("__o.cid").alias("old_owner"),
+        F.col("__n.cid").alias("new_owner"),
     )
     flags = per_key.select(
         "old_owner",
@@ -2871,18 +2881,22 @@ def q_host_robustness(spark: SparkSession, sf: str) -> DataFrame:
     reading of SURVEY §2's graph tier."""
     from .operators.dedup import connected_components
 
-    edges = _tri_edges(_t(spark, sf, "documents"))
+    # edges/deg feed both scenarios — checkpoint once (eager: committed
+    # before the scenario threads fan out)
+    edges = _tri_edges(_t(spark, sf, "documents")).localCheckpoint(eager=True)
     dirs = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionAll(
         edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
     )
-    deg = dirs.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    deg = dirs.groupBy("a").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    ).localCheckpoint(eager=True)
     hubs = (
         deg.orderBy(F.col("d").desc(), F.col("a").asc())
         .limit(ROB_K)
         .select(F.col("a").alias("hub"))
     )
-    rows = []
-    for scenario in ("full", "pruned"):
+
+    def scenario_row(scenario):
         if scenario == "full":
             ed = edges
             nodes = deg.select(F.col("a").alias("n"))
@@ -2908,16 +2922,21 @@ def q_host_robustness(spark: SparkSession, sf: str) -> DataFrame:
         meta = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).crossJoin(
             ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         )
-        rows.append(
-            meta.crossJoin(summ).select(
-                F.lit(scenario).alias("scenario"),
-                "n_nodes",
-                "n_edges",
-                "n_components",
-                "largest_comp",
-                "s2_fragmentation",
-            )
+        return meta.crossJoin(summ).select(
+            F.lit(scenario).alias("scenario"),
+            "n_nodes",
+            "n_edges",
+            "n_components",
+            "largest_comp",
+            "s2_fragmentation",
         )
+
+    # the two scenarios are independent CC runs dominated by per-round
+    # job latency — overlap them (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows = list(pool.map(scenario_row, ("full", "pruned")))
     return rows[0].unionByName(rows[1])
 
 
@@ -6036,9 +6055,15 @@ def q_random_percolation(spark: SparkSession, sf: str) -> DataFrame:
     large-star/small-star CC rounds on the contracted graph (the
     host_robustness shape, |grid| times). Grid is a small constant;
     levels are driver-iterated like kmeans/WL."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from .operators.dedup import connected_components
 
-    edges = _tri_edges(_t(spark, sf, "documents"))
+    # the edge fixture and the gate feed every p level — checkpoint so
+    # the md5 edge projection + distinct runs once, not per level
+    # (eager: materialized before the threads fan out, so concurrent
+    # levels read committed state instead of racing the first job)
+    edges = _tri_edges(_t(spark, sf, "documents")).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -6052,9 +6077,9 @@ def q_random_percolation(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long"),
         F.lit(10),
     )
-    gated = nodes.withColumn("g", gate)
-    out = None
-    for p in PERC_PS:
+    gated = nodes.withColumn("g", gate).localCheckpoint(eager=True)
+
+    def level(p):
         keep = gated.where(F.col("g") >= p).select("n")
         ed = (
             edges.join(keep.select(F.col("n").alias("u")), "u")
@@ -6074,7 +6099,7 @@ def q_random_percolation(spark: SparkSession, sf: str) -> DataFrame:
         meta = keep.agg(F.count(F.lit(1)).cast("long").alias("n_nodes")).crossJoin(
             ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
         )
-        row = meta.crossJoin(summ).select(
+        return meta.crossJoin(summ).select(
             F.lit(p).cast("long").alias("p_tenths"),
             "n_nodes",
             "n_edges",
@@ -6082,7 +6107,15 @@ def q_random_percolation(spark: SparkSession, sf: str) -> DataFrame:
             "largest_comp",
             "s2_fragmentation",
         )
-        out = row if out is None else out.unionByName(row)
+
+    # the grid levels are independent driver-iterated CC runs whose cost
+    # is per-round job latency, not data — overlap them (guide §2.6);
+    # results are deterministic regardless of completion order
+    with ThreadPoolExecutor(max_workers=len(PERC_PS)) as pool:
+        rows = list(pool.map(level, PERC_PS))
+    out = rows[0]
+    for row in rows[1:]:
+        out = out.unionByName(row)
     return out
 
 
