@@ -528,15 +528,20 @@ def _j8_lockstep_event_pairs(spark, sf):
         F.pmod(F.floor(F.col("event_id") / 4), F.lit(J8_DOC_MOD)).alias("doc_id"),
     )
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+
+    def bigram_arr(toks):
+        # let-bound tokens: element_at on the raw split() expression
+        # would re-evaluate it per element (O(len^2) per doc)
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                ),
+            )
         )
-    )
+
+    bigrams = F.transform(F.array(F.split(F.col("text"), " ")), bigram_arr)[0]
     ev = e.join(F.broadcast(d.select("doc_id", bigrams.alias("bow"))), "doc_id")
     win = F.floor(F.col("te") / J8_SLIDE)
     ev = ev.withColumn("w", F.explode(F.array(win - 1, win)))

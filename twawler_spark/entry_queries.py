@@ -588,12 +588,23 @@ def q_j8_synchrotrap(spark, sf):
         & (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.user_id") < F.col("b.user_id")),
     )
-    return (
-        pairs.groupBy(
-            F.col("a.user_id").alias("user_a"), F.col("b.user_id").alias("user_b")
+    # pack the (user_a, user_b) pair into ONE long for the ~n^2-row
+    # aggregation exchange (ids are 32-bit by schema contract; guide
+    # §2.3 narrower shuffle keys) and unpack on the tiny >=3 survivors
+    packed = (
+        pairs.select(
+            (F.shiftleft(F.col("a.user_id"), 32) + F.col("b.user_id")).alias("__p")
         )
+        .groupBy("__p")
         .agg(F.count("*").alias("n_co"))
         .where(F.col("n_co") >= 3)
+    )
+    return packed.select(
+        F.shiftrightunsigned(F.col("__p"), 32).alias("user_a"),
+        (F.col("__p") - F.shiftleft(F.shiftrightunsigned(F.col("__p"), 32), 32)).alias(
+            "user_b"
+        ),
+        "n_co",
     )
 
 
@@ -951,9 +962,14 @@ FROM latest GROUP BY 1
 def q_f6_bigram_topk(spark, sf):
     """F6: bigrams (stats.py:730-732) + top-k."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+
+    def bigram_arr(toks):
+        # let-bound tokens: the transform would otherwise re-evaluate
+        # split() per element (O(len^2) per doc)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+
+    bigrams = F.transform(F.array(F.split(F.col("text"), " ")), bigram_arr)[0]
     return (
         d.select(F.explode(bigrams).alias("bigram"))
         .where(F.col("bigram").contains(" "))

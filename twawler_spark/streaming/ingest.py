@@ -156,35 +156,50 @@ def _row_minhash_bands(text_col):
     aggregate-wise signatures are bit-identical). Returns an array of
     (band_idx, band_val) structs."""
     M = 1 << 59
-    toks = F.split(text_col, " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
-    sh = F.filter(
-        F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
-        ),
-        lambda t: t != "",
-    )
 
-    def h(k):
-        def km(tok):
-            m = F.md5(tok)
-            h1 = F.pmod(F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(M))
-            h2 = F.pmod(F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), F.lit(M))
-            return F.pmod(h1 + k * h2, F.lit(M))
+    def sh_arr(toks):
+        # let-bound tokens: the shingle transform would otherwise
+        # re-evaluate split() per element (O(len^2) per row)
+        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 4, F.lit(1)))
+        return F.filter(
+            F.array_distinct(
+                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 5)))
+            ),
+            lambda t: t != "",
+        )
 
-        return F.array_min(F.transform(sh, km))
+    def bands_from(sh):
+        # let-bound shingles: the 8 minhash folds share one evaluation
+        # of the shingle array instead of rebuilding it per hash
+        def h(k):
+            def km(tok):
+                m = F.md5(tok)
+                h1 = F.pmod(
+                    F.conv(F.substring(m, 1, 15), 16, 10).cast("long"), F.lit(M)
+                )
+                h2 = F.pmod(
+                    F.conv(F.substring(m, 17, 15), 16, 10).cast("long"), F.lit(M)
+                )
+                return F.pmod(h1 + k * h2, F.lit(M))
 
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat(
-                    h(2 * b).cast("string"), F.lit("|"), h(2 * b + 1).cast("string")
-                ).alias("band_val"),
-            )
-            for b in range(4)
-        ]
-    )
+            return F.array_min(F.transform(sh, km))
+
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat(
+                        h(2 * b).cast("string"),
+                        F.lit("|"),
+                        h(2 * b + 1).cast("string"),
+                    ).alias("band_val"),
+                )
+                for b in range(4)
+            ]
+        )
+
+    sh_bound = F.transform(F.array(F.split(text_col, " ")), sh_arr)[0]
+    return F.transform(F.array(sh_bound), bands_from)[0]
 
 
 def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1549,26 +1549,40 @@ def q_gopher_repetition(spark, sf):
     groupBy(doc, bigram) + max form is the right shape instead).
     Output: per-source flag counts + mean fractions."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    dup_frac = F.round((n - F.size(F.array_distinct(toks))) / n, 4)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    # count of the modal bigram via a fold over the distinct bigrams
-    top_cnt = F.aggregate(
-        F.array_distinct(bigrams),
-        F.lit(0),
-        lambda acc, b: F.greatest(
-            acc, F.size(F.filter(bigrams, lambda x: x == b))
-        ),
-    )
-    top_bigram_frac = F.round((top_cnt * 2) / n, 4)
+
+    def rep_cols(toks):
+        # let-bound tokens, then let-bound bigram array: the modal-
+        # bigram fold references the bigram array per distinct element,
+        # which would otherwise rebuild it (and re-split the text) at
+        # every step — O(len^3) per doc instead of the intended
+        # O(len^2) bounded-doc fold
+        n = F.size(toks)
+        dup_frac = F.round((n - F.size(F.array_distinct(toks))) / n, 4)
+        bigrams_expr = F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+
+        def top_from(bigrams):
+            top_cnt = F.aggregate(
+                F.array_distinct(bigrams),
+                F.lit(0),
+                lambda acc, b: F.greatest(
+                    acc, F.size(F.filter(bigrams, lambda x: x == b))
+                ),
+            )
+            return F.round((top_cnt * 2) / n, 4)
+
+        return F.struct(
+            dup_frac.alias("df"), _let(bigrams_expr, top_from).alias("bf")
+        )
+
     staged = d.select(
-        "source",
-        dup_frac.alias("df"),
-        top_bigram_frac.alias("bf"),
+        "source", _let(F.split(F.col("text"), " "), rep_cols).alias("__r")
+    ).select(
+        "source", F.col("__r.df").alias("df"), F.col("__r.bf").alias("bf")
     )
     return staged.groupBy("source").agg(
         F.sum(F.when(F.col("df") > 0.6, 1).otherwise(0)).alias("n_dup_flagged"),
@@ -1726,12 +1740,17 @@ def q_line_dedup(spark, sf):
         F.concat_ws(" ", F.slice(toks0, 1, 2 * LINE_W)).alias("text"),
     )
     alld = orig.unionByName(planted)
-    toks = F.split(F.col("text"), " ")
-    nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nlines - 1),
-        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
-    )
+
+    def line_arr(toks):
+        # let-bound tokens: the line transform would otherwise
+        # re-evaluate split() per line (O(len^2/W) per doc)
+        nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+        )
+
+    lines = _let(F.split(F.col("text"), " "), line_arr)
     exploded = alld.select(
         "doc_id", "source", F.posexplode(lines).alias("pos", "line")
     )
@@ -1998,31 +2017,51 @@ def q_gopher_quality_full(spark, sf):
     )
     alld = orig.unionByName(sym).unionByName(rep)
 
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    nlines = F.ceil(n / F.lit(float(LINE_W))).cast("int")
-    lines = F.transform(
-        F.sequence(F.lit(0), nlines - 1),
-        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
-    )
     stops = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+
+    def tok_cols(toks):
+        # let-bound tokens: six quality signals share one split() and
+        # the line transform stops re-evaluating it per line
+        n = F.size(toks)
+        nlines = F.ceil(n / F.lit(float(LINE_W))).cast("int")
+        lines = F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+        )
+        return F.struct(
+            # single-space joined text: total word chars = len - (n-1)
+            F.round((F.length("text") - n + 1) / n, 4).alias("mean_wl"),
+            F.round(
+                F.size(F.filter(toks, lambda x: (x == "#") | x.contains("..."))) / n,
+                4,
+            ).alias("sym_frac"),
+            F.round(F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n, 4).alias(
+                "alpha_frac"
+            ),
+            F.size(F.array_intersect(F.array_distinct(toks), stops)).alias(
+                "stop_cnt"
+            ),
+            F.round(
+                F.size(F.filter(lines, lambda l: l.endswith("..."))) / nlines, 4
+            ).alias("ellipsis_frac"),
+            lines.alias("lines"),
+        )
+
     base = alld.select(
         "doc_id",
         "source",
         F.length("text").alias("n_chars"),
-        # single-space joined text: total word chars = len - (n-1)
-        F.round((F.length("text") - n + 1) / n, 4).alias("mean_wl"),
-        F.round(
-            F.size(F.filter(toks, lambda x: (x == "#") | x.contains("..."))) / n, 4
-        ).alias("sym_frac"),
-        F.round(F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))) / n, 4).alias(
-            "alpha_frac"
-        ),
-        F.size(F.array_intersect(F.array_distinct(toks), stops)).alias("stop_cnt"),
-        F.round(
-            F.size(F.filter(lines, lambda l: l.endswith("..."))) / nlines, 4
-        ).alias("ellipsis_frac"),
-        lines.alias("lines"),
+        _let(F.split(F.col("text"), " "), tok_cols).alias("__tc"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.col("__tc.mean_wl").alias("mean_wl"),
+        F.col("__tc.sym_frac").alias("sym_frac"),
+        F.col("__tc.alpha_frac").alias("alpha_frac"),
+        F.col("__tc.stop_cnt").alias("stop_cnt"),
+        F.col("__tc.ellipsis_frac").alias("ellipsis_frac"),
+        F.col("__tc.lines").alias("lines"),
     )
 
     # duplicate-line stats: exploded (scale-safe for long documents)
@@ -2040,18 +2079,27 @@ def q_gopher_quality_full(spark, sf):
     )
 
     # top-n-gram occurrence-chars for n=3,4 in ONE explode (tagged rows)
-    def _grams(nn: int):
-        idx = F.sequence(F.lit(1), F.greatest(n - (nn - 1), F.lit(1)))
-        return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, nn)))
+    def gram_structs(toks):
+        # let-bound tokens: the gram transforms would otherwise
+        # re-evaluate split() per element (O(len^2) per doc)
+        n = F.size(toks)
+
+        def _grams(nn: int):
+            idx = F.sequence(F.lit(1), F.greatest(n - (nn - 1), F.lit(1)))
+            return F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i, nn))
+            )
+
+        return F.array(
+            F.struct(F.lit(3).alias("g"), _grams(3).alias("gs")),
+            F.struct(F.lit(4).alias("g"), _grams(4).alias("gs")),
+        )
 
     eg = (
         alld.select(
             "doc_id",
             F.explode(
-                F.array(
-                    F.struct(F.lit(3).alias("g"), _grams(3).alias("gs")),
-                    F.struct(F.lit(4).alias("g"), _grams(4).alias("gs")),
-                )
+                _let(F.split(F.col("text"), " "), gram_structs)
             ).alias("t"),
         )
         .select("doc_id", "t.g", F.explode("t.gs").alias("gram"))
@@ -2329,21 +2377,32 @@ def q_dedup_exact_substring(spark, sf):
         ).alias("text"),
     )
     alld = orig.unionByName(planted)
-    toks = F.split(F.col("text"), " ")
-    n = F.size(toks)
-    nw = F.greatest(
-        F.floor((n - SUBSTR_W) / F.lit(SUBSTR_STRIDE)).cast("int") + 1, F.lit(1)
-    )
-    wins = F.transform(
-        F.sequence(F.lit(0), nw - 1),
-        lambda j: F.md5(
-            F.concat_ws(" ", F.slice(toks, j * SUBSTR_STRIDE + 1, SUBSTR_W))
-        ),
-    )
+
+    def win_cols(toks):
+        # let-bound tokens: the stride-window transform would otherwise
+        # re-evaluate split() per window (O(len^2/stride) per doc)
+        n = F.size(toks)
+        nw = F.greatest(
+            F.floor((n - SUBSTR_W) / F.lit(SUBSTR_STRIDE)).cast("int") + 1,
+            F.lit(1),
+        )
+        wins = F.transform(
+            F.sequence(F.lit(0), nw - 1),
+            lambda j: F.md5(
+                F.concat_ws(" ", F.slice(toks, j * SUBSTR_STRIDE + 1, SUBSTR_W))
+            ),
+        )
+        return F.struct(nw.alias("nw"), wins.alias("wins"))
+
+    wc = _let(F.split(F.col("text"), " "), win_cols)
     from .operators.dedup import spread_for_explode
 
     ew = spread_for_explode(
-        alld.select("doc_id", "source", nw.alias("nw"), wins.alias("wins")),
+        alld.select("doc_id", "source", wc.alias("__wc"), )
+        .select(
+            "doc_id", "source",
+            F.col("__wc.nw").alias("nw"), F.col("__wc.wins").alias("wins"),
+        ),
         "doc_id",
     ).select("doc_id", "source", "nw", F.explode("wins").alias("w"))
     shared = (
@@ -3212,12 +3271,17 @@ def q_boilerplate_strip(spark, sf):
     per-template boilerplate is the web-corpus generalization."""
     d = _t(spark, sf, "documents")
     host = F.concat(F.lit("h"), F.pmod(F.col("doc_id"), F.lit(20)).cast("string"))
-    toks = F.split(F.col("text"), " ")
-    nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
-    content_lines = F.transform(
-        F.sequence(F.lit(0), nlines - 1),
-        lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
-    )
+
+    def line_arr(toks):
+        # let-bound tokens: the line transform would otherwise
+        # re-evaluate split() per line (O(len^2/W) per doc)
+        nlines = F.ceil(F.size(toks) / F.lit(float(LINE_W))).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), nlines - 1),
+            lambda j: F.concat_ws(" ", F.slice(toks, j * LINE_W + 1, LINE_W)),
+        )
+
+    content_lines = _let(F.split(F.col("text"), " "), line_arr)
     footer = F.concat(F.lit("footer nav contact about "), host)
     lines = F.concat(content_lines, F.array(footer))
     ex = d.select(
@@ -3959,14 +4023,19 @@ def q_dup_ngram_coverage(spark: SparkSession, sf: str) -> DataFrame:
     (twkit/crawler/dumpall.py:61-81); gram-coverage is the training-
     pipeline generalization over long documents."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.when(
-        F.size(toks) >= NGRAM_N,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def gram_arr(toks):
+        # let-bound tokens: the gram transform would otherwise
+        # re-evaluate split() per element (O(len^2) per doc)
+        return F.when(
+            F.size(toks) >= NGRAM_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (NGRAM_N - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_N)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    grams = _let(F.split(F.lower(F.col("text")), " "), gram_arr)
     base = d.select(F.col("doc_id").cast("bigint").alias("doc_id"), grams.alias("grams"))
     e = base.select("doc_id", F.explode("grams").alias("gram"))
     pg = e.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
@@ -4133,18 +4202,23 @@ def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     (min OVER rows BETWEEN CURRENT AND {WINNOW_W - 1} FOLLOWING) — the
     hash match proves the HOF plan computes exactly that spec."""
     d = _t(spark, sf, "documents")
-    toks = F.split(F.lower(F.col("text")), " ")
-    grams = F.when(
-        F.size(toks) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    ghash = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
-    )
+
+    def ghash_arr(toks):
+        # let-bound tokens: the gram transform would otherwise
+        # re-evaluate split() per element (O(len^2) per doc)
+        grams = F.when(
+            F.size(toks) >= WINNOW_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (WINNOW_K - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, WINNOW_K)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 12), 16, 10).cast("long"),
+        )
+
+    ghash = _let(F.split(F.lower(F.col("text")), " "), ghash_arr)
     base = d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), ghash.alias("gh")
     )
