@@ -213,11 +213,56 @@ def plan_text(df) -> str:
     return buf.getvalue()
 
 
+def _single_partition_audit(txt: str) -> tuple[int, int]:
+    """(n_single_partition_exchanges, n_global_sort_windows).
+
+    The second number flags the 100 TB scale-killer pattern: a Window
+    or Sort sitting directly on an ``Exchange SinglePartition`` whose
+    input is NOT already aggregated (a tiny chunk/aggregate list above
+    a single-partition exchange is the sanctioned two-phase shape; a
+    full-table one funnels every row through one task). Formatted
+    plans name SinglePartition only in the details section, so ids are
+    matched there and located in the tree."""
+    sp_ids = re.findall(
+        r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition", txt
+    )
+    tree = txt.split("\n\n")[0].splitlines()
+
+    def marker(line: str) -> int:
+        p = max(line.find("+- "), line.find(":- "))
+        return p if p >= 0 else -1
+
+    flagged = 0
+    for n in sp_ids:
+        for i, line in enumerate(tree):
+            if re.search(rf"\bExchange \({n}\)$", line):
+                above = " ".join(tree[max(0, i - 2) : i])
+                # the exchange's SUBTREE: following lines more deeply
+                # indented than the exchange itself. A bounded input —
+                # an aggregate, a window output, or a synthesized
+                # Range — below the exchange makes this the sanctioned
+                # tiny-list shape, not a full-table funnel.
+                d = marker(line)
+                sub = []
+                for j in range(i + 1, len(tree)):
+                    if 0 <= marker(tree[j]) <= d:
+                        break
+                    sub.append(tree[j])
+                below = " ".join(sub)
+                if re.search(r"Window|Sort \(", above) and not re.search(
+                    r"Aggregate|Range|Window", below
+                ):
+                    flagged += 1
+                break
+    return len(sp_ids), flagged
+
+
 def audit(name: str, txt: str) -> dict:
+    n_sp, n_gsw = _single_partition_audit(txt)
     return {
         "name": name,
-        "exchanges": len(re.findall(r"^\(\d+\) Exchange", txt, re.M))
-        - len(re.findall(r"^\(\d+\) Exchange SinglePartition", txt, re.M)),
+        "exchanges": len(re.findall(r"^\(\d+\) Exchange", txt, re.M)) - n_sp,
+        "single_partition_windows": n_gsw,
         "broadcasts": len(re.findall(r"^\(\d+\) Broadcast(?:HashJoin|NestedLoopJoin)", txt, re.M)),
         "codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", txt))),
         "pushed": len(re.findall(r"PushedFilters: \[[^\]]", txt)),
@@ -339,13 +384,29 @@ def main():
         f.write("intends: filters push to the parquet scan, joins broadcast where a\n")
         f.write("side is dimension-sized, Python appears only at the documented Arrow\n")
         f.write("surfaces, and expression work stays inside WholeStageCodegen.\n\n")
-        f.write("| query | exchanges | broadcasts | codegen spans | scans w/ pushed filters | python stages | sorts | reused exchanges |\n")
-        f.write("|---|---|---|---|---|---|---|\n")
+        f.write("| query | exchanges | broadcasts | codegen spans | scans w/ pushed filters | python stages | sorts | reused exchanges | 1-part windows |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
         for r in rows:
             f.write(
                 f"| {r['name']} | {r['exchanges']} | {r['broadcasts']} | "
-                f"{r['codegen_spans']} | {r['pushed']} | {r['python_stages']} | {r['sorts']} | {r['reused_exchanges']} |\n"
+                f"{r['codegen_spans']} | {r['pushed']} | {r['python_stages']} | {r['sorts']} | {r['reused_exchanges']} | {r['single_partition_windows']} |\n"
             )
+        sp_hits = [r["name"] for r in rows if r["single_partition_windows"]]
+        f.write(
+            "\n`1-part windows` flags a Window/Sort directly over an\n"
+            "`Exchange SinglePartition` whose subtree holds no aggregate,\n"
+            "window, or synthesized Range — i.e. a full-table scan funneled\n"
+            "through one task, the global-sort scale-killer. It is the\n"
+            "recurrence guard for the class VERDICT r5 flagged (a new query\n"
+            "ranking a raw scan through `Window.orderBy` gets flagged on the\n"
+            "next audit). Windows whose input is an aggregate are accepted by\n"
+            "the static check — the audit cannot see output cardinality — so\n"
+            "doc-keyed aggregate inputs remain a review item; the eight r5\n"
+            "instances (incl. the aggregate-input ones) were de-weakened in\n"
+            "round 6 via operators/ranks.py histogram ranks, two-phase lag\n"
+            "scans, and bounded top-k aggregates.\n"
+        )
+        f.write(f"Current hits: {sp_hits if sp_hits else 'none'}\n")
         f.write("\nNotes:\n")
         f.write("- `sched_round`: THREE hash exchanges — stage A by (host, salt),\n")
         f.write("  stage B by host over stage-A survivors only, plus the tiny robots\n")

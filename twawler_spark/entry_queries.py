@@ -487,14 +487,15 @@ WHERE rnk <= 3
 
 def q_j1_pair_selfjoin(spark, sf):
     """J1: self equi-join + pair group-count (exportquote.py:61-78)."""
-    from .operators.dedup import spread_for_explode
-
-    # the pair explosion runs in the probe scan's stage; spread a
-    # small-file input so it isn't serialized on the scan's 2-3
-    # partitions (no-op at warehouse scale)
-    li = spread_for_explode(
-        _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey"),
-        "l_orderkey",
+    # hash-partition ONCE on the join key: both sides of the self-join
+    # then share that single exchange (guide §2.4) instead of the SMJ
+    # shuffling+sorting the full table twice
+    li = (
+        _t(spark, sf, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_suppkey")
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("l_orderkey")
+        )
     )
     a, b = li.alias("a"), li.alias("b")
     pairs = a.join(
@@ -502,12 +503,26 @@ def q_j1_pair_selfjoin(spark, sf):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
     )
-    return (
-        pairs.groupBy(
-            F.col("a.l_suppkey").alias("supp_a"), F.col("b.l_suppkey").alias("supp_b")
+    # pack the supplier pair into ONE long for the aggregation exchange
+    # (keys are 32-bit by schema contract; guide §2.3), unpack on the
+    # small >=2 survivors
+    packed = (
+        pairs.select(
+            (F.shiftleft(F.col("a.l_suppkey"), 32) + F.col("b.l_suppkey")).alias(
+                "__p"
+            )
         )
+        .groupBy("__p")
         .agg(F.count("*").alias("n"))
         .where(F.col("n") >= 2)
+    )
+    return packed.select(
+        F.shiftrightunsigned(F.col("__p"), 32).alias("supp_a"),
+        (
+            F.col("__p")
+            - F.shiftleft(F.shiftrightunsigned(F.col("__p"), 32), 32)
+        ).alias("supp_b"),
+        "n",
     )
 
 

@@ -4148,12 +4148,26 @@ def q_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("es_key"), F.asc("doc_id"))
         .limit(WSAMPLE_K)
     )
-    return top.select(
-        "doc_id",
-        "weight_tokens",
-        F.row_number()
-        .over(W.orderBy(F.desc("es_key"), F.asc("doc_id")))
-        .alias("sample_rank"),
+    # rank the k survivors via ONE bounded array aggregate (k is a
+    # constant, so collecting the winners into a single sorted array is
+    # scale-safe) — no single-partition window node in the plan;
+    # negating the float key is exact, so the ascending struct sort is
+    # exactly (es_key desc, doc_id asc)
+    arr = top.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("es_key")).alias("nk"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("weight_tokens").alias("weight_tokens"),
+                )
+            )
+        ).alias("a")
+    )
+    return arr.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.doc_id").alias("doc_id"),
+        F.col("s.weight_tokens").alias("weight_tokens"),
+        (F.col("pos") + 1).cast("int").alias("sample_rank"),
     )
 
 
@@ -5675,10 +5689,14 @@ def q_rank_normalize(spark, sf):
         F.col("n_chars").cast("long").alias("n_chars"),
         toks.alias("n_tokens"),
     )
+    from .operators.ranks import with_global_rank
+
     n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    r_chars = F.rank().over(W.orderBy(F.col("n_chars").asc())).cast("long")
-    r_toks = F.rank().over(W.orderBy(F.col("n_tokens").asc())).cast("long")
-    ranked = base.withColumn("rk_chars", r_chars).withColumn("rk_toks", r_toks)
+    # range-partitioned exact competition ranks (operators/ranks.py) —
+    # ties share the smallest position exactly as SQL RANK(), with no
+    # single-partition window
+    ranked = with_global_rank(base, [("n_chars", True)], "rk_chars")
+    ranked = with_global_rank(ranked, [("n_tokens", True)], "rk_toks")
     j = ranked.crossJoin(F.broadcast(n_row))
     return j.select(
         "doc_id",
@@ -5910,6 +5928,7 @@ O_LSH_CONFIG_CHOOSER = _o_lsh_config_chooser()
 
 ENC_PPM = 1_000_000
 ENC_COLUMNS = ("lang", "source")
+ENC_CHUNK = 1024  # doc_ids per run-count chunk (two-phase lag scan)
 
 
 def q_column_stats_for_encoding(spark, sf):
@@ -5936,20 +5955,50 @@ def q_column_stats_for_encoding(spark, sf):
     d = _t(spark, sf, "documents")
     outs = []
     for col in ENC_COLUMNS:
-        w = W.orderBy("doc_id")
-        runs = (
-            d.select("doc_id", F.col(col).cast("string").alias("v"))
-            .withColumn("prev", F.lag("v").over(w))
-            .select(
-                F.when(
-                    F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1
-                )
-                .otherwise(0)
-                .cast("long")
-                .alias("new_run")
+        # two-phase run count (the sequence_packing idiom): the lag
+        # window partitions by a doc_id-derived chunk (distributed),
+        # and only the per-chunk (first, last) boundary table — tiny,
+        # aggregated input — sees an ordered window. Boundary rows the
+        # chunk window counted as run starts are subtracted when the
+        # previous chunk's last value would NOT have started a run
+        # under the global lag (same null semantics: a null/none
+        # comparison never starts a run).
+        chunked = d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(col).cast("string").alias("v"),
+        ).withColumn("chunk", F.expr(f"doc_id DIV {ENC_CHUNK}"))
+        wc = W.partitionBy("chunk").orderBy("doc_id")
+        within = chunked.withColumn("prev", F.lag("v").over(wc)).withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull() | (F.col("v") != F.col("prev")), 1
             )
-            .agg(F.sum("new_run").alias("n_runs"))
+            .otherwise(0)
+            .cast("long"),
         )
+        per_chunk = within.groupBy("chunk").agg(
+            F.sum("new_run").alias("nr"),
+            F.expr("min_by(v, doc_id)").alias("first_v"),
+            F.expr("max_by(v, doc_id)").alias("last_v"),
+        )
+        wg = W.orderBy("chunk")
+        adj = per_chunk.withColumn(
+            "prev_last", F.lag("last_v").over(wg)
+        ).withColumn("has_prev", F.lag(F.lit(1)).over(wg)).withColumn(
+            "over",
+            F.when(
+                F.col("has_prev").isNotNull()
+                & ~F.coalesce(
+                    F.col("prev_last").isNull()
+                    | (F.col("first_v") != F.col("prev_last")),
+                    F.lit(False),
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+        runs = adj.agg((F.sum("nr") - F.sum("over")).alias("n_runs"))
         stats = d.agg(
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             F.countDistinct(col).cast("long").alias("n_distinct"),
@@ -6357,19 +6406,31 @@ def q_quality_novelty_quadrants(spark, sf):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_chars").cast("long").alias("n_chars"),
     ).join(nov, "doc_id")
+    from .operators.ranks import with_global_rank
+
     n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rk_q = F.rank().over(W.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc()))
-    # novelty ordering by the exact fraction n_nov/n_sh via cross-mult-
-    # safe double of two exact ints, ties by doc_id
-    rk_n = F.rank().over(
-        W.orderBy(
-            (F.col("n_nov").cast("double") / F.col("n_sh").cast("double")).asc(),
-            F.col("doc_id").asc(),
-        )
+    # range-partitioned exact ranks (operators/ranks.py) — no
+    # single-partition windows; both keys carry the doc_id tiebreak so
+    # they are unique and rank == positional rank. The novelty order
+    # key is the exact fraction n_nov/n_sh as a double of two exact
+    # ints, ties by doc_id — materialized as a column for the range
+    # exchange, dropped after.
+    ratio = F.col("n_nov").cast("double") / F.col("n_sh").cast("double")
+    ranked = with_global_rank(
+        base.withColumn("__ratio", ratio),
+        [("n_chars", True), ("doc_id", True)],
+        "rq",
+        method="row_number",
     )
-    ranked = base.withColumn("rq", rk_q.cast("long")).withColumn(
-        "rn", rk_n.cast("long")
-    ).crossJoin(F.broadcast(n_row))
+    ranked = with_global_rank(
+        ranked,
+        [("__ratio", True), ("doc_id", True)],
+        "rn",
+        method="row_number",
+        # the ratio is continuous — bucket it monotonically so the
+        # prior-count table stays tiny
+        bucket=F.floor(F.col("__ratio") * 4096).cast("long"),
+    ).drop("__ratio").crossJoin(F.broadcast(n_row))
     flagged = ranked.select(
         (F.col("rq") * 2 > F.col("n")).cast("int").alias("hi_quality"),
         (F.col("rn") * 2 > F.col("n")).cast("int").alias("hi_novelty"),
@@ -6453,11 +6514,15 @@ def q_storage_tiering(spark, sf):
             "cast(doc_id as string))), 1, 15), 16, 10) as bigint), 1000))"
         ),
     )
+    from .operators.ranks import with_global_rank
+
     n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rk = F.row_number().over(
-        W.orderBy(F.col("access").desc(), F.col("doc_id").asc())
-    )
-    ranked = base.withColumn("rk", rk.cast("long")).crossJoin(F.broadcast(n_row))
+    # range-partitioned exact rank (operators/ranks.py) — no
+    # single-partition window; the (access desc, doc_id) key is unique
+    # so positional rank is deterministic
+    ranked = with_global_rank(
+        base, [("access", False), ("doc_id", True)], "rk", method="row_number"
+    ).crossJoin(F.broadcast(n_row))
     tier = (
         F.when(F.expr("rk * 3 <= n"), F.lit("hot"))
         .when(F.expr("rk * 3 <= 2 * n"), F.lit("warm"))
@@ -6763,12 +6828,17 @@ def q_bigram_hit_score(spark, sf):
         )
         .withColumn("hit_ppm", F.expr(f"(n_hits * {BHS_PPM}) DIV n_bigrams"))
     )
+    from .operators.ranks import with_global_rank
+
     n_row = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    rk = F.rank().over(
-        W.orderBy(F.col("hit_ppm").asc(), F.col("doc_id").asc())
-    )
+    # range-partitioned exact rank (operators/ranks.py) — unique
+    # (hit_ppm, doc_id) key, no single-partition window
     return (
-        per.withColumn("rk", rk.cast("long"))
+        with_global_rank(
+            per, [("hit_ppm", True), ("doc_id", True)], "rk",
+            method="row_number",
+            bucket=F.expr("hit_ppm DIV 1024"),
+        )
         .crossJoin(F.broadcast(n_row))
         .withColumn("quality_decile", F.expr("((rk - 1) * 10) DIV n"))
         .select("doc_id", "n_bigrams", "n_hits", "hit_ppm", "quality_decile")
@@ -6911,21 +6981,34 @@ def q_id_gap_islands(spark, sf):
     island rollup — the streaks exchange on a different axis.
     Emitted as ONE summary row so the driver hash pins the whole
     census."""
+    from .operators.ranks import with_global_rank
+
     d = _t(spark, sf, "documents")
     ids = d.where(F.col("lang") == GAP_LANG).select(
         F.col("doc_id").cast("long").alias("id")
     )
-    w = W.orderBy("id")
-    isl = ids.withColumn(
-        "island", F.col("id") - F.row_number().over(w).cast("long")
+    # range-partitioned exact row numbers (operators/ranks.py) instead
+    # of single-partition windows: the island key comes from the global
+    # row number over unique ids; the successor lookup over the island
+    # table becomes an equi-join on consecutive row numbers
+    isl = with_global_rank(
+        ids, [("id", True)], "rn", method="row_number",
+        bucket=F.expr("id DIV 8192"),
     )
+    isl = isl.withColumn("island", F.col("id") - F.col("rn")).drop("rn")
     runs = isl.groupBy("island").agg(
         F.count(F.lit(1)).cast("long").alias("run_len"),
         F.min("id").alias("lo"),
         F.max("id").alias("hi"),
     )
-    gap_w = W.orderBy("lo")
-    gaps = runs.withColumn("next_lo", F.lead("lo").over(gap_w)).withColumn(
+    ranked_runs = with_global_rank(
+        runs, [("lo", True)], "rn", method="row_number",
+        bucket=F.expr("lo DIV 8192"),
+    )
+    nxt = ranked_runs.select(
+        (F.col("rn") - 1).alias("rn"), F.col("lo").alias("next_lo")
+    )
+    gaps = ranked_runs.join(nxt, "rn", "left").withColumn(
         "gap", F.col("next_lo") - F.col("hi") - 1
     )
     return gaps.agg(

@@ -983,14 +983,17 @@ def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     shortened/redirected link hop-by-hop per Mongo row; this is that
     sweep as a set operation."""
     from .operators.graph import resolve_chains
+    from .operators.ranks import with_global_rank
 
     e = _t(spark, sf, "events")
-    w = Window.orderBy("user_id")
-    nodes = (
-        e.select("user_id")
-        .distinct()
-        .select(F.row_number().over(w).cast("long").alias("rid"))
-    )
+    # range-partitioned exact row numbers (operators/ranks.py) — the
+    # fixture's rank synthesis no longer funnels the distinct users
+    # through a single-partition window
+    nodes = with_global_rank(
+        e.select("user_id").distinct(), [("user_id", True)], "rid",
+        method="row_number",
+        bucket=F.expr("user_id DIV 8192"),
+    ).select("rid")
     mx = nodes.agg(F.max("rid").alias("m"))
     coin = (
         F.conv(
