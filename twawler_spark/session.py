@@ -57,11 +57,13 @@ def get_spark(
         # the cluster width. Floor the split count at the session's
         # parallelism — scale-adaptive, not a local constant; at
         # warehouse scale inputs far exceed core count and this is a
-        # no-op. openCostInBytes drops so the floor can actually split
-        # small single-file inputs (4 MB open-cost would clamp a 16 MB
-        # file to 4 splits).
+        # no-op. openCostInBytes drops to 1 MB so the floor can split
+        # medium single-file inputs (4 MB open-cost would clamp a 16 MB
+        # file to 4 splits) while still flooring per-task work at ~1 MB
+        # — smaller splits made sub-MB inputs pay 32 tasks of scheduling
+        # overhead for trivial scans (measured at sf0.1).
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
-        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
