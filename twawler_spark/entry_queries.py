@@ -503,26 +503,36 @@ def q_j1_pair_selfjoin(spark, sf):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
     )
-    # pack the supplier pair into ONE long for the aggregation exchange
-    # (keys are 32-bit by schema contract; guide §2.3), unpack on the
-    # small >=2 survivors
-    packed = (
-        pairs.select(
-            (F.shiftleft(F.col("a.l_suppkey"), 32) + F.col("b.l_suppkey")).alias(
-                "__p"
-            )
-        )
-        .groupBy("__p")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= 2)
+    # pack the supplier pair into ONE long (keys are 32-bit by schema
+    # contract; guide §2.3) and count via per-partition np.unique after
+    # one hash exchange of the bare keys — the pair keys barely repeat,
+    # so a JVM hash aggregate reduces nothing map-side (same shape as
+    # j8_synchrotrap)
+    packed = pairs.select(
+        (F.shiftleft(F.col("a.l_suppkey"), 32) + F.col("b.l_suppkey")).alias("__p")
     )
-    return packed.select(
-        F.shiftrightunsigned(F.col("__p"), 32).alias("supp_a"),
-        (
-            F.col("__p")
-            - F.shiftleft(F.shiftrightunsigned(F.col("__p"), 32), 32)
-        ).alias("supp_b"),
-        "n",
+    p = spark.sparkContext.defaultParallelism
+
+    def count_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [pdf["__p"].to_numpy() for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        vals, cnts = np.unique(np.concatenate(chunks), return_counts=True)
+        keep = cnts >= 2
+        vals, cnts = vals[keep], cnts[keep]
+        yield pd.DataFrame(
+            {
+                "supp_a": vals >> 32,
+                "supp_b": vals & 0xFFFFFFFF,
+                "n": cnts.astype("int64"),
+            }
+        )
+
+    return packed.repartition(p, "__p").mapInPandas(
+        count_pairs, schema="supp_a long, supp_b long, n long"
     )
 
 
@@ -603,23 +613,39 @@ def q_j8_synchrotrap(spark, sf):
         & (F.col("a.event_type") == F.col("b.event_type"))
         & (F.col("a.user_id") < F.col("b.user_id")),
     )
-    # pack the (user_a, user_b) pair into ONE long for the ~n^2-row
-    # aggregation exchange (ids are 32-bit by schema contract; guide
-    # §2.3 narrower shuffle keys) and unpack on the tiny >=3 survivors
-    packed = (
-        pairs.select(
-            (F.shiftleft(F.col("a.user_id"), 32) + F.col("b.user_id")).alias("__p")
-        )
-        .groupBy("__p")
-        .agg(F.count("*").alias("n_co"))
-        .where(F.col("n_co") >= 3)
+    # pack the (user_a, user_b) pair into ONE long (ids are 32-bit by
+    # schema contract; guide §2.3 narrower shuffle keys) and count via
+    # per-partition np.unique after one hash exchange of the bare keys:
+    # the pair keys are ~unique (998k distinct of 1M events per bucket
+    # slot), so a JVM hash aggregate reduces nothing map-side and just
+    # builds two ~n^2-entry hash tables (spill-prone); a vectorized
+    # sort-count of each partition's key array is exact integers and
+    # allocation-flat (guide §4.2)
+    packed = pairs.select(
+        (F.shiftleft(F.col("a.user_id"), 32) + F.col("b.user_id")).alias("__p")
     )
-    return packed.select(
-        F.shiftrightunsigned(F.col("__p"), 32).alias("user_a"),
-        (F.col("__p") - F.shiftleft(F.shiftrightunsigned(F.col("__p"), 32), 32)).alias(
-            "user_b"
-        ),
-        "n_co",
+    p = spark.sparkContext.defaultParallelism
+
+    def count_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [pdf["__p"].to_numpy() for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        vals, cnts = np.unique(np.concatenate(chunks), return_counts=True)
+        keep = cnts >= 3
+        vals, cnts = vals[keep], cnts[keep]
+        yield pd.DataFrame(
+            {
+                "user_a": vals >> 32,
+                "user_b": vals & 0xFFFFFFFF,
+                "n_co": cnts.astype("int64"),
+            }
+        )
+
+    return packed.repartition(p, "__p").mapInPandas(
+        count_pairs, schema="user_a long, user_b long, n_co long"
     )
 
 

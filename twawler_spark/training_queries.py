@@ -212,30 +212,58 @@ def _bands_long(docs: DataFrame) -> DataFrame:
     """Long-form LSH band table (doc_id, band_idx, band_val):
     shingle→minhash→band. One table per corpus; a single equi-join on
     (band_idx, band_val) then replaces |bands| separate joins
-    (1 shuffle instead of 4 sig rescans)."""
+    (1 shuffle instead of 4 sig rescans).
+
+    Computed per document inside Arrow batches (guide §4.2): the
+    Kirsch-Mitzenmacher arithmetic is exact integers (one md5 per
+    distinct shingle, two 60-bit halves mod 2^59, 8 expansions), so the
+    C-md5 Python evaluation is bit-identical to the old
+    explode→groupBy(doc).min aggregate — and the 50x-amplified shingle
+    stream plus its doc-keyed exchange drop out of the plan entirely
+    (4 band rows per doc come straight out of the scan's stage)."""
+    import pandas as pd
+
     from .operators.dedup import spread_for_explode
 
-    docs = spread_for_explode(docs, "doc_id")
-    toks = docs.select(
-        "doc_id", F.explode(_shingles_spark(F.col("text"))).alias("tok")
-    ).where(F.col("tok") != "")
-    sigs = toks.groupBy("doc_id").agg(*_minhash_cols())
-    return sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat(
-                            F.col(f"h{2*b}"), F.lit("|"), F.col(f"h{2*b+1}")
-                        ).alias("band_val"),
-                    )
-                    for b in range(N_MINHASH // 2)
-                ]
+    m_mod = _KM_M
+    n_bands = N_MINHASH // 2
+
+    def bands(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_idx, out_val = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                seen = set()
+                mins = [None] * N_MINHASH
+                for i in range(max(len(toks) - 4, 1)):
+                    sh = " ".join(toks[i : i + 5])
+                    if not sh or sh in seen:
+                        continue
+                    seen.add(sh)
+                    hx = hashlib.md5(sh.encode("utf-8")).hexdigest()
+                    h1 = int(hx[0:15], 16) % m_mod
+                    h2 = int(hx[16:31], 16) % m_mod
+                    for k in range(N_MINHASH):
+                        v = (h1 + k * h2) % m_mod
+                        if mins[k] is None or v < mins[k]:
+                            mins[k] = v
+                if mins[0] is None:  # no non-empty shingle -> no sig row
+                    continue
+                for b in range(n_bands):
+                    out_doc.append(doc_id)
+                    out_idx.append(b)
+                    out_val.append(f"{mins[2 * b]}|{mins[2 * b + 1]}")
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "band_idx": out_idx, "band_val": out_val}
             )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_val")
+
+    return (
+        spread_for_explode(docs, "doc_id")
+        .select("doc_id", "text")
+        .mapInPandas(bands, schema="doc_id string, band_idx int, band_val string")
+    )
 
 
 def _lsh_pairs(alld: DataFrame) -> DataFrame:
@@ -2487,37 +2515,54 @@ def q_dsir_select(spark, sf):
     Nothing global, no window. Reference tie-in: the same selection
     shape as the tracked-set priority scoring (twkit/crawler/freq.py
     score ordering), applied to corpus curation."""
-    d = _t(spark, sf, "documents")
+    # Per-doc hashed-feature BUCKET COUNTS inside Arrow batches (guide
+    # §4.2): features hash to DSIR_B=64 buckets, so each doc reduces to
+    # <=64 exact-integer (bucket, count) rows map-side — the 8M-row
+    # feature explode and its two consuming shuffles shrink ~4x, and the
+    # portable md5 arithmetic is bit-identical in C. The per-doc weight
+    # becomes sum(lw * c) — same value as the per-occurrence sum up to
+    # float association (both engines already sum occurrences in
+    # different orders; round(.,4) is the contract).
+    import pandas as pd
 
-    def uni_bi(toks):
-        # let-bound token array: the bigram transform would otherwise
-        # re-evaluate split() at every element (O(len^2) per doc)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-        bigrams = F.when(
-            F.size(toks) < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.filter(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
-                lambda g: g.contains(" "),
+    from .operators.dedup import spread_for_explode
+
+    d = spread_for_explode(_t(spark, sf, "documents"), "doc_id")
+
+    def feat_counts(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_lang, out_b, out_c = [], [], [], []
+            for doc_id, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                toks = text.split(" ")
+                feats = [t for t in toks if t]
+                # every 2-token window qualifies (the join inserts the
+                # space the original's contains-' ' filter tested for)
+                for i in range(len(toks) - 1):
+                    feats.append(toks[i] + " " + toks[i + 1])
+                counts = {}
+                for f in feats:
+                    hx = hashlib.md5(f.encode("utf-8")).hexdigest()
+                    b = int(hx[0:15], 16) % DSIR_B
+                    counts[b] = counts.get(b, 0) + 1
+                for b, c in counts.items():
+                    out_doc.append(int(doc_id))
+                    out_lang.append(lang)
+                    out_b.append(b)
+                    out_c.append(c)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "lang": out_lang, "b": out_b, "c": out_c}
             )
-        )
-        return F.concat(toks, bigrams)
 
-    feats = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "lang",
-        F.explode(_let(F.split(F.col("text"), " "), uni_bi)).alias("f"),
-    ).where(F.col("f") != "")
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col("f")), 1, 15), 16, 10).cast("long"),
-        F.lit(DSIR_B),
+    feats = (
+        d.select("doc_id", "lang", "text")
+        .mapInPandas(feat_counts, schema="doc_id long, lang string, b long, c long")
+        .localCheckpoint(eager=False)
     )
-    # feats feeds BOTH the bucket-stats agg and the per-doc weight agg —
-    # checkpoint so the explode+md5 stream is computed once, not twice
-    feats = feats.select("doc_id", "lang", b.alias("b")).localCheckpoint(eager=False)
     stats = feats.groupBy("b").agg(
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
-        F.count("*").alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias("ct"),
+        F.sum("c").alias("cr"),
     )
     tot = stats.agg(F.sum("ct").alias("t"), F.sum("cr").alias("r"))
     lr = stats.crossJoin(F.broadcast(tot)).select(
@@ -2530,7 +2575,7 @@ def q_dsir_select(spark, sf):
     w = (
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("lw").alias("wt"))
+        .agg(F.sum(F.col("lw") * F.col("c")).alias("wt"))
     )
     return w.where(F.col("doc_id") < 100).select(
         "doc_id",
@@ -2973,51 +3018,53 @@ def q_quality_classifier(spark, sf):
 
     Reference parity: the corpus-side twin of the crawl-side quality
     ordering (twkit/crawler/freq.py score ranking)."""
-    d = _t(spark, sf, "documents")
-    wlit = F.lit(QC_W)  # the model, as a literal in the plan
+    # Per-doc inference inside Arrow batches (guide §4.2): the hashed
+    # uni+bigram features, the bucket ids and the weight sum are exact
+    # integer arithmetic (portable md5, integer model weights), so the
+    # C-md5 Python evaluation is bit-identical to the interpreted
+    # per-feature HOF fold it replaces; the sigmoid's float enters only
+    # the >=0.5 flag (a sign test on the exact integer sum) and a
+    # round(...,4) mean. Still MAP-ONLY: the corpus never shuffles.
+    import math
 
-    def bucket(f):
-        return F.pmod(
-            F.conv(F.substring(F.md5(f), 1, 15), 16, 10).cast("long"),
-            F.lit(QC_B),
-        )
+    import pandas as pd
 
-    def feat_arr(toks):
-        # let-bound tokens: the bigram transform would otherwise
-        # re-evaluate split() per element (O(len^2) per doc)
-        idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-        bigrams = F.when(
-            F.size(toks) < 2, F.array().cast("array<string>")
-        ).otherwise(
-            F.filter(
-                F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))),
-                lambda g: g.contains(" "),
+    from .operators.dedup import spread_for_explode
+
+    d = spread_for_explode(_t(spark, sf, "documents"), "doc_id")
+
+    def score_docs(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_lang, out_src, out_nf, out_s = [], [], [], []
+            for lang, src, text in zip(pdf["lang"], pdf["source"], pdf["text"]):
+                toks = text.lower().split(" ")
+                feats = [t for t in toks if t]
+                # every 2-token window qualifies (the join inserts the
+                # space the original's contains-' ' filter tests for),
+                # including windows with empty components — exact parity
+                # with concat_ws over slice
+                for i in range(len(toks) - 1):
+                    feats.append(toks[i] + " " + toks[i + 1])
+                nf = len(feats)
+                if nf == 0:
+                    continue
+                ssum = 0
+                for f in feats:
+                    hx = hashlib.md5(f.encode("utf-8")).hexdigest()
+                    ssum += QC_W[int(hx[0:15], 16) % QC_B]
+                s = 1.0 / (1.0 + math.exp(-(ssum / (nf * 1000.0) + QC_BIAS)))
+                out_lang.append(lang)
+                out_src.append(src)
+                out_nf.append(nf)
+                out_s.append(s)
+            yield pd.DataFrame(
+                {"lang": out_lang, "source": out_src, "nf": out_nf, "s": out_s}
             )
-        )
-        return F.filter(F.concat(toks, bigrams), lambda f: f != F.lit(""))
 
-    def nf_score(feats):
-        # feats let-bound too: it feeds both size() and the weight fold
-        ssum = F.aggregate(
-            feats,
-            F.lit(0).cast("long"),
-            lambda acc, f: acc
-            + F.element_at(wlit, (bucket(f) + 1).cast("int")).cast("long"),
-        )
-        nf = F.size(feats)
-        score = F.lit(1.0) / (
-            F.lit(1.0) + F.exp(-(ssum / (nf * 1000.0) + F.lit(QC_BIAS)))
-        )
-        return F.struct(nf.alias("nf"), score.alias("s"))
-
-    st = _let(_let(F.split(F.lower(F.col("text")), " "), feat_arr), nf_score)
-    scored = (
-        d.select("lang", "source", st.alias("st"))
-        .select(
-            "lang", "source",
-            F.col("st.nf").alias("nf"), F.col("st.s").alias("s"),
-        )
-        .where(F.col("nf") > 0)
+    scored = d.select("doc_id", "lang", "source", "text").mapInPandas(
+        score_docs, schema="lang string, source string, nf int, s double"
     )
     return scored.groupBy("lang", "source").agg(
         F.count("*").alias("n_docs"),
@@ -3409,25 +3456,45 @@ def q_dedup_containment(spark, sf):
     )
     alld = orig.unionByName(planted)
 
-    def sh_arr(toks):
-        # let-bound tokens: the md5-shingle transform would otherwise
-        # re-evaluate split() per element (O(len^2) per doc)
-        nsh = F.greatest(F.size(toks) - CONT_SH + 1, F.lit(1))
-        return F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), nsh),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, CONT_SH))),
-            )
-        )
+    # Per-doc shingle hashing inside Arrow batches (guide §4.2): one C
+    # md5 per distinct window, hex output identical to F.md5, replacing
+    # the interpreted per-position HOF transform + explode. The table
+    # feeds sizes, the df-cap filter, AND both sides of the candidate
+    # self-join — checkpoint it once so the hashing runs a single time,
+    # not 5x through lineage (at warehouse scale this is the
+    # materialized shingle index).
+    import pandas as pd
 
-    shingles = _let(F.split(F.col("text"), " "), sh_arr)
-    # the exploded shingle table feeds sizes, the df-cap filter, AND
-    # both sides of the candidate self-join — checkpoint it once so the
-    # md5 shingle computation runs a single time, not 5x through lineage
-    # (at warehouse scale this is the materialized shingle index)
-    ew = alld.select(
-        "doc_id", "source", F.explode(shingles).alias("h")
-    ).localCheckpoint(eager=False)
+    from .operators.dedup import spread_for_explode
+
+    def shingle_rows(batches):
+        import hashlib
+
+        for pdf in batches:
+            out_doc, out_src, out_h = [], [], []
+            for doc_id, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                toks = text.split(" ")
+                seen = set()
+                for i in range(max(len(toks) - CONT_SH + 1, 1)):
+                    sh = " ".join(toks[i : i + CONT_SH])
+                    if sh in seen:
+                        continue
+                    seen.add(sh)
+                    out_doc.append(doc_id)
+                    out_src.append(src)
+                    out_h.append(hashlib.md5(sh.encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "source": out_src, "h": out_h}
+            )
+
+    ew = (
+        spread_for_explode(alld, "doc_id")
+        .select("doc_id", "source", "text")
+        .mapInPandas(shingle_rows, schema="doc_id string, source string, h string")
+        .localCheckpoint(eager=False)
+    )
     sizes = ew.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # (doc_id, h) rows are unique (per-doc shingles are array_distinct),
     # so count(*) IS the document frequency — no countDistinct pass
@@ -3719,32 +3786,37 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     n_toks = F.size(F.filter(F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""))
     out = None
     for i in range(1, BPE_ITERS + 1):
-        # let-bound token array: projection collapse would otherwise
-        # inline the split+filter at every element_at (O(len^2) per doc)
-        pairs = s.select(
-            F.explode(
-                _let(
-                    F.filter(
-                        F.split(F.trim(F.col("seq")), "  "), lambda x: x != ""
-                    ),
-                    lambda toks: F.when(
-                        F.size(toks) >= 2,
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(toks) - 1),
-                            lambda j: F.struct(
-                                F.element_at(toks, j).alias("a"),
-                                F.element_at(toks, j + 1).alias("b"),
-                            ),
-                        ),
-                    ).otherwise(
-                        F.array().cast("array<struct<a:string,b:string>>")
-                    ),
+        # adjacent-pair counting inside Arrow batches (guide §4.2): the
+        # per-batch Counter pre-reduces to the tiny pair vocabulary
+        # map-side (exact integers), so only |vocab_pairs| partial rows
+        # per batch reach the exchange instead of the full exploded
+        # pair stream
+        def pair_counts(batches):
+            import collections
+
+            import pandas as pd
+
+            for pdf in batches:
+                acc = collections.Counter()
+                for seq in pdf["seq"]:
+                    # strip(' ') exactly mirrors F.trim (space only)
+                    toks = [t for t in seq.strip(" ").split("  ") if t]
+                    for j in range(len(toks) - 1):
+                        acc[(toks[j], toks[j + 1])] += 1
+                yield pd.DataFrame(
+                    {
+                        "a": [k[0] for k in acc],
+                        "b": [k[1] for k in acc],
+                        "c": list(acc.values()),
+                    }
                 )
-            ).alias("pr")
-        ).select("pr.a", "pr.b")
+
+        partials = s.select("seq").mapInPandas(
+            pair_counts, schema="a string, b string, c long"
+        )
         top = (
-            pairs.groupBy("a", "b")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+            partials.groupBy("a", "b")
+            .agg(F.sum("c").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
             .limit(1)
         )

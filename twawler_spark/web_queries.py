@@ -2701,54 +2701,58 @@ def q_ring_rebalance(spark: SparkSession, sf: str) -> DataFrame:
     map-side at admission time. Reference analog: the multi-crawler
     work sharding of the reference's parallel crawler accounts
     (SURVEY §2 S1/S2 fleet), measured across a resize."""
-    e = _t(spark, sf, "events")
-    crawlers = spark.range(RING_CRAWLERS + 1).select(
-        F.col("id").cast("int").alias("cid")
+    # Per-key HRW argmax inside Arrow batches (guide §4.2): the C+1
+    # md5 weights per key are exact hex strings and the double argmax
+    # is lexicographic (weight, cid) — Python tuple-max over lowercase
+    # hexdigests is byte-identical to the old keys x crawlers crossJoin
+    # + struct-max aggregate, and the per-batch counters pre-reduce to
+    # |C| rows map-side, so NEITHER the 13M-row expansion NOR the 1M-row
+    # per-key table ever crosses an exchange.
+    import pandas as pd
+
+    from .operators.dedup import spread_for_explode
+
+    e = spread_for_explode(_t(spark, sf, "events"), "event_id")
+
+    def hrw_counts(batches):
+        import hashlib
+
+        for pdf in batches:
+            acc = {}  # old_owner -> [n_keys, n_to_new, n_elsewhere]
+            for event_id in pdf["event_id"]:
+                k = f"u:{event_id}"
+                best_old = best_new = None
+                for cid in range(RING_CRAWLERS + 1):
+                    w = hashlib.md5(f"ring:{cid}:{k}".encode("utf-8")).hexdigest()
+                    t = (w, cid)
+                    if best_new is None or t > best_new:
+                        best_new = t
+                    if cid < RING_CRAWLERS and (best_old is None or t > best_old):
+                        best_old = t
+                old, new = best_old[1], best_new[1]
+                a = acc.setdefault(old, [0, 0, 0])
+                a[0] += 1
+                if new != old:
+                    if new == RING_CRAWLERS:
+                        a[1] += 1
+                    else:
+                        a[2] += 1
+            yield pd.DataFrame(
+                {
+                    "old_owner": list(acc),
+                    "nk": [v[0] for v in acc.values()],
+                    "tn": [v[1] for v in acc.values()],
+                    "me": [v[2] for v in acc.values()],
+                }
+            )
+
+    partials = e.select("event_id").mapInPandas(
+        hrw_counts, schema="old_owner int, nk long, tn long, me long"
     )
-    keyed = e.select(
-        F.concat(F.lit("u:"), F.col("event_id").cast("string")).alias("k")
-    ).crossJoin(F.broadcast(crawlers))
-    w = F.md5(
-        F.concat(
-            F.lit("ring:"),
-            F.col("cid").cast("string"),
-            F.lit(":"),
-            F.col("k"),
-        )
-    )
-    scored = keyed.select("k", "cid", w.alias("w"))
-    # struct-max instead of max_by: max_by runs on ObjectHashAggregate,
-    # which falls back to SORT-based aggregation past 128 distinct keys
-    # per partition — a full sort of the keys x crawlers expansion. The
-    # struct max is a declarative aggregate (codegen hash agg, map-side
-    # partial). No ties by construction (distinct md5 inputs), so the
-    # argmax is identical.
-    per_key = scored.groupBy("k").agg(
-        F.max(
-            F.when(F.col("cid") < RING_CRAWLERS, F.struct("w", "cid"))
-        ).alias("__o"),
-        F.max(F.struct("w", "cid")).alias("__n"),
-    ).select(
-        "k",
-        F.col("__o.cid").alias("old_owner"),
-        F.col("__n.cid").alias("new_owner"),
-    )
-    flags = per_key.select(
-        "old_owner",
-        (F.col("new_owner") != F.col("old_owner")).alias("moved"),
-        (
-            (F.col("new_owner") != F.col("old_owner"))
-            & (F.col("new_owner") == RING_CRAWLERS)
-        ).alias("to_new"),
-    )
-    agg = flags.groupBy(F.col("old_owner").alias("crawler")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_keys"),
-        F.sum(F.when(F.col("to_new"), 1).otherwise(0)).cast("long").alias(
-            "n_moved_to_new"
-        ),
-        F.sum(F.when(F.col("moved") & ~F.col("to_new"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_moved_elsewhere"),
+    agg = partials.groupBy(F.col("old_owner").alias("crawler")).agg(
+        F.sum("nk").alias("n_keys"),
+        F.sum("tn").alias("n_moved_to_new"),
+        F.sum("me").alias("n_moved_elsewhere"),
     )
     return agg.withColumn(
         "moved_ppm",
