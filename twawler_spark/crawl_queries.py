@@ -715,13 +715,17 @@ def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.graph import bfs_min_depth
 
     li = _t(spark, sf, "lineitem")
+    # no edge dedup: min-depth BFS is invariant under duplicate edges
+    # (each level dropDuplicates on node), duplicates are <1% of this
+    # projection, and the dedup cost a full extra shuffle of the edge
+    # table before bfs_min_depth's own repartition("src")
     edges = li.select(
         F.pmod(F.col("l_orderkey").cast("long"), F.lit(BFS_MOD)).alias("src"),
         F.pmod(
             F.col("l_partkey").cast("long") * 31 + F.col("l_suppkey").cast("long"),
             F.lit(BFS_MOD),
         ).alias("dst"),
-    ).dropDuplicates(["src", "dst"])
+    )
     seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "node long")
     dist = bfs_min_depth(seeds, edges, BFS_MAX_DEPTH)
     return dist.groupBy("depth").agg(
