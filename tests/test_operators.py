@@ -894,6 +894,39 @@ def test_dhash_shift_invariant_and_discriminative():
     assert len(distinct) > 16
 
 
+def test_multimodal_batch_paths_byte_identical():
+    """The vectorized batch builders/decoders (the r6 Arrow-batch hot
+    paths) must be byte-identical to the scalar reference functions,
+    and the batch decoders must reject non-uniform batches (fallback
+    contract)."""
+    from twawler_spark.operators.multimodal import (
+        _audio_fp_batch,
+        _dhash_batch,
+        _make_gradient_bmp_batch,
+        _make_tone_wav_batch,
+        audio_fingerprint_bytes,
+        dhash_bytes,
+        make_gradient_bmp,
+        make_tone_wav,
+    )
+
+    ids = list(range(0, 300, 7)) + [123456789, 2**31 - 1]
+    for shift in (0, 8):
+        for i, b in zip(ids, _make_gradient_bmp_batch(ids, shift)):
+            assert b == make_gradient_bmp(i, shift), (i, shift)
+    bufs = _make_gradient_bmp_batch(ids, 0)
+    assert list(_dhash_batch(bufs)) == [dhash_bytes(b) for b in bufs]
+    for gain in (0, 10):
+        for i, b in zip(ids, _make_tone_wav_batch(ids, gain)):
+            assert b == make_tone_wav(i, gain), (i, gain)
+    wavs = _make_tone_wav_batch(ids, 0)
+    assert list(_audio_fp_batch(wavs)) == [
+        audio_fingerprint_bytes(b) for b in wavs
+    ]
+    assert _dhash_batch([b"xx"]) is None
+    assert _audio_fp_batch([b"xxxx"]) is None
+
+
 def test_media_phash_dedup_catches_all_plants(spark):
     """Every planted brightness-shifted twin must land in a bucket with
     its base image: total bucket membership covers all 2N images (every

@@ -1128,11 +1128,16 @@ def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long"),
         F.lit(HH_BUCKETS),
     )
-    tot = hits.agg(F.count(F.lit(1)).alias("total"))
+    # one bucket-count pass serves both the total (sum of bucket counts
+    # — every hit lands in exactly one bucket) and the heavy-bucket
+    # prefilter: pass 1 scans the synthesized URLs once, not twice (the
+    # tiny bucket table's exchange is reused by its two consumers)
+    bc = hits.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    tot = bc.agg(F.sum("bc").alias("total"))
     heavy_buckets = (
-        hits.groupBy(bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("bc"))
-        .crossJoin(tot)
+        bc.crossJoin(tot)
         .where(F.col("bc") * HH_THRESH > F.col("total"))
         .select("bucket")
     )
@@ -5464,13 +5469,20 @@ def q_host_reputation(spark: SparkSession, sf: str) -> DataFrame:
         err.alias("e"),
         lat.alias("lat"),
     )
-    rates = base.groupBy("host").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("e").cast("long").alias("n_err"),
+    # one (host, lat) pass carries the error tally too, so the doubly
+    # md5-synthesized base is scanned ONCE: rates is a rollup of the
+    # same hv subtree the median probe consumes, and the shared
+    # (host, lat) exchange is reused (ReusedExchange, guide §2.4)
+    hv = base.groupBy("host", "lat").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("e").cast("long").alias("ec"),
+    )
+    rates = hv.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("ec").cast("long").alias("n_err"),
     ).withColumn("err_ppm", F.expr(f"(n_err * {REP_PPM}) DIV n"))
     cum = (
-        base.groupBy("host", "lat")
-        .agg(F.count(F.lit(1)).alias("c"))
+        hv.select("host", "lat", "c")
         .withColumn(
             "cumc",
             F.sum("c").over(
@@ -5665,37 +5677,63 @@ def q_ks_latency_drift(spark: SparkSession, sf: str) -> DataFrame:
     base = e.select(
         F.pmod(F.col("user_id"), F.lit(KS_HOSTS)).alias("host"), lat.alias("v")
     )
-    hv = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    totals = base.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_h"))
-    n_all_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    # merged grid: every distinct v paired with every host, so both
-    # CDFs are evaluated at the same points (missing cells = 0)
-    grid = base.select("v").distinct().crossJoin(totals.select("host"))
-    cells = grid.join(hv, ["host", "v"], "left").fillna({"c": 0})
-    w_h = Window.partitionBy("host").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
+    # hv is a lossless summary of base (every event lands in exactly one
+    # (host, v) cell), so totals / n_all / the value grid are rollups of
+    # hv — the identical hv subtree under every consumer lets Spark
+    # reuse ONE (host, v) exchange (ReusedExchange), so the
+    # md5-synthesized base is scanned once instead of five times
+    # (guide §2.4); no checkpoint: a materialization barrier measured
+    # slower than plain exchange reuse here
+    hv = base.groupBy("host", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    cum_h = F.sum("c").over(w_h)
-    allv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
-    w_a = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    all_cdf = allv.withColumn("cum_all", F.sum("ca").over(w_a)).select(
-        "v", "cum_all"
-    )
-    j = (
-        cells.withColumn("cum_h", cum_h)
-        .join(all_cdf, "v")
-        .join(totals, "host")
-        .crossJoin(F.broadcast(n_all_row))
-        .withColumn(
-            "gap",
-            F.abs(
-                F.col("cum_h") * F.col("n_all") - F.col("cum_all") * F.col("n_h")
-            ),
+    totals = hv.groupBy("host").agg(F.sum("c").alias("n_h"))
+    # merged grid: both CDFs evaluated at every distinct v. Instead of
+    # materializing the |hosts| x |values| grid + two cumulative
+    # windows (12-way-parallel sorts of ~2.4M rows) + two join-backs,
+    # ship each host its cells AND one replicated copy of the pooled
+    # per-value counts through ONE hash exchange, and do the exact
+    # int64 CDF walk in numpy per host (guide §4.2 — same kernel
+    # pattern as the r6 semdedup/ring_rebalance waves). Identical
+    # integer arithmetic: cumsum over the sorted merged grid,
+    # cross-multiplied gap, first-argmax = smallest v on ties (the
+    # min_by(v, struct(-gap, v)) rule).
+    allv = hv.groupBy("v").agg(F.sum("c").alias("ca"))
+    cells = hv.select("host", "v", "c", F.lit(0).alias("tag")).unionByName(
+        allv.crossJoin(totals.select("host")).select(
+            "host", "v", F.col("ca").alias("c"), F.lit(1).alias("tag")
         )
     )
-    best = j.groupBy("host", "n_h", "n_all").agg(
-        F.max("gap").alias("ks_num"),
-        F.expr("min_by(v, struct(-gap, v))").alias("ks_at_v"),
+
+    def ks_host(pdf):
+        import numpy as np
+        import pandas as pd
+
+        tag = pdf["tag"].to_numpy()
+        g = pdf[tag == 1].sort_values("v")
+        hrows = pdf[tag == 0]
+        v = g["v"].to_numpy(np.int64)
+        cum_all = np.cumsum(g["c"].to_numpy(np.int64))
+        n_all = int(cum_all[-1])
+        hc = np.zeros(len(v), dtype=np.int64)
+        pos = np.searchsorted(v, hrows["v"].to_numpy(np.int64))
+        hc[pos] = hrows["c"].to_numpy(np.int64)
+        cum_h = np.cumsum(hc)
+        n_h = int(cum_h[-1])
+        gap = np.abs(cum_h * n_all - cum_all * n_h)
+        i = int(np.argmax(gap))
+        return pd.DataFrame(
+            {
+                "host": [int(pdf["host"].iloc[0])],
+                "n_h": [n_h],
+                "ks_num": [int(gap[i])],
+                "ks_at_v": [int(v[i])],
+                "n_all": [n_all],
+            }
+        )
+
+    best = cells.groupBy("host").applyInPandas(
+        ks_host, "host long, n_h long, ks_num long, ks_at_v long, n_all long"
     )
     return best.select(
         "host",
@@ -6861,7 +6899,12 @@ def q_p95_slo_conformance(spark: SparkSession, sf: str) -> DataFrame:
     base = e.select(
         F.pmod(F.col("user_id"), F.lit(SLO_HOSTS)).alias("host"), lat.alias("v")
     )
-    vc = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # vc is a lossless summary of base shared verbatim by every rank
+    # probe, so its (host, v) exchange is computed once and reused
+    # (ReusedExchange) — the md5-synthesized base is scanned ONCE
+    vc = base.groupBy("host", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     w = Window.partitionBy("host").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -6878,8 +6921,8 @@ def q_p95_slo_conformance(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("host")
         .agg(F.min("v").alias("p99_us"))
     )
-    over = base.groupBy("host").agg(
-        F.sum(F.when(F.col("v") > SLO_P95_US, 1).otherwise(0))
+    over = vc.groupBy("host").agg(
+        F.sum(F.when(F.col("v") > SLO_P95_US, F.col("c")).otherwise(F.lit(0)))
         .cast("long")
         .alias("n_over_slo")
     )
@@ -7166,7 +7209,12 @@ def q_median_ci_rank(spark: SparkSession, sf: str) -> DataFrame:
     base = e.select(
         F.pmod(F.col("user_id"), F.lit(MCI_HOSTS)).alias("host"), lat.alias("v")
     )
-    vc = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # vc is a lossless summary of base shared verbatim by every rank
+    # probe, so its (host, v) exchange is computed once and reused
+    # (ReusedExchange) — the md5-synthesized base is scanned ONCE
+    vc = base.groupBy("host", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
     w = Window.partitionBy("host").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -7424,36 +7472,65 @@ def q_emd_latency_drift(spark: SparkSession, sf: str) -> DataFrame:
     base = e.select(
         F.pmod(F.col("user_id"), F.lit(EMD_HOSTS)).alias("host"), lat.alias("v")
     )
-    hv = base.groupBy("host", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    totals = base.groupBy("host").agg(F.count(F.lit(1)).cast("long").alias("n_h"))
-    n_all_row = base.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
-    grid = base.select("v").distinct().crossJoin(totals.select("host"))
-    cells = grid.join(hv, ["host", "v"], "left").fillna({"c": 0})
-    w_h = Window.partitionBy("host").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, 0
+    # hv is a lossless summary of base (every event lands in exactly one
+    # (host, v) cell), so totals / n_all / the value grid are rollups of
+    # hv — the identical hv subtree under every consumer lets Spark
+    # reuse ONE (host, v) exchange (ReusedExchange), so the
+    # md5-synthesized base is scanned once instead of five times
+    # (guide §2.4); no checkpoint: a materialization barrier measured
+    # slower than plain exchange reuse here
+    hv = base.groupBy("host", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    allv = base.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("ca"))
-    w_a = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    all_cdf = allv.withColumn("cum_all", F.sum("ca").over(w_a)).select(
-        "v", "cum_all"
-    )
-    w_next = Window.partitionBy("host").orderBy("v")
-    j = (
-        cells.withColumn("cum_h", F.sum("c").over(w_h))
-        .join(all_cdf, "v")
-        .join(totals, "host")
-        .crossJoin(F.broadcast(n_all_row))
-        .withColumn("v_next", F.lead("v").over(w_next))
-        .where(F.col("v_next").isNotNull())
-        .withColumn(
-            "piece",
-            F.abs(
-                F.col("cum_h") * F.col("n_all") - F.col("cum_all") * F.col("n_h")
-            )
-            * (F.col("v_next") - F.col("v")),
+    totals = hv.groupBy("host").agg(F.sum("c").alias("n_h"))
+    # the EMD integral needs both CDFs at every distinct v. Instead of
+    # the |hosts| x |values| zero-filled grid + cumulative/lead windows
+    # (12-way-parallel sorts of ~2.4M rows) + two join-backs, ship each
+    # host its cells AND one replicated copy of the pooled per-value
+    # counts through ONE hash exchange and do the exact int64 CDF walk
+    # in numpy per host (guide §4.2 — the r6 kernel pattern). Identical
+    # integer arithmetic: pieces are |cum_h*n_all - cum_all*n_h| times
+    # the grid step, summed (exact ints, order-free); the last grid
+    # point contributes no piece, matching the lead()-null filter.
+    allv = hv.groupBy("v").agg(F.sum("c").alias("ca"))
+    cells = hv.select("host", "v", "c", F.lit(0).alias("tag")).unionByName(
+        allv.crossJoin(totals.select("host")).select(
+            "host", "v", F.col("ca").alias("c"), F.lit(1).alias("tag")
         )
     )
-    agg = j.groupBy("host", "n_h", "n_all").agg(F.sum("piece").alias("emd_num"))
+
+    def emd_host(pdf):
+        import numpy as np
+        import pandas as pd
+
+        tag = pdf["tag"].to_numpy()
+        g = pdf[tag == 1].sort_values("v")
+        hrows = pdf[tag == 0]
+        v = g["v"].to_numpy(np.int64)
+        if len(v) < 2:  # single grid point: no pieces (lead() is null)
+            return pd.DataFrame(
+                {"host": [], "n_h": [], "emd_num": [], "n_all": []}
+            ).astype("int64")
+        cum_all = np.cumsum(g["c"].to_numpy(np.int64))
+        n_all = int(cum_all[-1])
+        hc = np.zeros(len(v), dtype=np.int64)
+        pos = np.searchsorted(v, hrows["v"].to_numpy(np.int64))
+        hc[pos] = hrows["c"].to_numpy(np.int64)
+        cum_h = np.cumsum(hc)
+        n_h = int(cum_h[-1])
+        piece = np.abs(cum_h[:-1] * n_all - cum_all[:-1] * n_h) * np.diff(v)
+        return pd.DataFrame(
+            {
+                "host": [int(pdf["host"].iloc[0])],
+                "n_h": [n_h],
+                "emd_num": [int(piece.sum())],
+                "n_all": [n_all],
+            }
+        )
+
+    agg = cells.groupBy("host").applyInPandas(
+        emd_host, "host long, n_h long, emd_num long, n_all long"
+    )
     return agg.select(
         "host",
         "n_h",
