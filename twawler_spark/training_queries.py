@@ -266,6 +266,54 @@ def _bands_long(docs: DataFrame) -> DataFrame:
     )
 
 
+def _shingle_hash_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2) — one row per DISTINCT 5-gram word shingle per
+    document, the shingle keyed by its md5 128-bit value as two signed
+    longs. Grouping on (h1, h2) is grouping on the shingle itself: at
+    10^9 distinct shingles the collision probability of a 128-bit hash
+    is ~10^-21, and the shingle STRING never leaves the scan stage — the
+    explode-amplified string stream and its exchange payload shrink to
+    16-byte keys, and the per-doc shingle walk is one C-md5 pass in an
+    Arrow batch instead of an interpreted HOF (guide §4.1/§4.2; the
+    same per-doc pattern as _bands_long). Semantics match
+    _shingles_spark + explode + (tok != '') exactly: 1-based window
+    starts 1..max(len-4, 1), short tails joined as-is, empty shingles
+    dropped, per-doc distinct."""
+    import pandas as pd
+
+    from .operators.dedup import spread_for_explode
+
+    def rows(batches):
+        import hashlib
+        import struct
+
+        unpack = struct.Struct(">qq").unpack
+        md5 = hashlib.md5
+        for pdf in batches:
+            out_doc, out_h1, out_h2 = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                seen = set()
+                for i in range(max(len(toks) - 4, 1)):
+                    sh = " ".join(toks[i : i + 5])
+                    if not sh or sh in seen:
+                        continue
+                    seen.add(sh)
+                    a, b = unpack(md5(sh.encode("utf-8")).digest())
+                    out_doc.append(doc_id)
+                    out_h1.append(a)
+                    out_h2.append(b)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "h1": out_h1, "h2": out_h2}
+            )
+
+    return (
+        spread_for_explode(docs, "doc_id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(rows, schema="doc_id long, h1 long, h2 long")
+    )
+
+
 def _lsh_pairs(alld: DataFrame) -> DataFrame:
     """(doc_a, doc_b) LSH candidate pairs: shingle→minhash→band→bucket
     self-join — the discovery tier shared by dedup_minhash_lsh (as the
@@ -5126,16 +5174,19 @@ def q_vocab_growth(spark, sf):
     put on the ingestion axis."""
     d = _t(spark, sf, "documents")
     # sh feeds both the per-batch rollup and the first-batch agg —
-    # checkpoint so the shingle explode runs once, not twice
-    sh = d.select(
-        F.expr(f"doc_id DIV {VG_BATCH}").alias("batch"),
-        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "").localCheckpoint(eager=False)
+    # checkpoint so the per-doc C-md5 shingle pass runs once, not twice
+    # (_shingle_hash_rows: 16-byte keys instead of shingle strings on
+    # every exchange; batch derives from doc_id after the fact)
+    sh = (
+        _shingle_hash_rows(d)
+        .select(F.expr(f"doc_id DIV {VG_BATCH}").alias("batch"), "h1", "h2")
+        .localCheckpoint(eager=False)
+    )
     per_batch = sh.groupBy("batch").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.countDistinct("tok").cast("long").alias("n_distinct"),
+        F.countDistinct("h1", "h2").cast("long").alias("n_distinct"),
     )
-    first = sh.groupBy("tok").agg(F.min("batch").alias("fb"))
+    first = sh.groupBy("h1", "h2").agg(F.min("batch").alias("fb"))
     news = first.groupBy(F.col("fb").alias("batch")).agg(
         F.count(F.lit(1)).cast("long").alias("n_new")
     )
@@ -5683,20 +5734,19 @@ def q_doc_novelty(spark, sf):
     training-data-valuation infrastructure per the brief."""
     d = _t(spark, sf, "documents")
     # sh feeds both the first-occurrence agg and the per-doc rollup —
-    # checkpoint so the shingle explode runs once, not twice
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "").localCheckpoint(eager=False)
-    # (doc_id, tok) rows are unique (per-doc shingles are distinct), so
-    # each shingle credits its min-doc exactly once: the per-doc novel
-    # count is a rollup of the first-occurrence table itself — no
+    # checkpoint so the per-doc C-md5 shingle pass (_shingle_hash_rows:
+    # the shingle string never leaves the scan stage, the exchange
+    # carries 16-byte keys) runs once, not twice
+    sh = _shingle_hash_rows(d).localCheckpoint(eager=False)
+    # (doc_id, shingle) rows are unique (per-doc shingles are distinct),
+    # so each shingle credits its min-doc exactly once: the per-doc
+    # novel count is a rollup of the first-occurrence table itself — no
     # join-back of `first` onto the full shingle stream needed
     per_doc = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_shingles")
     )
     novel = (
-        sh.groupBy("tok")
+        sh.groupBy("h1", "h2")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy(F.col("first_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
@@ -6456,28 +6506,31 @@ def q_quality_novelty_quadrants(spark, sf):
     analog: none — corpus-triage infrastructure per the brief."""
     d = _t(spark, sf, "documents")
     # sh feeds both the first-occurrence agg and the per-doc rollup —
-    # checkpoint so the shingle explode runs once, not twice
-    sh = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        F.explode(_shingles_spark(F.col("text"))).alias("tok"),
-    ).where(F.col("tok") != "").localCheckpoint(eager=False)
-    # (doc_id, tok) rows are unique, so each shingle credits its
+    # checkpoint so the per-doc C-md5 shingle pass (_shingle_hash_rows:
+    # 16-byte keys instead of shingle strings on every exchange) runs
+    # once, not twice
+    sh = _shingle_hash_rows(d).localCheckpoint(eager=False)
+    # (doc_id, shingle) rows are unique, so each shingle credits its
     # min-doc exactly once: the novel count is a rollup of the
     # first-occurrence table — no join-back onto the shingle stream
     per_doc = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_sh")
     )
     novel = (
-        sh.groupBy("tok")
+        sh.groupBy("h1", "h2")
         .agg(F.min("doc_id").alias("fd"))
         .groupBy(F.col("fd").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_nov"))
     )
     nov = per_doc.join(novel, "doc_id", "left").fillna({"n_nov": 0})
+    # base is one row per doc but its lineage holds both shingle-stream
+    # aggregations; the rank passes each consume their input twice
+    # (bucket histogram + join-back) and n_row once more — checkpoint
+    # so the novelty join runs once, not ~5x (guide §2.4)
     base = d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_chars").cast("long").alias("n_chars"),
-    ).join(nov, "doc_id")
+    ).join(nov, "doc_id").localCheckpoint(eager=False)
     from .operators.ranks import with_global_rank
 
     n_row = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
