@@ -1445,6 +1445,27 @@ def test_bfs_min_depth_edge_semantics(spark):
     assert got == {1: 0, 2: 1, 4: 1, 3: 2}
 
 
+def test_bfs_min_depth_bitmap_matches_join_form(spark):
+    """The bounded-universe bitmap BFS must produce exactly the join
+    form's (node, depth) surface: same shortcut/back-edge/unreachable
+    semantics, duplicate edges absorbed, depth cap respected."""
+    from twawler_spark.operators.graph import bfs_min_depth, bfs_min_depth_bitmap
+
+    rows = [(1, 2), (2, 3), (3, 4), (1, 4), (3, 1), (2, 3), (4, 6), (6, 7)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    seeds_df = spark.createDataFrame([(1,), (7,)], "node long")
+    for cap in (1, 2, 10):
+        want = {
+            (r["node"], r["depth"])
+            for r in bfs_min_depth(seeds_df, edges, cap).collect()
+        }
+        got = {
+            (r["node"], r["depth"])
+            for r in bfs_min_depth_bitmap([1, 7], edges, cap, 16).collect()
+        }
+        assert got == want, cap
+
+
 def test_dust_key2_param_positions(spark):
     """The canonicalize-with-param-stripped key must behave at every
     param position: first, middle, last, and when stripping empties the

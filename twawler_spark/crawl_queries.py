@@ -712,13 +712,15 @@ def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
     cut per level with a lazy localCheckpoint exactly like the CC
     operator. Graph: deterministic 60k-edge projection of lineitem
     onto a 20011-node id space; seeds are 5 fixed ids."""
-    from .operators.graph import bfs_min_depth
+    from .operators.graph import bfs_min_depth_bitmap
 
     li = _t(spark, sf, "lineitem")
     # no edge dedup: min-depth BFS is invariant under duplicate edges
-    # (each level dropDuplicates on node), duplicates are <1% of this
-    # projection, and the dedup cost a full extra shuffle of the edge
-    # table before bfs_min_depth's own repartition("src")
+    # (the bitmap OR absorbs them), duplicates are <1% of this
+    # projection anyway. The node universe is BFS_MOD by construction
+    # (both endpoints are pmod BFS_MOD), so the bitmap BFS applies: one
+    # src exchange emitting per-src dst masks, all levels vectorized —
+    # no per-level join/dedup/anti-join/checkpoint rounds
     edges = li.select(
         F.pmod(F.col("l_orderkey").cast("long"), F.lit(BFS_MOD)).alias("src"),
         F.pmod(
@@ -726,8 +728,7 @@ def q_crawl_bfs_depth(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(BFS_MOD),
         ).alias("dst"),
     )
-    seeds = spark.createDataFrame([(s,) for s in BFS_SEEDS], "node long")
-    dist = bfs_min_depth(seeds, edges, BFS_MAX_DEPTH)
+    dist = bfs_min_depth_bitmap(list(BFS_SEEDS), edges, BFS_MAX_DEPTH, BFS_MOD)
     return dist.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("node").cast("long").alias("sum_node"),

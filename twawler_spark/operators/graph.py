@@ -143,6 +143,97 @@ def bfs_min_depth(
     return dist
 
 
+def bfs_min_depth_bitmap(
+    seeds: list, edges: DataFrame, max_depth: int, n_nodes: int
+) -> DataFrame:
+    """bfs_min_depth for a node universe BOUNDED BY DESIGN (node ids in
+    [0, n_nodes) with n_nodes a fixture/config constant): compress the
+    adjacency into per-src dst bitmaps map-side (one hash exchange on
+    src — the same exchange the join form pays — emitting
+    n_nodes/8-byte masks, ~2.5 KB per src), then run all levels over
+    the gathered bitmap matrix in one vectorized task: per level one
+    OR-reduction over the frontier rows replaces a frontier⋈edges join
+    + dedup + anti-join + checkpoint barrier. Exact same (node, depth)
+    surface as bfs_min_depth — min hop distance, duplicate edges
+    harmless (bitmap OR). For unbounded node spaces keep
+    bfs_min_depth: a |V|^2/8-bit matrix only makes sense when |V| is a
+    design constant (here ~50 MB at 20k nodes)."""
+    import pandas as pd
+
+    sc = edges.sparkSession.sparkContext
+    nb = (n_nodes + 7) // 8
+    p = sc.defaultParallelism
+
+    def partial_masks(batches):
+        import numpy as np
+
+        acc = {}
+        for pdf in batches:
+            src = pdf["src"].to_numpy(np.int64)
+            dst = pdf["dst"].to_numpy(np.int64)
+            uniq, idx = np.unique(src, return_inverse=True)
+            m = np.zeros((len(uniq), nb), dtype=np.uint8)
+            np.bitwise_or.at(
+                m, (idx, dst >> 3), (1 << (dst & 7)).astype(np.uint8)
+            )
+            for s, row in zip(uniq, m):
+                prev = acc.get(s)
+                if prev is None:
+                    acc[s] = row
+                else:
+                    np.bitwise_or(prev, row, out=prev)
+        yield pd.DataFrame(
+            {
+                "src": list(acc.keys()),
+                "mask": [m.tobytes() for m in acc.values()],
+            }
+        )
+
+    masks = (
+        edges.repartition(p, "src")
+        .mapInPandas(partial_masks, schema="src long, mask binary")
+    )
+
+    seed_list = [int(s) for s in seeds]
+
+    def run_bfs(batches):
+        import numpy as np
+
+        adj = np.zeros((n_nodes, nb), dtype=np.uint8)
+        for pdf in batches:
+            for s, m in zip(pdf["src"], pdf["mask"]):
+                np.bitwise_or(
+                    adj[s], np.frombuffer(m, dtype=np.uint8), out=adj[s]
+                )
+        dist = np.full(n_nodes, -1, dtype=np.int64)
+        frontier = np.array(
+            sorted({s for s in seed_list if 0 <= s < n_nodes}), dtype=np.int64
+        )
+        dist[frontier] = 0
+        for d in range(1, max_depth + 1):
+            if len(frontier) == 0:
+                break
+            nxt_mask = np.bitwise_or.reduce(adj[frontier], axis=0)
+            nxt = np.nonzero(
+                np.unpackbits(nxt_mask, bitorder="little")[:n_nodes]
+            )[0]
+            new = nxt[dist[nxt] < 0]
+            dist[new] = d
+            frontier = new
+        reached = np.nonzero(dist >= 0)[0]
+        yield pd.DataFrame(
+            {"node": reached.astype(np.int64), "depth": dist[reached].astype(np.int32)}
+        )
+
+    # repartition(1), NOT coalesce(1): coalesce would collapse the
+    # partial-mask stage itself into the single task — the exchange
+    # boundary keeps mask-building parallel and ships only the ~|V| x
+    # |V|/8-bit mask rows to the reducer that runs the levels
+    return masks.repartition(1).mapInPandas(
+        run_bfs, schema="node long, depth int"
+    )
+
+
 def resolve_chains(edges: DataFrame, max_hops: int) -> DataFrame:
     """Resolve every node of a successor map to its terminal target by
     POINTER DOUBLING — ceil(log2(max_hops)) self-join rounds instead of

@@ -3825,9 +3825,15 @@ def q_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     merge and only on the tiny pair table. Output: (iter, left_tok,
     right_tok, n_pairs, corpus_tokens_after) — token totals prove the
     rewrites actually applied."""
+    from .operators.dedup import spread_for_explode
+
     d = _t(spark, sf, "documents")
     toks0 = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    s = d.select(
+    # the single-file corpus scans as ~6 partitions and every
+    # checkpointed rewrite inherits that partitioning, so ALL
+    # iterations' Arrow pair counts and rewrites would run on 6 cores —
+    # spread once before the loop (guide §2.1; no-op at warehouse scale)
+    s = spread_for_explode(d, "doc_id").select(
         "doc_id",
         F.concat(F.lit("  "), F.array_join(toks0, "  "), F.lit("  ")).alias("seq"),
     )
@@ -6727,13 +6733,31 @@ def q_postings_intersection(spark, sf):
     execution. Reference analog: the search half of S14's index
     export, given its cost model."""
     d = _t(spark, sf, "documents")
+
+    # per-doc DISTINCT terms are a local property — emit them from one
+    # Arrow pass per document instead of explode + global DISTINCT
+    # (which shuffled the full 2.7M-row term stream just to dedup
+    # within doc groups; guide §2.1/§4.2). Checkpointed: ex feeds both
+    # the df aggregation and the posting join.
+    def distinct_terms(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc, out_term = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for t in set(text.lower().split(" ")):
+                    if t:
+                        out_doc.append(doc_id)
+                        out_term.append(t)
+            yield pd.DataFrame({"doc_id": out_doc, "term": out_term})
+
+    from .operators.dedup import spread_for_explode
+
     ex = (
-        d.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.explode(F.split(F.lower(F.col("text")), " ")).alias("term"),
-        )
-        .where(F.col("term") != "")
-        .distinct()
+        spread_for_explode(d, "doc_id")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+        .mapInPandas(distinct_terms, schema="doc_id long, term string")
+        .localCheckpoint(eager=False)
     )
     df = ex.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     top = (
