@@ -445,15 +445,9 @@ def pq_subvectors(
     ).select(F.col(id_col), F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
 
 
-def _sq_l2(a, b):
-    return F.aggregate(
-        F.zip_with(
-            a, b, lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double"))
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# (the interpreted squared-L2 fold that used to live here moved into
+# pq_adc_topk's numpy distance tables — the per-dimension accumulation
+# there evaluates the same left-to-right order)
 
 
 def pq_codebooks(
@@ -557,28 +551,90 @@ def pq_adc_topk(
     the true squared L2. One shuffle on (q_id, c_id) for the sum — the
     corpus contributes only its 8-byte codes, never raw floats: the PQ
     scan shape that makes billion-vector rescoring affordable."""
+    import numpy as np
+    import pandas as pd
+
     cbs = pq_codebooks(corpus, codeword_mod, m, d_sub, id_col, vec_col)
-    codes = pq_encode(corpus, cbs, m, d_sub, id_col, vec_col).select(
-        F.col(id_col).alias("c_id"), "m", "code"
+    # codebooks and the query side are BOUNDED BY DESIGN (the operator
+    # contract: the distance-table side "always rides broadcasts"), so
+    # both ship in the task closure and the whole ADC scan is ONE Arrow
+    # pass over the corpus: encode the batch, gather each query's
+    # distance table at the 8 codes, keep the per-batch top-k
+    # candidates — the N*m*Q lookup join, the (q, c) sum exchange and
+    # the full-corpus rank window drop out of the plan; only
+    # ~batches*Q*k candidate rows reach the final tiny window
+    # (guide §4.2 — the r6 semdedup/ivf kernel pattern).
+    cb_rows = cbs.select("m", "cw_id", "cw").collect()
+    cb_by_m = []
+    for mi in range(m):
+        rows = sorted(
+            (r for r in cb_rows if r["m"] == mi), key=lambda r: r["cw_id"]
+        )
+        cb_by_m.append(
+            (
+                np.array([r["cw_id"] for r in rows], dtype=np.int64),
+                np.array([r["cw"] for r in rows], dtype=np.float64),
+            )
+        )
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_vecs = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in q_rows])
+    # dtab[mi]: (Q, K) squared L2 of each query subvector vs each
+    # codeword — accumulated dimension-by-dimension in index order, the
+    # exact left-to-right fold _sq_l2 evaluates
+    dtab = []
+    for mi in range(m):
+        _, cw = cb_by_m[mi]
+        qsub = q_vecs[:, mi * d_sub : (mi + 1) * d_sub]
+        dist = np.zeros((len(q_ids), len(cw)))
+        for j in range(d_sub):
+            dj = qsub[:, j : j + 1] - cw[None, :, j]
+            dist += dj * dj
+        dtab.append(dist)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            c_ids = pdf[id_col].to_numpy(np.int64)
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(c_ids)
+            adc = np.zeros((len(q_ids), n))
+            for mi in range(m):
+                cw_ids, cw = cb_by_m[mi]
+                sub = x[:, mi * d_sub : (mi + 1) * d_sub]
+                ks = np.empty(n, dtype=np.int64)
+                for lo in range(0, n, 512):
+                    blk = sub[lo : lo + 512]
+                    diff = blk[:, None, :] - cw[None, :, :]
+                    ks[lo : lo + 512] = np.argmin(
+                        (diff * diff).sum(axis=2), axis=1
+                    )
+                adc += dtab[mi][:, ks]
+            if round_to is not None:
+                scale = 10.0 ** round_to
+                adc = np.floor(adc * scale + 0.5) / scale
+            frames = []
+            for qi in range(len(q_ids)):
+                keep = c_ids != q_ids[qi]
+                cc, aa = c_ids[keep], adc[qi][keep]
+                if len(cc) == 0:
+                    continue
+                order = np.lexsort((cc, aa))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"q_id": q_ids[qi], "c_id": cc[order], "adc2": aa[order]}
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    cands = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="q_id long, c_id long, adc2 double"
     )
-    qsubs = pq_subvectors(queries, m, d_sub, id_col, vec_col).select(
-        F.col(id_col).alias("q_id"), "m", "sub"
-    )
-    dq = qsubs.join(F.broadcast(cbs), "m").select(
-        "q_id", "m", F.col("cw_id").alias("code"),
-        _sq_l2(F.col("sub"), F.col("cw")).alias("__d"),
-    )
-    scored = (
-        codes.join(F.broadcast(dq), ["m", "code"])
-        .where(F.col("q_id") != F.col("c_id"))
-        .groupBy("q_id", "c_id")
-        .agg(F.sum("__d").alias("adc"))
-    )
-    adc = F.round(F.col("adc"), round_to) if round_to is not None else F.col("adc")
     w = Window.partitionBy("q_id").orderBy(F.col("adc2").asc(), F.col("c_id").asc())
     return (
-        scored.select("q_id", "c_id", adc.alias("adc2"))
-        .withColumn("rnk", F.row_number().over(w))
+        cands.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select("q_id", "c_id", F.col("adc2").alias("adc"), "rnk")
     )

@@ -3517,9 +3517,11 @@ def q_dedup_containment(spark, sf):
 
     def shingle_rows(batches):
         import hashlib
+        import struct
 
+        unpack = struct.Struct(">qq").unpack
         for pdf in batches:
-            out_doc, out_src, out_h = [], [], []
+            out_doc, out_src, out_h1, out_h2 = [], [], [], []
             for doc_id, src, text in zip(
                 pdf["doc_id"], pdf["source"], pdf["text"]
             ):
@@ -3530,34 +3532,49 @@ def q_dedup_containment(spark, sf):
                     if sh in seen:
                         continue
                     seen.add(sh)
+                    # the shingle key is the md5 as two signed longs —
+                    # equality on (h1, h2) is equality on the full
+                    # 128-bit digest, and the three h-keyed exchanges
+                    # (df count, cap join, self-join) carry 16-byte
+                    # keys instead of 32-char hex strings (guide §2.3)
+                    a, b = unpack(hashlib.md5(sh.encode("utf-8")).digest())
                     out_doc.append(doc_id)
                     out_src.append(src)
-                    out_h.append(hashlib.md5(sh.encode("utf-8")).hexdigest())
+                    out_h1.append(a)
+                    out_h2.append(b)
             yield pd.DataFrame(
-                {"doc_id": out_doc, "source": out_src, "h": out_h}
+                {
+                    "doc_id": out_doc,
+                    "source": out_src,
+                    "h1": out_h1,
+                    "h2": out_h2,
+                }
             )
 
     ew = (
         spread_for_explode(alld, "doc_id")
         .select("doc_id", "source", "text")
-        .mapInPandas(shingle_rows, schema="doc_id string, source string, h string")
+        .mapInPandas(
+            shingle_rows,
+            schema="doc_id string, source string, h1 long, h2 long",
+        )
         .localCheckpoint(eager=False)
     )
     sizes = ew.groupBy("doc_id").agg(F.count("*").alias("sz"))
     # (doc_id, h) rows are unique (per-doc shingles are array_distinct),
     # so count(*) IS the document frequency — no countDistinct pass
     keep = (
-        ew.groupBy("h")
+        ew.groupBy("h1", "h2")
         .agg(F.count(F.lit(1)).alias("sdf"))
         .where((F.col("sdf") >= 2) & (F.col("sdf") <= CONT_DF_CAP))
-        .select("h")
+        .select("h1", "h2")
     )
     # e2 feeds BOTH sides of the candidate self-join — checkpoint so the
     # df-cap join runs once, not twice
-    e2 = ew.join(keep, "h").localCheckpoint(eager=False)
+    e2 = ew.join(keep, ["h1", "h2"]).localCheckpoint(eager=False)
     pairs = (
         e2.alias("a")
-        .join(e2.alias("b"), "h")
+        .join(e2.alias("b"), ["h1", "h2"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("d1"),

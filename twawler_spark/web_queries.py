@@ -989,11 +989,14 @@ def q_redirect_resolve(spark: SparkSession, sf: str) -> DataFrame:
     # range-partitioned exact row numbers (operators/ranks.py) — the
     # fixture's rank synthesis no longer funnels the distinct users
     # through a single-partition window
+    # checkpointed: the tiny ranked node list fans out to mx / fin, and
+    # the rank pass itself reads its input twice — without the cut the
+    # 1M-row scan + distinct would re-run per consumer (guide §2.4)
     nodes = with_global_rank(
         e.select("user_id").distinct(), [("user_id", True)], "rid",
         method="row_number",
         bucket=F.expr("user_id DIV 8192"),
-    ).select("rid")
+    ).select("rid").localCheckpoint(eager=False)
     mx = nodes.agg(F.max("rid").alias("m"))
     coin = (
         F.conv(
@@ -3630,38 +3633,53 @@ def q_seed_coverage_greedy(spark: SparkSession, sf: str) -> DataFrame:
     cover = dirs.select(F.col("a").alias("v"), F.col("b").alias("w")).unionAll(
         nodes.select(F.col("n").alias("v"), F.col("n").alias("w"))
     ).distinct()
-    covered = nodes.where(F.lit(False)).select(F.col("n").alias("w"))
-    out_rows = None
-    cum = 0
-    for it in range(1, SEED_K + 1):
-        gains = (
-            cover.join(covered, "w", "left_anti")
-            .groupBy("v")
-            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
-        )
-        pick = (
-            gains.orderBy(F.col("gain").desc(), F.col("v").asc())
-            .limit(1)
-            .select(
-                F.lit(it).cast("long").alias("iteration"),
-                F.col("v").alias("seed"),
-                "gain",
-            )
-        )
-        row = pick.localCheckpoint(eager=True)
-        covered = (
-            covered.unionByName(
-                cover.join(
-                    row.select(F.col("seed").alias("v")), "v"
-                ).select("w")
-            )
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        out_rows = row if out_rows is None else out_rows.unionByName(row)
-    # cumulative coverage: running sum over the K-row result
-    w = Window.orderBy("iteration").rowsBetween(Window.unboundedPreceding, 0)
-    return out_rows.withColumn("cum_covered", F.sum("gain").over(w))
+    # The greedy ran K driver rounds of anti-join + gain aggregate +
+    # top-1 sort + two checkpoints, and `cover`'s md5 projection +
+    # distinct lineage was re-evaluated by every round's two consumers
+    # (~8 recomputes). The contracted host graph is bounded by design
+    # (TRI_PERIPHERY + TRI_HUBS nodes), so all K rounds run exactly in
+    # ONE vectorized task over the gathered pair list (guide §4.2 — the
+    # same bounded-fixture treatment as the percolation grid): gain =
+    # per-v count of uncovered w, pick = max gain with ties to the
+    # smallest v (np.unique returns v ascending, argmax takes the
+    # first max — the orderBy(gain desc, v asc).limit(1) rule), and a
+    # drained gain table ends the loop early exactly like an empty
+    # limit(1) did.
+    def greedy(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks_v, chunks_w = [], []
+        for pdf in batches:
+            chunks_v.append(pdf["v"].to_numpy(np.int64))
+            chunks_w.append(pdf["w"].to_numpy(np.int64))
+        out = {"iteration": [], "seed": [], "gain": [], "cum_covered": []}
+        if chunks_v:
+            v = np.concatenate(chunks_v)
+            w = np.concatenate(chunks_w)
+            covered = np.empty(0, dtype=np.int64)
+            cum = 0
+            for it in range(1, SEED_K + 1):
+                alive = ~np.isin(w, covered)
+                if not alive.any():
+                    break
+                uniq, counts = np.unique(v[alive], return_counts=True)
+                i = int(np.argmax(counts))
+                seed, gain = int(uniq[i]), int(counts[i])
+                covered = np.concatenate(
+                    [covered, w[alive & (v == seed)]]
+                )
+                cum += gain
+                out["iteration"].append(it)
+                out["seed"].append(seed)
+                out["gain"].append(gain)
+                out["cum_covered"].append(cum)
+        yield pd.DataFrame(out)
+
+    return cover.repartition(1).mapInPandas(
+        greedy,
+        schema="iteration long, seed long, gain long, cum_covered long",
+    )
 
 
 def _build_o_seed_greedy() -> str:
