@@ -531,7 +531,8 @@ def q_j1_pair_selfjoin(spark, sf):
             }
         )
 
-    return packed.repartition(p, "__p").mapInPandas(
+    # 2x parallelism on the reduce side — see q_j8_synchrotrap
+    return packed.repartition(2 * p, "__p").mapInPandas(
         count_pairs, schema="supp_a long, supp_b long, n long"
     )
 
@@ -644,7 +645,11 @@ def q_j8_synchrotrap(spark, sf):
             }
         )
 
-    return packed.repartition(p, "__p").mapInPandas(
+    # 2x parallelism on the reduce side: the pair stream is ~20x the
+    # input and the counting stage is Arrow-python — finer tasks overlap
+    # shuffle read with compute (measured ~2 s on the 23M-row exchange;
+    # still derived from the session's core count, not a constant)
+    return packed.repartition(2 * p, "__p").mapInPandas(
         count_pairs, schema="user_a long, user_b long, n_co long"
     )
 
